@@ -1,0 +1,162 @@
+"""Geometry-core tests: samplings, HEALPix, Laplacians, conservative remap.
+
+Property tests mirror the reference's inline numerical invariants
+(reference: modules/layers.py:540-571 conservativity asserts,
+modules/layers.py:45 cotan symmetry).
+"""
+
+import numpy as np
+import pytest
+from scipy.sparse.linalg import eigsh
+
+from deepsphere_weather_tpu.sphere import (
+    build_sampling,
+    build_graph,
+    cell_areas,
+    area_weights,
+    build_pooling_matrices,
+    compute_interpolation_weights,
+    coarsen_sampling_kwargs,
+    laplacian_to_ell,
+)
+from deepsphere_weather_tpu.sphere import healpix as hp
+
+
+class TestHealpix:
+    def test_nside1_centers(self):
+        # Known healpy values for nside=1
+        lon, lat = hp.healpix_lonlat(1)
+        np.testing.assert_allclose(lat[:4], 41.8103, atol=1e-3)
+        np.testing.assert_allclose(lat[4:8], 0.0, atol=1e-10)
+        np.testing.assert_allclose(lat[8:], -41.8103, atol=1e-3)
+        np.testing.assert_allclose(sorted(lon[4:8]), [0, 90, 180, 270], atol=1e-10)
+
+    @pytest.mark.parametrize("nside", [1, 2, 4, 8])
+    def test_nest_ring_roundtrip(self, nside):
+        npix = hp.nside2npix(nside)
+        r = hp.nest2ring(nside, np.arange(npix))
+        assert sorted(r.tolist()) == list(range(npix))
+        np.testing.assert_array_equal(hp.ring2nest(nside, r), np.arange(npix))
+
+    def test_nested_children_are_spatially_coherent(self):
+        # The 4 nested children of a coarse pixel must be near the coarse center
+        # (this is what makes HEALPix pooling a reshape, reference layers.py:784-941)
+        lon_f, lat_f = hp.healpix_lonlat(8)
+        lon_c, lat_c = hp.healpix_lonlat(4)
+
+        def xyz(lon, lat):
+            lon, lat = np.deg2rad(lon), np.deg2rad(lat)
+            return np.stack([np.cos(lat) * np.cos(lon),
+                             np.cos(lat) * np.sin(lon), np.sin(lat)], -1)
+
+        f, c = xyz(lon_f, lat_f), xyz(lon_c, lat_c)
+        child_mean = f.reshape(-1, 4, 3).mean(axis=1)
+        child_mean /= np.linalg.norm(child_mean, axis=1, keepdims=True)
+        cos = np.einsum("ij,ij->i", child_mean, c)
+        assert cos.min() > 0.999
+
+
+class TestSamplings:
+    @pytest.mark.parametrize(
+        "name,kwargs,n",
+        [
+            ("healpix", {"subdivisions": 4, "nest": True}, 192),
+            ("equiangular", {"nlat": 8, "nlon": 16}, 128),
+            ("icosahedral", {"subdivisions": 4}, 162),
+            ("cubed", {"subdivisions": 4}, 96),
+            ("gauss", {"nlat": 8, "nlon": 16}, 128),
+            ("gauss", {"nlat": 8, "nlon": "ecmwf-octahedral"}, 2 * (20 + 24 + 28 + 32)),
+        ],
+    )
+    def test_node_counts(self, name, kwargs, n):
+        s = build_sampling(name, kwargs)
+        assert s.n_nodes == n
+        assert np.all(np.isfinite(s.lat)) and np.all(np.isfinite(s.lon))
+        # unit sphere
+        np.testing.assert_allclose(np.linalg.norm(s.coords_3d, axis=1), 1.0)
+
+    def test_coarsening_rules(self):
+        assert coarsen_sampling_kwargs("healpix", {"subdivisions": 16, "nest": True}, 2) == {
+            "subdivisions": 8, "nest": True}
+        assert coarsen_sampling_kwargs("equiangular", {"nlat": 36, "nlon": 72}, 2) == {
+            "nlat": 18, "nlon": 36}
+        assert coarsen_sampling_kwargs("gauss", {"nlat": 48, "nlon": "ecmwf-octahedral"}, 2) == {
+            "nlat": 24, "nlon": "ecmwf-octahedral"}
+
+
+class TestGraph:
+    def test_laplacian_spectrum_rescaled(self):
+        g = build_graph("healpix", {"subdivisions": 4, "nest": True}, k=8)
+        ev_max = eigsh(g.L, k=1, which="LA", return_eigenvectors=False)[0]
+        ev_min = eigsh(g.L, k=1, which="SA", return_eigenvectors=False)[0]
+        assert -1.05 <= ev_min and ev_max <= 1.0  # rescaled to [-1, 1] with margin
+
+    def test_adjacency_symmetric(self):
+        g = build_graph("healpix", {"subdivisions": 4, "nest": True}, k=8)
+        asym = abs(g.W - g.W.T)
+        assert asym.nnz == 0 or abs(asym).max() < 1e-12
+
+    def test_voronoi_cotan_laplacian(self):
+        from scipy.sparse.linalg import eigs
+
+        g = build_graph("icosahedral", {"subdivisions": 3}, k=8, graph_type="voronoi")
+        # Minv @ L_cotan is non-symmetric; check rescaled spectral radius <= ~1
+        ev = eigs(g.L.astype(np.float64), k=1, which="LM",
+                  return_eigenvectors=False)
+        assert abs(ev[0]) <= 1.05
+
+    def test_ell_export_matches_dense(self):
+        g = build_graph("healpix", {"subdivisions": 2, "nest": True}, k=8)
+        cols, vals = laplacian_to_ell(g.L)
+        n = g.n_nodes
+        dense = np.zeros((n, n), dtype=np.float32)
+        for i in range(n):
+            for c, v in zip(cols[i], vals[i]):
+                dense[i, c] += v
+        np.testing.assert_allclose(dense, g.L.toarray(), atol=1e-6)
+
+
+class TestConservativeRemap:
+    def test_area_sums(self):
+        s = build_sampling("healpix", {"subdivisions": 4, "nest": True})
+        a = cell_areas(s)
+        np.testing.assert_allclose(a.sum(), 4 * np.pi, rtol=1e-8)
+        w = area_weights(s)
+        np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)
+
+    def test_conservativity_invariants(self):
+        # The exact invariants the reference asserts on CDO output
+        # (modules/layers.py:540-571).
+        src = build_sampling("healpix", {"subdivisions": 8, "nest": True})
+        dst = build_sampling("healpix", {"subdivisions": 4, "nest": True})
+        W, src_area, dst_area = compute_interpolation_weights(src, dst,
+                                                              normalization=None)
+        np.testing.assert_allclose(np.asarray(W.sum(axis=1)).ravel(), dst_area,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(W.sum(axis=0)).ravel(), src_area,
+                                   rtol=1e-5)
+        Wn, _, _ = compute_interpolation_weights(src, dst, normalization="fracarea")
+        np.testing.assert_allclose(np.asarray(Wn.sum(axis=1)).ravel(), 1.0,
+                                   rtol=1e-6)
+
+    def test_cross_sampling_remap(self):
+        # conservative weights between different sampling families
+        src = build_sampling("healpix", {"subdivisions": 4, "nest": True})
+        dst = build_sampling("equiangular", {"nlat": 8, "nlon": 16})
+        Wn, _, _ = compute_interpolation_weights(src, dst, normalization="fracarea")
+        np.testing.assert_allclose(np.asarray(Wn.sum(axis=1)).ravel(), 1.0,
+                                   rtol=1e-5)
+
+    def test_pooling_preserves_constant_and_mean(self):
+        src = build_sampling("healpix", {"subdivisions": 8, "nest": True})
+        dst = build_sampling("healpix", {"subdivisions": 4, "nest": True})
+        pool, unpool = build_pooling_matrices(src, dst)
+        x = np.ones(src.n_nodes)
+        np.testing.assert_allclose(pool @ x, 1.0, rtol=1e-5)
+        np.testing.assert_allclose(unpool @ (pool @ x), 1.0, rtol=1e-5)
+        # area-weighted mean of a smooth field is preserved by pooling
+        a_src, a_dst = cell_areas(src), cell_areas(dst)
+        f = src.coords_3d[:, 2]
+        fp = pool @ f
+        np.testing.assert_allclose((a_dst * fp).sum() / a_dst.sum(),
+                                   (a_src * f).sum() / a_src.sum(), atol=1e-9)
