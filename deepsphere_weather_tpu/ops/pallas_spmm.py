@@ -1,0 +1,201 @@
+"""Pallas TPU block-sparse SpMM for large-graph Laplacians.
+
+Replaces the reference's cuSPARSE `torch.sparse.mm` hot path
+(reference: modules/layers.py:164-167) for graphs too large for a dense
+operator (HEALPix-64+: 49k nodes, SURVEY.md §2.13).
+
+Design: nested HEALPix (and Morton-ordered meshes generally) give the knn
+Laplacian strong spatial block structure, so the matrix is stored as
+**BCSR with 128x128 dense blocks** — each nonzero block is a full MXU
+tile. The kernel runs a grid over (row_block, nonzero_block_slot, m_tile)
+and accumulates `y[i] += A[i, b] @ x[col(i, b)]` entirely on the MXU,
+using scalar-prefetched block-column indices to steer the x-block DMA
+(pltpu.PrefetchScalarGridSpec). Rows are padded to the max block count per
+row-block with zero blocks, keeping shapes static.
+
+The backward pass multiplies by the transpose operator; the normalized knn
+Laplacian is symmetric so the same operator is reused (a transposed BCSR
+can be supplied for non-symmetric operators like the cotan Laplacian).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["BlockSparseOperator", "bcsr_from_scipy", "ell_spmm"]
+
+_BS = 128  # MXU-native block size
+
+
+def bcsr_from_scipy(mat, block_size: int = _BS):
+    """Convert scipy sparse [N, N] to padded BCSR arrays.
+
+    Returns (vals [n_rb, max_nb, bs, bs], cols [n_rb, max_nb] int32, n_pad)
+    where n_pad is the zero-padded matrix dimension (multiple of bs).
+    Padding slots replicate block-column 0 with zero values.
+    """
+    from scipy import sparse
+
+    n = mat.shape[0]
+    bs = block_size
+    n_pad = ((n + bs - 1) // bs) * bs
+    coo = mat.tocoo()
+    rb = coo.row // bs
+    cb = coo.col // bs
+    n_rb = n_pad // bs
+    # unique nonzero blocks per row-block
+    block_ids = rb.astype(np.int64) * n_rb + cb
+    uniq = np.unique(block_ids)
+    u_rb = (uniq // n_rb).astype(np.int32)
+    u_cb = (uniq % n_rb).astype(np.int32)
+    counts = np.bincount(u_rb, minlength=n_rb)
+    max_nb = max(int(counts.max()), 1)
+
+    vals = np.zeros((n_rb, max_nb, bs, bs), dtype=np.float32)
+    cols = np.zeros((n_rb, max_nb), dtype=np.int32)
+    slot = np.zeros(n_rb, dtype=np.int64)
+    block_slot = {}
+    for r, c in zip(u_rb, u_cb):
+        block_slot[(int(r), int(c))] = int(slot[r])
+        cols[r, slot[r]] = c
+        slot[r] += 1
+    for r, c, v in zip(coo.row, coo.col, coo.data):
+        s = block_slot[(int(r // bs), int(c // bs))]
+        vals[r // bs, s, r % bs, c % bs] += v
+    return vals, cols, n_pad
+
+
+def _spmm_kernel(cols_ref, a_ref, x_ref, o_ref):
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += jnp.dot(a_ref[0, 0], x_ref[:], preferred_element_type=o_ref.dtype)
+
+
+def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
+                 m_tile: int = 256, interpret: bool = False) -> jnp.ndarray:
+    """y = A @ x with A in padded BCSR; x: [n_pad, M] (M multiple of m_tile)."""
+    n_rb, max_nb, bs, _ = vals.shape
+    n_pad, M = x.shape
+    n_mt = M // m_tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_rb, max_nb, n_mt),
+        in_specs=[
+            # the (i, b) nonzero block of A
+            pl.BlockSpec((1, 1, bs, bs), lambda i, b, m, cols_ref: (i, b, 0, 0)),
+            # the x block steered by the scalar-prefetched block-column index
+            pl.BlockSpec((bs, m_tile),
+                         lambda i, b, m, cols_ref: (cols_ref[i, b], m)),
+        ],
+        out_specs=pl.BlockSpec((bs, m_tile), lambda i, b, m, cols_ref: (i, m)),
+    )
+    kernel = pl.pallas_call(
+        _spmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, M), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_rb * max_nb * n_mt * bs * bs * m_tile,
+            bytes_accessed=vals.size * 4 + x.size * 4 + n_pad * M * 4,
+            transcendentals=0,
+        ),
+    )
+    return kernel(cols, vals, x)
+
+
+class BlockSparseOperator:
+    """Symmetric-by-default block-sparse operator with custom VJP.
+
+    matvec(x): [V, M] -> [V, M]; pads V and M to tile multiples internally.
+    """
+
+    def __init__(self, vals, cols, n: int, n_pad: int, m_tile: int = 256,
+                 interpret: bool = False,
+                 vals_t=None, cols_t=None):
+        self.vals = jnp.asarray(vals)
+        self.cols = jnp.asarray(cols)
+        self.vals_t = jnp.asarray(vals_t) if vals_t is not None else None
+        self.cols_t = jnp.asarray(cols_t) if cols_t is not None else None
+        self.n = int(n)
+        self.n_pad = int(n_pad)
+        self.m_tile = int(m_tile)
+        self.interpret = bool(interpret)
+
+    @classmethod
+    def from_scipy(cls, mat, symmetric: bool = True, m_tile: int = 256,
+                   interpret: bool = False):
+        vals, cols, n_pad = bcsr_from_scipy(mat)
+        if symmetric:
+            vals_t = cols_t = None
+        else:
+            vals_t, cols_t, _ = bcsr_from_scipy(mat.T.tocsr())
+        return cls(vals, cols, mat.shape[0], n_pad, m_tile=m_tile,
+                   interpret=interpret, vals_t=vals_t, cols_t=cols_t)
+
+    def _matvec_padded(self, x_pad, transpose=False):
+        if transpose and self.vals_t is not None:
+            return _bcsr_matmul(self.vals_t, self.cols_t, x_pad,
+                                self.m_tile, self.interpret)
+        return _bcsr_matmul(self.vals, self.cols, x_pad,
+                            self.m_tile, self.interpret)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, m = x.shape
+        m_pad = ((m + self.m_tile - 1) // self.m_tile) * self.m_tile
+        x_pad = jnp.pad(x, ((0, self.n_pad - n), (0, m_pad - m)))
+        fwd = _make_matvec(self)
+        return fwd(x_pad)[: n, : m]
+
+    def tree_flatten(self):
+        return ((self.vals, self.cols, self.vals_t, self.cols_t),
+                (self.n, self.n_pad, self.m_tile, self.interpret))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.vals, obj.cols, obj.vals_t, obj.cols_t = children
+        obj.n, obj.n_pad, obj.m_tile, obj.interpret = aux
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    BlockSparseOperator, BlockSparseOperator.tree_flatten,
+    BlockSparseOperator.tree_unflatten,
+)
+
+
+def _make_matvec(op: BlockSparseOperator):
+    @jax.custom_vjp
+    def mv(x_pad):
+        return op._matvec_padded(x_pad)
+
+    def fwd(x_pad):
+        return op._matvec_padded(x_pad), None
+
+    def bwd(_, g):
+        return (op._matvec_padded(g, transpose=True),)
+
+    mv.defvjp(fwd, bwd)
+    return mv
+
+
+def ell_spmm(cols: jnp.ndarray, vals: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Compatibility wrapper used by ops.cheb when use_pallas=True on ELL data.
+
+    Currently routes through the XLA gather path; BlockSparseOperator is the
+    preferred Pallas entry point (BCSR beats row-gather ELL on the MXU).
+    """
+    gathered = jnp.take(x, cols, axis=0)
+    return jnp.einsum("vw,vwm->vm", vals, gathered)

@@ -1,0 +1,366 @@
+"""Pooling / unpooling ops between spherical samplings (TPU, static shapes).
+
+Covers the reference's full pooling matrix (reference: modules/layers.py):
+
+- hierarchical HEALPix max/avg pool on nested ordering  -> pure reshape +
+  reduce (layers.py:784-941); max returns one-hot indices for unpooling
+- hierarchical equiangular max/avg pool -> lax.reduce_window on the 2D grid
+  (layers.py:601-781)
+- general matrix pooling for ANY sampling pair from conservative remap
+  weights (layers.py:948-1103): 'interp' (weighted average), 'maxarea'
+  (one-hot of largest-overlap cell), 'maxval' (runtime argmax of weighted
+  values, with scatter-based unpooling — replaces the reference's Python
+  Counter loop at layers.py:1055-1070 with jit-compatible index ops)
+
+Sparse matrices are carried in fixed-width ELL form (cols/vals arrays) so
+every op has static shapes and lowers to gathers + VPU reductions.
+All ops take/return [batch, node, channel] arrays; pool ops return
+(pooled, idx) where idx is None unless the unpool needs it, mirroring the
+reference PoolUnpoolBlock contract (layers.py:1152-1191).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import sparse as _sparse
+
+__all__ = [
+    "sparse_to_ell",
+    "EllMatrix",
+    "GeneralAvgPool", "GeneralAvgUnpool",
+    "GeneralMaxAreaPool", "GeneralMaxAreaUnpool",
+    "GeneralMaxValPool", "GeneralMaxValUnpool",
+    "HealpixAvgPool", "HealpixAvgUnpool", "HealpixMaxPool", "HealpixMaxUnpool",
+    "EquiangularAvgPool", "EquiangularAvgUnpool",
+    "EquiangularMaxPool", "EquiangularMaxUnpool",
+    "build_pool_unpool",
+]
+
+
+def sparse_to_ell(mat: "_sparse.spmatrix", dtype=np.float32):
+    """Fixed-width ELL (cols, vals) from a scipy sparse matrix."""
+    csr = mat.tocsr()
+    n = csr.shape[0]
+    deg = np.diff(csr.indptr)
+    width = max(int(deg.max()), 1)
+    cols = np.zeros((n, width), dtype=np.int32)
+    vals = np.zeros((n, width), dtype=dtype)
+    for i in range(n):
+        s, e = csr.indptr[i], csr.indptr[i + 1]
+        cols[i, : e - s] = csr.indices[s:e]
+        vals[i, : e - s] = csr.data[s:e]
+    return cols, vals
+
+
+class EllMatrix:
+    """A [n_out, n_in] sparse matrix in ELL form; applies along the node axis."""
+
+    def __init__(self, cols, vals, n_in: int):
+        self.cols = jnp.asarray(cols)
+        self.vals = jnp.asarray(vals)
+        self.n_in = int(n_in)
+
+    @classmethod
+    def from_scipy(cls, mat):
+        cols, vals = sparse_to_ell(mat)
+        return cls(cols, vals, mat.shape[1])
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [B, n_in, C] -> [B, n_out, C]."""
+        gathered = jnp.take(x, self.cols, axis=1)           # [B, n_out, W, C]
+        return jnp.einsum("ow,bowc->boc", self.vals, gathered)
+
+    def tree_flatten(self):
+        return ((self.cols, self.vals), self.n_in)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.cols, obj.vals = children
+        obj.n_in = aux
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    EllMatrix, EllMatrix.tree_flatten, EllMatrix.tree_unflatten
+)
+
+
+# ---------------------------------------------------------------------------
+# General (matrix) pooling — works for any sampling pair
+# ---------------------------------------------------------------------------
+
+class GeneralAvgPool:
+    """Weighted-average pooling with a row-normalized remap matrix ('interp')."""
+
+    def __init__(self, pool_matrix):
+        self.mat = EllMatrix.from_scipy(pool_matrix)
+
+    def __call__(self, x) -> Tuple[jnp.ndarray, None]:
+        return self.mat.apply(x), None
+
+
+class GeneralAvgUnpool:
+    def __init__(self, unpool_matrix):
+        self.mat = EllMatrix.from_scipy(unpool_matrix)
+
+    def __call__(self, x, idx=None) -> jnp.ndarray:
+        return self.mat.apply(x)
+
+
+def _onehot_argmax_rows(mat: "_sparse.spmatrix") -> "_sparse.csr_matrix":
+    """One-hot matrix selecting each row's max-weight column (maxarea semantics,
+    reference layers.py:991-1036)."""
+    csr = mat.tocsr()
+    n_out, n_in = csr.shape
+    rows, cols = [], []
+    for i in range(n_out):
+        s, e = csr.indptr[i], csr.indptr[i + 1]
+        if e > s:
+            j = csr.indices[s + int(np.argmax(csr.data[s:e]))]
+            rows.append(i)
+            cols.append(j)
+    return _sparse.csr_matrix(
+        (np.ones(len(rows), dtype=np.float32), (rows, cols)), shape=(n_out, n_in)
+    )
+
+
+class GeneralMaxAreaPool:
+    def __init__(self, pool_matrix):
+        self.mat = EllMatrix.from_scipy(_onehot_argmax_rows(pool_matrix))
+
+    def __call__(self, x) -> Tuple[jnp.ndarray, None]:
+        return self.mat.apply(x), None
+
+
+class GeneralMaxAreaUnpool:
+    def __init__(self, unpool_matrix):
+        self.mat = EllMatrix.from_scipy(_onehot_argmax_rows(unpool_matrix))
+
+    def __call__(self, x, idx=None) -> jnp.ndarray:
+        return self.mat.apply(x)
+
+
+class GeneralMaxValPool:
+    """Runtime argmax of weighted values; returns source indices for unpooling."""
+
+    def __init__(self, pool_matrix):
+        cols, vals = sparse_to_ell(pool_matrix)
+        self.cols = jnp.asarray(cols)
+        self.vals = jnp.asarray(vals)
+        self.n_in = pool_matrix.shape[1]
+
+    def __call__(self, x):
+        gathered = jnp.take(x, self.cols, axis=1)                 # [B, D, W, C]
+        weighted = gathered * self.vals[None, :, :, None]
+        mask = (self.vals > 0)[None, :, :, None]
+        weighted = jnp.where(mask, weighted, -jnp.inf)
+        j = jnp.argmax(weighted, axis=2)                          # [B, D, C]
+        pooled = jnp.take_along_axis(weighted, j[:, :, None, :], axis=2)[:, :, 0, :]
+        src_idx = jnp.take_along_axis(
+            jnp.broadcast_to(self.cols[None, :, :, None],
+                             (x.shape[0],) + self.cols.shape + (x.shape[-1],)),
+            j[:, :, None, :], axis=2,
+        )[:, :, 0, :]                                             # [B, D, C]
+        return pooled, src_idx
+
+
+class GeneralMaxValUnpool:
+    """Scatter pooled values back to their argmax source nodes."""
+
+    def __init__(self, n_src: int):
+        self.n_src = int(n_src)
+
+    def __call__(self, x, idx) -> jnp.ndarray:
+        B, D, C = x.shape
+        out = jnp.zeros((B, self.n_src, C), dtype=x.dtype)
+        b = jnp.arange(B)[:, None, None]
+        c = jnp.arange(C)[None, None, :]
+        return out.at[b, idx, c].add(x)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical HEALPix pooling (nested ordering -> reshape)
+# ---------------------------------------------------------------------------
+
+class HealpixAvgPool:
+    def __init__(self, kernel_size: int = 4):
+        self.k = int(kernel_size)
+
+    def __call__(self, x):
+        B, V, C = x.shape
+        return x.reshape(B, V // self.k, self.k, C).mean(axis=2), None
+
+
+class HealpixAvgUnpool:
+    def __init__(self, kernel_size: int = 4):
+        self.k = int(kernel_size)
+
+    def __call__(self, x, idx=None):
+        B, V, C = x.shape
+        return jnp.repeat(x, self.k, axis=1)
+
+
+class HealpixMaxPool:
+    def __init__(self, kernel_size: int = 4):
+        self.k = int(kernel_size)
+
+    def __call__(self, x):
+        B, V, C = x.shape
+        g = x.reshape(B, V // self.k, self.k, C)
+        idx = jnp.argmax(g, axis=2)                 # [B, V/k, C]
+        pooled = jnp.take_along_axis(g, idx[:, :, None, :], axis=2)[:, :, 0, :]
+        return pooled, idx
+
+
+class HealpixMaxUnpool:
+    def __init__(self, kernel_size: int = 4):
+        self.k = int(kernel_size)
+
+    def __call__(self, x, idx):
+        B, D, C = x.shape
+        onehot = jax.nn.one_hot(idx, self.k, axis=2, dtype=x.dtype)  # [B, D, k, C]
+        return (onehot * x[:, :, None, :]).reshape(B, D * self.k, C)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical equiangular pooling (2D grid)
+# ---------------------------------------------------------------------------
+
+def _to_2d(x, nlat, nlon):
+    B, V, C = x.shape
+    return x.reshape(B, nlat, nlon, C)
+
+
+class EquiangularAvgPool:
+    def __init__(self, nlat: int, nlon: int, kernel_size: int = 4):
+        self.nlat, self.nlon = nlat, nlon
+        self.c = int(np.sqrt(kernel_size))
+
+    def __call__(self, x):
+        g = _to_2d(x, self.nlat, self.nlon)
+        B, H, W, C = g.shape
+        g = g.reshape(B, H // self.c, self.c, W // self.c, self.c, C)
+        pooled = g.mean(axis=(2, 4))
+        return pooled.reshape(B, -1, x.shape[-1]), None
+
+
+class EquiangularAvgUnpool:
+    def __init__(self, nlat: int, nlon: int, kernel_size: int = 4):
+        self.nlat, self.nlon = nlat, nlon  # coarse dims
+        self.c = int(np.sqrt(kernel_size))
+
+    def __call__(self, x, idx=None):
+        g = _to_2d(x, self.nlat, self.nlon)
+        g = jnp.repeat(jnp.repeat(g, self.c, axis=1), self.c, axis=2)
+        return g.reshape(x.shape[0], -1, x.shape[-1])
+
+
+class EquiangularMaxPool:
+    def __init__(self, nlat: int, nlon: int, kernel_size: int = 4):
+        self.nlat, self.nlon = nlat, nlon
+        self.c = int(np.sqrt(kernel_size))
+
+    def __call__(self, x):
+        g = _to_2d(x, self.nlat, self.nlon)
+        B, H, W, C = g.shape
+        g = g.reshape(B, H // self.c, self.c, W // self.c, self.c, C)
+        g = jnp.transpose(g, (0, 1, 3, 2, 4, 5)).reshape(
+            B, H // self.c, W // self.c, self.c * self.c, C)
+        idx = jnp.argmax(g, axis=3)
+        pooled = jnp.take_along_axis(g, idx[:, :, :, None, :], axis=3)[:, :, :, 0, :]
+        return pooled.reshape(B, -1, C), idx.reshape(B, -1, C)
+
+
+class EquiangularMaxUnpool:
+    def __init__(self, nlat: int, nlon: int, kernel_size: int = 4):
+        self.nlat, self.nlon = nlat, nlon  # coarse dims
+        self.c = int(np.sqrt(kernel_size))
+
+    def __call__(self, x, idx):
+        B, D, C = x.shape
+        k2 = self.c * self.c
+        onehot = jax.nn.one_hot(idx, k2, axis=2, dtype=x.dtype)     # [B, D, k2, C]
+        g = onehot * x[:, :, None, :]
+        g = g.reshape(B, self.nlat, self.nlon, self.c, self.c, C)
+        g = jnp.transpose(g, (0, 1, 3, 2, 4, 5)).reshape(
+            B, self.nlat * self.c, self.nlon * self.c, C)
+        return g.reshape(B, -1, C)
+
+
+# ---------------------------------------------------------------------------
+# Factory (reference: PoolUnpoolBlock, modules/layers.py:1152-1191)
+# ---------------------------------------------------------------------------
+
+def build_pool_unpool(pool_method: str, src_sampling, dst_sampling,
+                      kernel_size: int = 4, cache: bool = True):
+    """Build (pool, unpool) for a sampling pair.
+
+    'max'/'avg' use hierarchical pooling (healpix/equiangular only);
+    'interp'/'maxarea'/'maxval' use conservative remap matrices.
+    """
+    method = pool_method.lower()
+    name = src_sampling.name
+
+    if method in ("max", "avg"):
+        if name == "healpix":
+            ratio = src_sampling.n_nodes // dst_sampling.n_nodes
+            if method == "max":
+                return HealpixMaxPool(ratio), HealpixMaxUnpool(ratio)
+            return HealpixAvgPool(ratio), HealpixAvgUnpool(ratio)
+        if name == "equiangular":
+            kw_src = src_sampling.kwargs_dict
+            kw_dst = dst_sampling.kwargs_dict
+            if method == "max":
+                return (EquiangularMaxPool(kw_src["nlat"], kw_src["nlon"], kernel_size),
+                        EquiangularMaxUnpool(kw_dst["nlat"], kw_dst["nlon"], kernel_size))
+            return (EquiangularAvgPool(kw_src["nlat"], kw_src["nlon"], kernel_size),
+                    EquiangularAvgUnpool(kw_dst["nlat"], kw_dst["nlon"], kernel_size))
+        raise ValueError(
+            f"hierarchical pooling '{method}' requires healpix/equiangular, got {name}"
+        )
+
+    if method in ("interp", "maxarea", "maxval"):
+        from ..sphere.cache import cached_arrays
+        from ..sphere.remap import build_pooling_matrices
+
+        def _build():
+            pool_mat, unpool_mat = build_pooling_matrices(src_sampling, dst_sampling)
+            pc, pv = sparse_to_ell(pool_mat)
+            uc, uv = sparse_to_ell(unpool_mat)
+            return {"pool_cols": pc, "pool_vals": pv,
+                    "unpool_cols": uc, "unpool_vals": uv}
+
+        key = f"poolmat_{src_sampling.cache_key()}__{dst_sampling.cache_key()}"
+        arrs = cached_arrays(key, _build) if cache else _build()
+        pool_ell = _sparse.csr_matrix(_ell_to_csr(arrs["pool_cols"], arrs["pool_vals"],
+                                                  src_sampling.n_nodes))
+        unpool_ell = _sparse.csr_matrix(_ell_to_csr(arrs["unpool_cols"], arrs["unpool_vals"],
+                                                    dst_sampling.n_nodes))
+        if method == "interp":
+            return GeneralAvgPool(pool_ell), GeneralAvgUnpool(unpool_ell)
+        if method == "maxarea":
+            return GeneralMaxAreaPool(pool_ell), GeneralMaxAreaUnpool(unpool_ell)
+        return (GeneralMaxValPool(pool_ell),
+                GeneralMaxValUnpool(src_sampling.n_nodes))
+
+    if method == "learn":
+        raise NotImplementedError(
+            "pool_method='learn' is not implemented (matches reference, "
+            "modules/layers.py:1107-1133)"
+        )
+    raise ValueError(f"unknown pool_method {pool_method!r}")
+
+
+def _ell_to_csr(cols: np.ndarray, vals: np.ndarray, n_in: int):
+    n_out, w = cols.shape
+    rows = np.repeat(np.arange(n_out), w)
+    mat = _sparse.csr_matrix(
+        (vals.ravel(), (rows, cols.ravel())), shape=(n_out, n_in)
+    )
+    mat.eliminate_zeros()
+    return mat

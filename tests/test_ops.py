@@ -1,0 +1,220 @@
+"""Ops tests: Chebyshev conv vs scipy golden values, pooling semantics,
+block-sparse SpMM vs dense."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import sparse
+
+from deepsphere_weather_tpu.ops.cheb import ChebOperator, cheb_conv
+from deepsphere_weather_tpu.ops.conv2d import equiangular_conv2d
+from deepsphere_weather_tpu.ops import pool as pool_ops
+from deepsphere_weather_tpu.ops.pallas_spmm import BlockSparseOperator, bcsr_from_scipy
+from deepsphere_weather_tpu.sphere import build_graph, build_sampling
+
+
+def _numpy_cheb_conv(L, x, weight):
+    """Golden reference: dense numpy Chebyshev conv (same math as
+    reference modules/layers.py:113-180)."""
+    B, V, Fin = x.shape
+    _, K, Fout = weight.shape
+    xs = [x]
+    if K > 1:
+        xs.append(np.einsum("uv,bvf->buf", L, x))
+    for _ in range(2, K):
+        xs.append(2 * np.einsum("uv,bvf->buf", L, xs[-1]) - xs[-2])
+    basis = np.stack(xs, axis=-1)  # [B, V, Fin, K]
+    return np.einsum("bvfk,fko->bvo", basis, weight)
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return build_graph("healpix", {"subdivisions": 4, "nest": True}, k=8)
+
+
+class TestChebConv:
+    def test_dense_matches_numpy(self, graph):
+        rng = np.random.default_rng(0)
+        B, V, Fin, K, Fout = 3, graph.n_nodes, 5, 3, 7
+        x = rng.standard_normal((B, V, Fin)).astype(np.float32)
+        w = rng.standard_normal((Fin, K, Fout)).astype(np.float32) * 0.1
+        expected = _numpy_cheb_conv(graph.L.toarray(), x, w)
+        op = ChebOperator.from_graph(graph, mode="dense")
+        out = cheb_conv(op, jnp.asarray(x), jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(out), expected, atol=2e-4)
+
+    def test_ell_matches_dense(self, graph):
+        rng = np.random.default_rng(1)
+        B, V, Fin, K, Fout = 2, graph.n_nodes, 4, 3, 6
+        x = rng.standard_normal((B, V, Fin)).astype(np.float32)
+        w = rng.standard_normal((Fin, K, Fout)).astype(np.float32) * 0.1
+        dense_op = ChebOperator.from_graph(graph, mode="dense")
+        ell_op = ChebOperator.from_graph(graph, mode="ell")
+        out_d = cheb_conv(dense_op, jnp.asarray(x), jnp.asarray(w))
+        out_e = cheb_conv(ell_op, jnp.asarray(x), jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_e), atol=2e-4)
+
+    def test_bias_and_k1(self, graph):
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((2, graph.n_nodes, 3)).astype(np.float32)
+        w = rng.standard_normal((3, 1, 4)).astype(np.float32)
+        b = rng.standard_normal(4).astype(np.float32)
+        op = ChebOperator.from_graph(graph, mode="dense")
+        out = cheb_conv(op, jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+        expected = np.einsum("bvf,fo->bvo", x, w[:, 0]) + b
+        np.testing.assert_allclose(np.asarray(out), expected, atol=2e-4)
+
+    def test_grad_flows(self, graph):
+        op = ChebOperator.from_graph(graph, mode="dense")
+        w = jnp.ones((2, 3, 2)) * 0.1
+        x = jnp.ones((1, graph.n_nodes, 2))
+
+        def f(w):
+            return jnp.sum(cheb_conv(op, x, w) ** 2)
+
+        g = jax.grad(f)(w)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestBlockSparse:
+    def test_bcsr_roundtrip(self, graph):
+        vals, cols, n_pad = bcsr_from_scipy(graph.L)
+        # reconstruct dense and compare
+        n_rb, max_nb, bs, _ = vals.shape
+        dense = np.zeros((n_pad, n_pad), dtype=np.float32)
+        seen = set()
+        for i in range(n_rb):
+            for b in range(max_nb):
+                c = cols[i, b]
+                key = (i, int(c), b)
+                dense[i * bs:(i + 1) * bs, c * bs:(c + 1) * bs] += vals[i, b]
+        n = graph.n_nodes
+        np.testing.assert_allclose(dense[:n, :n], graph.L.toarray(), atol=1e-6)
+
+    def test_pallas_spmm_interpret(self, graph):
+        op = BlockSparseOperator.from_scipy(graph.L, symmetric=True,
+                                            m_tile=128, interpret=True)
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((graph.n_nodes, 96)).astype(np.float32)
+        out = op.matvec(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), graph.L @ x, atol=1e-4)
+
+    def test_pallas_spmm_grad(self, graph):
+        op = BlockSparseOperator.from_scipy(graph.L, symmetric=True,
+                                            m_tile=128, interpret=True)
+        x = jnp.ones((graph.n_nodes, 64))
+        g = jax.grad(lambda x: jnp.sum(op.matvec(x) ** 2))(x)
+        # d/dx sum((Lx)^2) = 2 L^T L x
+        expected = 2 * graph.L.T @ (graph.L @ np.ones((graph.n_nodes, 64),
+                                                      dtype=np.float32))
+        np.testing.assert_allclose(np.asarray(g), expected, atol=1e-3)
+
+
+class TestGeneralPooling:
+    @pytest.fixture(scope="class")
+    def samplings(self):
+        src = build_sampling("healpix", {"subdivisions": 8, "nest": True})
+        dst = build_sampling("healpix", {"subdivisions": 4, "nest": True})
+        return src, dst
+
+    def test_interp_pool_constant(self, samplings):
+        src, dst = samplings
+        pool, unpool = pool_ops.build_pool_unpool("interp", src, dst, cache=False)
+        x = jnp.ones((2, src.n_nodes, 3))
+        y, idx = pool(x)
+        assert y.shape == (2, dst.n_nodes, 3)
+        np.testing.assert_allclose(np.asarray(y), 1.0, rtol=1e-5)
+        z = unpool(y, idx)
+        assert z.shape == (2, src.n_nodes, 3)
+        np.testing.assert_allclose(np.asarray(z), 1.0, rtol=1e-5)
+
+    def test_maxarea_pool_selects_values(self, samplings):
+        src, dst = samplings
+        pool, unpool = pool_ops.build_pool_unpool("maxarea", src, dst, cache=False)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((1, src.n_nodes, 2)).astype(np.float32))
+        y, _ = pool(x)
+        # every pooled value must be one of the source values
+        assert np.all(np.isin(np.round(np.asarray(y), 5),
+                              np.round(np.asarray(x), 5)))
+
+    def test_maxval_pool_unpool(self, samplings):
+        src, dst = samplings
+        pool, unpool = pool_ops.build_pool_unpool("maxval", src, dst, cache=False)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, src.n_nodes, 3)).astype(np.float32))
+        y, idx = pool(x)
+        assert y.shape == (2, dst.n_nodes, 3)
+        z = unpool(y, idx)
+        assert z.shape == (2, src.n_nodes, 3)
+        # scattered-back values land at their argmax source positions
+        nz = np.asarray(z) != 0
+        assert nz.sum() > 0
+
+
+class TestHierarchicalPooling:
+    def test_healpix_avg_pool_unpool(self):
+        pool, unpool = pool_ops.HealpixAvgPool(4), pool_ops.HealpixAvgUnpool(4)
+        x = jnp.arange(2 * 48 * 3, dtype=jnp.float32).reshape(2, 48, 3)
+        y, _ = pool(x)
+        assert y.shape == (2, 12, 3)
+        np.testing.assert_allclose(
+            np.asarray(y[0, 0, 0]), np.asarray(x[0, :4, 0]).mean(), rtol=1e-6)
+        z = unpool(y, None)
+        assert z.shape == (2, 48, 3)
+
+    def test_healpix_max_pool_unpool_inverts_at_argmax(self):
+        pool, unpool = pool_ops.HealpixMaxPool(4), pool_ops.HealpixMaxUnpool(4)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((1, 48, 2)).astype(np.float32))
+        y, idx = pool(x)
+        z = unpool(y, idx)
+        # max positions hold the original values, others zero
+        xa, za = np.asarray(x), np.asarray(z)
+        g = xa.reshape(1, 12, 4, 2)
+        am = g.argmax(axis=2)
+        for d in range(12):
+            for c in range(2):
+                j = am[0, d, c]
+                assert za[0, d * 4 + j, c] == pytest.approx(g[0, d, j, c])
+        assert (za != 0).sum() == 12 * 2
+
+    def test_equiangular_pool_unpool(self):
+        pool = pool_ops.EquiangularAvgPool(8, 16, kernel_size=4)
+        unpool = pool_ops.EquiangularAvgUnpool(4, 8, kernel_size=4)
+        x = jnp.ones((2, 128, 3))
+        y, _ = pool(x)
+        assert y.shape == (2, 32, 3)
+        z = unpool(y, None)
+        assert z.shape == (2, 128, 3)
+
+        mpool = pool_ops.EquiangularMaxPool(8, 16, kernel_size=4)
+        munpool = pool_ops.EquiangularMaxUnpool(4, 8, kernel_size=4)
+        rng = np.random.default_rng(3)
+        # positive values so zeros introduced by max-unpool never win the re-pool
+        x = jnp.asarray(rng.random((1, 128, 2)).astype(np.float32) + 0.5)
+        y, idx = mpool(x)
+        z = munpool(y, idx)
+        assert z.shape == (1, 128, 2)
+        # pooling the unpooled max field recovers the pooled field
+        y2, _ = mpool(z)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=1e-6)
+
+
+class TestEquiangularConv:
+    def test_shapes_and_periodicity(self):
+        rng = np.random.default_rng(4)
+        nlat, nlon = 8, 16
+        x = jnp.asarray(rng.standard_normal((2, nlat * nlon, 3)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, 5)).astype(np.float32) * 0.1)
+        out = equiangular_conv2d(x, k, None, nlat, nlon, periodic_padding=True)
+        assert out.shape == (2, nlat * nlon, 5)
+        # longitude periodicity: rolling input by one lon column rolls output
+        g = np.asarray(x).reshape(2, nlat, nlon, 3)
+        g_rolled = np.roll(g, 1, axis=2).reshape(2, -1, 3)
+        out_rolled = equiangular_conv2d(jnp.asarray(g_rolled), k, None, nlat, nlon,
+                                        periodic_padding=True)
+        expected = np.roll(np.asarray(out).reshape(2, nlat, nlon, 5), 1, axis=2)
+        np.testing.assert_allclose(np.asarray(out_rolled).reshape(2, nlat, nlon, 5),
+                                   expected, atol=1e-5)
