@@ -1,0 +1,126 @@
+"""Model geometry: per-level graphs, Chebyshev operators, pool/unpool ops.
+
+Gathers the setup-time products the architectures consume: coarsened
+sampling pyramid (reference: modules/my_models_graph.py:374-386 +
+modules/utils_models.py:91-102), per-level Laplacian operators
+(reference: modules/models.py:62-99) and pooling layers
+(reference: modules/layers.py:1152-1191). All cached on disk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..ops.cheb import ChebOperator
+from ..ops.pool import build_pool_unpool
+from ..sphere import (
+    Sampling,
+    build_graph,
+    build_sampling,
+    coarsen_sampling_kwargs,
+    check_conv_type,
+    check_pool_method,
+    check_sampling,
+)
+from ..sphere.cache import cached_arrays
+
+__all__ = ["ModelGeometry", "build_model_geometry"]
+
+
+@dataclasses.dataclass
+class ModelGeometry:
+    """Static geometry consumed by an architecture (pytree constants)."""
+
+    samplings: List[Sampling]
+    cheb_ops: List[Optional[ChebOperator]]   # None per level for conv_type='image'
+    pools: List                               # len depth-1
+    unpools: List
+    conv_type: str
+    lonlat_ratio: Optional[float]
+
+    @property
+    def n_nodes(self) -> List[int]:
+        return [s.n_nodes for s in self.samplings]
+
+
+def _cached_graph_laplacian(name: str, kwargs: Dict, k: int, graph_type: str):
+    """Build (or load) the prepared Laplacian in both dense-ready CSR pieces."""
+    from scipy import sparse
+
+    samp = build_sampling(name, kwargs)
+    key = f"lap_{samp.cache_key()}_k{k}_{graph_type}"
+
+    def _build():
+        g = build_graph(name, kwargs, k=k, graph_type=graph_type, sampling=samp)
+        L = g.L.tocsr()
+        return {"data": L.data, "indices": L.indices, "indptr": L.indptr,
+                "shape": np.asarray(L.shape)}
+
+    arrs = cached_arrays(key, _build)
+    L = sparse.csr_matrix((arrs["data"], arrs["indices"], arrs["indptr"]),
+                          shape=tuple(arrs["shape"]))
+    return samp, L
+
+
+def build_model_geometry(
+    sampling: str,
+    sampling_kwargs: Dict,
+    depth: int = 3,
+    knn: int = 20,
+    graph_type: str = "knn",
+    conv_type: str = "graph",
+    pool_method: str = "max",
+    kernel_size_pooling: int = 4,
+    dense_threshold: int = 8192,
+    use_pallas: bool = False,
+) -> ModelGeometry:
+    sampling = check_sampling(sampling)
+    conv_type = check_conv_type(conv_type, sampling)
+    pool_method = check_pool_method(pool_method)
+
+    coarsening = int(np.sqrt(kernel_size_pooling))
+    kwargs_list = [dict(sampling_kwargs)]
+    for _ in range(1, depth):
+        kwargs_list.append(
+            coarsen_sampling_kwargs(sampling, kwargs_list[-1], coarsening))
+
+    samplings: List[Sampling] = []
+    cheb_ops: List[Optional[ChebOperator]] = []
+    for kw in kwargs_list:
+        if conv_type == "graph":
+            samp, L = _cached_graph_laplacian(sampling, kw, knn, graph_type)
+            samplings.append(samp)
+            mode = "dense" if samp.n_nodes <= dense_threshold else "ell"
+            if mode == "dense":
+                import jax.numpy as jnp
+                op = ChebOperator(dense=jnp.asarray(L.todense(),
+                                                    dtype=jnp.float32))
+            else:
+                from ..sphere.graph import laplacian_to_ell
+                import jax.numpy as jnp
+                cols, vals = laplacian_to_ell(L)
+                op = ChebOperator(ell_cols=jnp.asarray(cols),
+                                  ell_vals=jnp.asarray(vals),
+                                  use_pallas=use_pallas)
+            cheb_ops.append(op)
+        else:
+            samplings.append(build_sampling(sampling, kw))
+            cheb_ops.append(None)
+
+    pools, unpools = [], []
+    for lvl in range(depth - 1):
+        p, u = build_pool_unpool(pool_method, samplings[lvl], samplings[lvl + 1],
+                                 kernel_size=kernel_size_pooling)
+        pools.append(p)
+        unpools.append(u)
+
+    lonlat_ratio = None
+    if sampling == "equiangular":
+        lonlat_ratio = sampling_kwargs["nlon"] / sampling_kwargs["nlat"]
+
+    return ModelGeometry(samplings=samplings, cheb_ops=cheb_ops,
+                         pools=pools, unpools=unpools,
+                         conv_type=conv_type, lonlat_ratio=lonlat_ratio)

@@ -1,0 +1,236 @@
+"""Functional model building blocks: ConvBlock, ResBlock.
+
+Pure-functional re-design of the reference's torch blocks
+(reference: modules/my_models_graph.py:26-216): parameters live in nested
+dict pytrees, apply functions are pure, so the whole model composes with
+jit / grad / vmap (ensemble members) / lax.scan (AR rollout).
+
+Initialization reproduces the reference's activation-aware He/Glorot table
+(reference: modules/layers.py:253-343): scale 2 for ReLU-family
+activations, 1 for linear-family; fan='in' = in_channels * kernel_size;
+normal distribution; zero bias.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cheb import ChebOperator, cheb_conv
+from ..ops.conv2d import equiangular_conv2d
+
+__all__ = ["get_activation", "init_cheb_weight", "ConvBlock", "ResBlock"]
+
+_RELU_FAMILY = {
+    "relu", "celu", "selu", "prelu", "hardswish", "mish", "silu", "gelu",
+    "softplus", "softmax", "logsigmoid", "relu6", "rrlu", "leaky_relu", "elu",
+}
+_LINEAR_FAMILY = {
+    "linear", "identity", "hardshrink", "sigmoid", "hardsigmoid", "tanh",
+    "hardtanh", "softsign",
+}
+
+_ACT_MAP = {
+    "relu": jax.nn.relu,
+    "relu6": jax.nn.relu6,
+    "elu": jax.nn.elu,
+    "celu": jax.nn.celu,
+    "selu": jax.nn.selu,
+    "gelu": jax.nn.gelu,
+    "silu": jax.nn.silu,
+    "swish": jax.nn.silu,
+    "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+    "softplus": jax.nn.softplus,
+    "leaky_relu": jax.nn.leaky_relu,
+    "logsigmoid": jax.nn.log_sigmoid,
+    "sigmoid": jax.nn.sigmoid,
+    "hardsigmoid": jax.nn.hard_sigmoid,
+    "tanh": jnp.tanh,
+    "hardtanh": jax.nn.hard_tanh,
+    "softsign": jax.nn.soft_sign,
+    "hardswish": jax.nn.hard_swish,
+    "softmax": lambda x: jax.nn.softmax(x, axis=-1),
+    "hardshrink": lambda x: jnp.where(jnp.abs(x) > 0.5, x, 0.0),
+    "linear": lambda x: x,
+    "identity": lambda x: x,
+}
+
+
+def get_activation(name: str) -> Callable:
+    """Resolve an activation-function name (reference uses torch.nn.functional
+    names, modules/my_models_graph.py:103)."""
+    key = name.lower()
+    if key not in _ACT_MAP:
+        raise ValueError(f"unknown activation_fun {name!r}")
+    return _ACT_MAP[key]
+
+
+def _he_scale(activation: str) -> float:
+    key = activation.lower()
+    if key in _RELU_FAMILY:
+        return 2.0
+    if key in _LINEAR_FAMILY:
+        return 1.0
+    raise ValueError(f"Unknown activation {activation!r} for init scale")
+
+
+def init_cheb_weight(rng, in_channels: int, out_channels: int, kernel_size: int,
+                     activation: str = "relu", fan: str = "in",
+                     distribution: str = "normal") -> jnp.ndarray:
+    """He/Glorot init for a [Fin, K, Fout] Chebyshev weight
+    (reference: modules/layers.py:253-343)."""
+    if fan == "in":
+        fan_v = in_channels * kernel_size
+    elif fan == "out":
+        fan_v = out_channels * kernel_size
+    elif fan == "avg":
+        fan_v = (in_channels + out_channels) / 2 * kernel_size
+    else:
+        raise ValueError("unknown fan")
+    scale = _he_scale(activation)
+    shape = (in_channels, kernel_size, out_channels)
+    if distribution == "normal":
+        std = np.sqrt(scale / fan_v)
+        return std * jax.random.normal(rng, shape, dtype=jnp.float32)
+    if distribution == "uniform":
+        limit = np.sqrt(3 * scale / fan_v)
+        return jax.random.uniform(rng, shape, minval=-limit, maxval=limit,
+                                  dtype=jnp.float32)
+    raise ValueError("unknown distribution")
+
+
+class ConvBlock:
+    """conv -> [norm] -> activation -> [norm] (reference my_models_graph.py:26-118).
+
+    conv_type='graph' uses the Chebyshev conv over the level's Laplacian;
+    conv_type='image' uses the equiangular 2D conv. batch_norm=True uses a
+    vmap/scan-friendly LayerNorm over channels (the shipped reference configs
+    all run batch_norm=false; LayerNorm is the TPU-native stand-in that
+    avoids cross-batch state inside the AR scan — see SURVEY.md §7 hard
+    part 5).
+    """
+
+    def __init__(self, in_channels: int, out_channels: int,
+                 cheb_op: Optional[ChebOperator],
+                 kernel_size: int = 3, conv_type: str = "graph",
+                 bias: bool = True, batch_norm: bool = False,
+                 batch_norm_before_activation: bool = False,
+                 activation: bool = True, activation_fun: str = "relu",
+                 periodic_padding: bool = True,
+                 nlat: Optional[int] = None, nlon: Optional[int] = None):
+        if batch_norm:
+            bias = False
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.cheb_op = cheb_op
+        self.kernel_size = kernel_size
+        self.conv_type = conv_type
+        self.bias = bias
+        self.norm = batch_norm
+        self.norm_before_act = batch_norm_before_activation
+        self.act = activation
+        self.act_name = activation_fun
+        self.act_fun = get_activation(activation_fun)
+        self.periodic_padding = periodic_padding
+        self.nlat, self.nlon = nlat, nlon
+
+    def init(self, rng) -> Dict:
+        k_w, k_b = jax.random.split(rng)
+        act_for_init = self.act_name if self.act else "linear"
+        params: Dict = {}
+        if self.conv_type == "graph":
+            params["weight"] = init_cheb_weight(
+                k_w, self.in_channels, self.out_channels, self.kernel_size,
+                activation=act_for_init)
+        else:
+            # HWIO kernel for the equiangular image conv
+            fan_v = self.in_channels * self.kernel_size ** 2
+            std = np.sqrt(_he_scale(act_for_init) / fan_v)
+            params["weight"] = std * jax.random.normal(
+                k_w, (self.kernel_size, self.kernel_size,
+                      self.in_channels, self.out_channels), dtype=jnp.float32)
+        if self.bias:
+            params["bias"] = jnp.zeros((self.out_channels,), dtype=jnp.float32)
+        if self.norm:
+            params["norm_scale"] = jnp.ones((self.out_channels,), dtype=jnp.float32)
+            params["norm_bias"] = jnp.zeros((self.out_channels,), dtype=jnp.float32)
+        return params
+
+    def _apply_norm(self, params, x):
+        mean = x.mean(axis=-1, keepdims=True)
+        var = x.var(axis=-1, keepdims=True)
+        xn = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        return xn * params["norm_scale"] + params["norm_bias"]
+
+    def apply(self, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+        bias = params.get("bias")
+        if self.conv_type == "graph":
+            x = cheb_conv(self.cheb_op, x, params["weight"], bias)
+        else:
+            x = equiangular_conv2d(x, params["weight"], bias,
+                                   self.nlat, self.nlon, self.periodic_padding)
+        if self.norm and self.norm_before_act:
+            x = self._apply_norm(params, x)
+        if self.act:
+            x = self.act_fun(x)
+        if self.norm and not self.norm_before_act:
+            x = self._apply_norm(params, x)
+        return x
+
+
+class ResBlock:
+    """Stack of ConvBlocks + ReZero residual (reference my_models_graph.py:121-216).
+
+    The last ConvBlock has no activation; the residual connection is identity
+    when channels match, else a Linear projection; the branch is scaled by a
+    zero-initialized ReZero weight.
+    """
+
+    def __init__(self, in_channels: int, out_channels, cheb_op,
+                 convblock_kwargs: Dict):
+        if isinstance(out_channels, int):
+            out_channels = [out_channels]
+        self.in_channels = in_channels
+        self.out_channels = list(out_channels)
+        self.blocks = []
+        tmp_in = in_channels
+        n = len(self.out_channels)
+        for i, tmp_out in enumerate(self.out_channels):
+            kw = dict(convblock_kwargs)
+            if i == n - 1:
+                kw["activation"] = False
+            self.blocks.append(ConvBlock(tmp_in, tmp_out, cheb_op, **kw))
+            tmp_in = tmp_out
+        self.needs_projection = in_channels != self.out_channels[-1]
+
+    def init(self, rng) -> Dict:
+        keys = jax.random.split(rng, len(self.blocks) + 2)
+        params: Dict = {
+            f"convblock{i + 1}": blk.init(keys[i])
+            for i, blk in enumerate(self.blocks)
+        }
+        params["rezero_weight"] = jnp.zeros((1,), dtype=jnp.float32)
+        if self.needs_projection:
+            # torch.nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+            limit = 1.0 / np.sqrt(self.in_channels)
+            params["res_kernel"] = jax.random.uniform(
+                keys[-1], (self.in_channels, self.out_channels[-1]),
+                minval=-limit, maxval=limit, dtype=jnp.float32)
+            params["res_bias"] = jnp.zeros((self.out_channels[-1],),
+                                           dtype=jnp.float32)
+        return params
+
+    def apply(self, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+        out = x
+        for i, blk in enumerate(self.blocks):
+            out = blk.apply(params[f"convblock{i + 1}"], out)
+        out = out * params["rezero_weight"]
+        if self.needs_projection:
+            res = jnp.dot(x, params["res_kernel"],
+                          preferred_element_type=x.dtype) + params["res_bias"]
+        else:
+            res = x
+        return out + res

@@ -1,0 +1,177 @@
+"""UNetSpherical — the flagship architecture.
+
+Faithful re-design of the reference 3-level spherical UNet
+(reference: modules/my_models_graph.py:220-564) as a pure-functional JAX
+model:
+
+- channel plan: enc ResBlocks (64,128) -> (192,256) -> (512,256);
+  dec (256,128), (128,64); final ResBlock to output channels
+  (reference :438-485)
+- stack skip connections (concat on the channel axis, reference :528-542)
+- ReZero residual scaling per ResBlock (reference :192-213)
+- optional increment learning: predict the delta from the most recent
+  input timestep's dynamic features, scaled by a zero-initialized
+  res_increment parameter (reference :500, :558-562). The reference
+  hard-codes the dynamic-feature slice to the last 2 channels; here it is
+  the last `output_n_feature` channels (same thing for z500/t850).
+- input contract [sample, time, node, feature] -> internally
+  [sample, node, time*feature] (reference :504-511 named-dim reorder)
+
+The model is a plain object holding static geometry + an explicit params
+pytree, so it composes directly with jit / grad / vmap over ensemble
+members / lax.scan over AR iterations.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import ModelGeometry, build_model_geometry
+from .layers import ResBlock
+
+__all__ = ["UNetSpherical"]
+
+
+class UNetSpherical:
+    """3-level spherical UNet over any supported sampling."""
+
+    def __init__(
+        self,
+        tensor_info: Dict,
+        sampling: str,
+        sampling_kwargs: Dict,
+        # Convolution options
+        kernel_size_conv: int = 3,
+        conv_type: str = "graph",
+        graph_type: str = "knn",
+        knn: int = 20,
+        periodic_padding: bool = True,
+        # ConvBlock options
+        bias: bool = True,
+        batch_norm: bool = False,
+        batch_norm_before_activation: bool = False,
+        activation: bool = True,
+        activation_fun: str = "relu",
+        # Pooling options
+        pool_method: str = "max",
+        kernel_size_pooling: int = 4,
+        # Architecture options
+        skip_connection: str = "stack",
+        increment_learning: bool = False,
+        # TPU options
+        dense_threshold: int = 8192,
+        use_pallas: bool = False,
+        geometry: Optional[ModelGeometry] = None,
+    ):
+        self.input_n_feature = tensor_info["input_n_feature"]
+        self.output_n_feature = tensor_info["output_n_feature"]
+        self.input_n_time = tensor_info["input_n_time"]
+        self.output_n_time = tensor_info["output_n_time"]
+        self.input_n_node = tensor_info["input_shape_info"]["dynamic"]["node"]
+        self.output_n_node = tensor_info["output_shape_info"]["dynamic"]["node"]
+        self.input_channels = self.input_n_feature * self.input_n_time
+        self.output_channels = self.output_n_feature * self.output_n_time
+        self.increment_learning = increment_learning
+
+        if geometry is None:
+            geometry = build_model_geometry(
+                sampling=sampling,
+                sampling_kwargs={**sampling_kwargs},
+                depth=3,
+                knn=knn,
+                graph_type=graph_type,
+                conv_type=conv_type,
+                pool_method=pool_method,
+                kernel_size_pooling=kernel_size_pooling,
+                dense_threshold=dense_threshold,
+                use_pallas=use_pallas,
+            )
+        self.geometry = geometry
+        assert geometry.n_nodes[0] == self.input_n_node, (
+            f"sampling nodes {geometry.n_nodes[0]} != tensor_info node "
+            f"{self.input_n_node}")
+
+        convblock_kwargs = dict(
+            kernel_size=kernel_size_conv,
+            conv_type=geometry.conv_type,
+            bias=bias,
+            batch_norm=batch_norm,
+            batch_norm_before_activation=batch_norm_before_activation,
+            activation=activation,
+            activation_fun=activation_fun,
+            periodic_padding=periodic_padding,
+        )
+
+        def res(level, cin, couts):
+            kw = dict(convblock_kwargs)
+            if geometry.conv_type == "image":
+                samp_kw = geometry.samplings[level].kwargs_dict
+                kw["nlat"], kw["nlon"] = samp_kw["nlat"], samp_kw["nlon"]
+            return ResBlock(cin, couts, geometry.cheb_ops[level], kw)
+
+        # Channel plan (reference my_models_graph.py:438-485)
+        self.conv1 = res(0, self.input_channels, (32 * 2, 64 * 2))
+        self.conv2 = res(1, 64 * 2, (96 * 2, 128 * 2))
+        self.conv3 = res(2, 128 * 2, (256 * 2, 128 * 2))
+        self.uconv2 = res(1, 256 * 2, (128 * 2, 64 * 2))
+        self.uconv1 = res(0, 128 * 2, (64 * 2, 32 * 2))
+        self.uconv1_final = res(0, 32 * 2, self.output_channels)
+        self._blocks = {
+            "conv1": self.conv1, "conv2": self.conv2, "conv3": self.conv3,
+            "uconv2": self.uconv2, "uconv1": self.uconv1,
+            "uconv1_final": self.uconv1_final,
+        }
+
+    # ------------------------------------------------------------------
+    def init(self, rng) -> Dict:
+        keys = jax.random.split(rng, len(self._blocks) + 1)
+        params = {name: blk.init(k)
+                  for (name, blk), k in zip(self._blocks.items(), keys)}
+        if self.increment_learning:
+            params["res_increment"] = jnp.zeros((1,), dtype=jnp.float32)
+        return params
+
+    # ------------------------------------------------------------------
+    def encode(self, params: Dict, x: jnp.ndarray):
+        """x: [B, T_in, V, F_in] -> encoder states."""
+        B = x.shape[0]
+        # last timestep's dynamic features, for increment learning
+        x_last = x[:, -1:, :, -self.output_n_feature:]
+        # [B, T, V, F] -> [B, V, T*F]  (time-major flatten, reference :504-511)
+        h = jnp.transpose(x, (0, 2, 1, 3)).reshape(
+            B, self.input_n_node, self.input_channels)
+
+        x_enc1 = self.conv1.apply(params["conv1"], h)
+        x_enc2_ini, idx1 = self.geometry.pools[0](x_enc1)
+        x_enc2 = self.conv2.apply(params["conv2"], x_enc2_ini)
+        x_enc3_ini, idx2 = self.geometry.pools[1](x_enc2)
+        x_enc3 = self.conv3.apply(params["conv3"], x_enc3_ini)
+        return x_enc3, x_enc2, x_enc1, idx2, idx1, x_last
+
+    def decode(self, params: Dict, x_enc3, x_enc2, x_enc1, idx2, idx1, x_last):
+        h = self.geometry.unpools[1](x_enc3, idx2)
+        h = jnp.concatenate((h, x_enc2), axis=2)       # stack skip (reference :530)
+        h = self.uconv2.apply(params["uconv2"], h)
+
+        h = self.geometry.unpools[0](h, idx1)
+        h = jnp.concatenate((h, x_enc1), axis=2)
+        h = self.uconv1.apply(params["uconv1"], h)
+        h = self.uconv1_final.apply(params["uconv1_final"], h)
+
+        B = h.shape[0]
+        # [B, V, T*F] -> [B, T_out, V, F_out]
+        h = h.reshape(B, self.output_n_node, self.output_n_time,
+                      self.output_n_feature)
+        h = jnp.transpose(h, (0, 2, 1, 3))
+        if self.increment_learning:
+            h = h * params["res_increment"] + x_last
+        return h
+
+    def apply(self, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+        """Forward pass: [B, T_in, V, F_in] -> [B, T_out, V, F_out]."""
+        return self.decode(params, *self.encode(params, x))
+
+    __call__ = apply

@@ -1,0 +1,124 @@
+"""Model tests: UNetSpherical shapes, init distribution, jit/grad, variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsphere_weather_tpu.models import UNetSpherical, get_model
+
+
+def make_tensor_info(n_node, in_feat=4, out_feat=2, in_time=2, out_time=1):
+    return {
+        "input_n_feature": in_feat,
+        "output_n_feature": out_feat,
+        "input_n_time": in_time,
+        "output_n_time": out_time,
+        "input_shape_info": {"dynamic": {"node": n_node}},
+        "output_shape_info": {"dynamic": {"node": n_node}},
+        "dim_order": {"dynamic": ["sample", "time", "node", "feature"]},
+    }
+
+
+@pytest.fixture(scope="module")
+def model():
+    # HEALPix-8 keeps CPU tests fast; pooling pyramid 768 -> 192 -> 48
+    return UNetSpherical(
+        tensor_info=make_tensor_info(768),
+        sampling="healpix",
+        sampling_kwargs={"subdivisions": 8, "nest": True},
+        knn=8,
+        pool_method="max",
+        increment_learning=True,
+    )
+
+
+class TestUNetSpherical:
+    def test_forward_shape(self, model):
+        params = model.init(jax.random.key(0))
+        x = jnp.ones((2, 2, 768, 4))
+        y = model.apply(params, x)
+        assert y.shape == (2, 1, 768, 2)
+
+    def test_rezero_makes_initial_output_residual_only(self, model):
+        # With ReZero zero-init + increment learning, the initial model output
+        # equals the last input timestep's dynamic features up to the final
+        # residual projections (reference my_models_graph.py:192-213).
+        params = model.init(jax.random.key(1))
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((1, 2, 768, 4)).astype(np.float32))
+        y = model.apply(params, x)
+        # res_increment = 0 -> output == x_last exactly
+        np.testing.assert_allclose(
+            np.asarray(y[:, 0]), np.asarray(x[:, -1, :, -2:]), atol=1e-6)
+
+    def test_jit_and_grad(self, model):
+        params = model.init(jax.random.key(2))
+        x = jnp.ones((1, 2, 768, 4))
+        y_target = jnp.zeros((1, 1, 768, 2))
+
+        @jax.jit
+        def loss_fn(p):
+            return jnp.mean((model.apply(p, x) - y_target) ** 2)
+
+        g = jax.grad(loss_fn)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        # some gradient must be nonzero (rezero blocks grads through branches,
+        # but res projections and rezero weights themselves get gradient)
+        assert any(np.any(np.asarray(l) != 0) for l in leaves)
+
+    def test_init_statistics(self, model):
+        params = model.init(jax.random.key(3))
+        w = np.asarray(params["conv1"]["convblock1"]["weight"])
+        fin, K, fout = w.shape
+        expected_std = np.sqrt(2.0 / (fin * K))  # He normal, relu
+        assert abs(w.std() - expected_std) / expected_std < 0.1
+        assert np.allclose(np.asarray(params["conv1"]["rezero_weight"]), 0.0)
+
+    def test_vmap_over_members(self, model):
+        # ensemble members as a vmapped axis — the TPU ensemble-parallel path
+        keys = jax.random.split(jax.random.key(4), 3)
+        params = jax.vmap(model.init)(keys)
+        x = jnp.ones((1, 2, 768, 4))
+        y = jax.vmap(lambda p: model.apply(p, x))(params)
+        assert y.shape == (3, 1, 1, 768, 2)
+
+    def test_registry(self):
+        m = get_model(
+            "UNetSpherical",
+            make_tensor_info(192),
+            sampling="healpix",
+            sampling_kwargs={"subdivisions": 4, "nest": True},
+            knn=8,
+            pool_method="interp",
+            unknown_kwarg_is_filtered=True,
+        )
+        params = m.init(jax.random.key(0))
+        y = m.apply(params, jnp.ones((1, 2, 192, 4)))
+        assert y.shape == (1, 1, 192, 2)
+
+    def test_equiangular_image_conv_variant(self):
+        m = UNetSpherical(
+            tensor_info=make_tensor_info(32 * 64),
+            sampling="equiangular",
+            sampling_kwargs={"nlat": 32, "nlon": 64},
+            conv_type="image",
+            pool_method="avg",
+            knn=8,
+        )
+        params = m.init(jax.random.key(5))
+        y = m.apply(params, jnp.ones((1, 2, 2048, 4)))
+        assert y.shape == (1, 1, 2048, 2)
+
+    def test_maxval_pooling_variant(self):
+        m = UNetSpherical(
+            tensor_info=make_tensor_info(192),
+            sampling="healpix",
+            sampling_kwargs={"subdivisions": 4, "nest": True},
+            knn=8,
+            pool_method="maxval",
+        )
+        params = m.init(jax.random.key(6))
+        y = m.apply(params, jnp.ones((2, 2, 192, 4)))
+        assert y.shape == (2, 1, 192, 2)
