@@ -1,0 +1,190 @@
+"""Autoregressive dataset + prefetching loader (host side).
+
+Re-implements the external `xforecasting` AutoregressiveDataset /
+AutoregressiveDataLoader (SURVEY.md §2.9): maps the dataset time axis to
+AR training samples, assembles scaled window tensors, and keeps the TPU
+fed with a background prefetch thread + double buffering (the reference
+uses up to 15 torch DataLoader worker processes + pinned-memory CUDA
+streams, utils_config.py:91-103; on TPU a thread pool decompressing zarr
+chunks overlapped with device steps does the same job without process
+forks).
+
+Batch dict layout (consumed by engine/):
+- 'dynamic' : [B, W, V, F_dyn]  scaled truth window (W = indexer window)
+- 'bc'      : [B, W, V, F_bc]   scaled boundary conditions (or None)
+- 'static'  : [V, F_static]     static features (or None)
+- 'window_time' : [B, W] int64 ns timestamps
+- 'forecast_start_time' : [B] int64 ns (first output time of iteration 0)
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .ar import ARIndexer
+
+__all__ = ["AutoregressiveDataset", "AutoregressiveDataLoader"]
+
+
+class AutoregressiveDataset:
+    """AR samples over (dynamic, bc, static) datasets.
+
+    Mirrors xforecasting.AutoregressiveDataset: `update_AR_iterations`
+    mutates the usable sample set mid-training
+    (reference: dev/w_debug_dataloader.py:486-516), and
+    `subset_timesteps` restricts reference times for prediction mode.
+    """
+
+    def __init__(self, data_dynamic, indexer: ARIndexer,
+                 data_bc=None, data_static=None, scaler=None,
+                 training_mode: bool = True,
+                 subset_reference_positions: Optional[np.ndarray] = None):
+        self.data_dynamic = data_dynamic
+        self.data_bc = data_bc
+        self.data_static = data_static
+        self.scaler = scaler
+        self.indexer = indexer
+        self.training_mode = training_mode
+        self.current_ar_iterations = indexer.ar_iterations
+        self._subset = subset_reference_positions
+        self._static_cache = (data_static.read_stacked()
+                              if data_static is not None else None)
+        self._refresh_positions()
+
+    def _refresh_positions(self):
+        if self._subset is not None:
+            self.reference_positions = np.asarray(self._subset, dtype=np.int64)
+        else:
+            self.reference_positions = self.indexer.valid_reference_positions(
+                self.data_dynamic.n_time, self.current_ar_iterations)
+
+    def update_AR_iterations(self, n: int):
+        if n > self.indexer.ar_iterations:
+            raise ValueError(
+                f"cannot grow beyond indexer max {self.indexer.ar_iterations}")
+        self.current_ar_iterations = int(n)
+        self._refresh_positions()
+
+    def __len__(self) -> int:
+        return len(self.reference_positions)
+
+    # ------------------------------------------------------------------
+    def get_sample(self, i: int) -> Dict[str, np.ndarray]:
+        t0 = int(self.reference_positions[i])
+        t_idx = self.indexer.window_time_indices(t0)
+        times = self.data_dynamic.time[t_idx]
+        dyn = self.data_dynamic.read_stacked(t_idx)          # [W, V, Fd]
+        if self.scaler is not None:
+            dyn = self.scaler.transform(dyn, time=times).astype(np.float32)
+        out = {"dynamic": dyn,
+               "window_time": np.asarray(times, dtype="datetime64[ns]")
+               .view(np.int64)}
+        if self.data_bc is not None:
+            bc = self.data_bc.read_stacked(t_idx).astype(np.float32)
+            out["bc"] = bc
+        return out
+
+    @property
+    def static(self) -> Optional[np.ndarray]:
+        return self._static_cache
+
+
+class AutoregressiveDataLoader:
+    """Batched iterator with shuffling and background prefetch.
+
+    Mirrors the xforecasting loader options that matter on TPU:
+    batch_size, drop_last_batch, shuffle(+seed), num_workers (thread pool
+    size), prefetch_factor (queue depth).
+    """
+
+    def __init__(self, dataset: AutoregressiveDataset, batch_size: int = 16,
+                 shuffle: bool = True, shuffle_seed: int = 69,
+                 drop_last_batch: bool = True, num_workers: int = 4,
+                 prefetch_factor: int = 2):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.shuffle_seed = shuffle_seed
+        self.drop_last_batch = drop_last_batch
+        self.num_workers = max(int(num_workers), 1)
+        self.prefetch_factor = max(int(prefetch_factor), 1)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last_batch:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.shuffle_seed + self._epoch)
+            rng.shuffle(order)
+        batches = []
+        for lo in range(0, n, self.batch_size):
+            idx = order[lo: lo + self.batch_size]
+            if len(idx) < self.batch_size and self.drop_last_batch:
+                continue
+            batches.append(idx)
+        return batches
+
+    def _assemble(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        samples = [self.dataset.get_sample(int(i)) for i in idx]
+        batch = {
+            "dynamic": np.stack([s["dynamic"] for s in samples]),
+            "window_time": np.stack([s["window_time"] for s in samples]),
+        }
+        if "bc" in samples[0]:
+            batch["bc"] = np.stack([s["bc"] for s in samples])
+        st = self.dataset.static
+        if st is not None:
+            batch["static"] = st
+        # first output time of AR iteration 0
+        pos0 = self.dataset.indexer.output_pos[0, 0]
+        batch["forecast_start_time"] = batch["window_time"][:, pos0]
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batch_indices()
+        self._epoch += 1
+        if self.num_workers <= 1:
+            for idx in batches:
+                yield self._assemble(idx)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_factor)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                futures = [pool.submit(self._assemble, idx) for idx in batches]
+                for fut in futures:
+                    if stop.is_set():
+                        fut.cancel()
+                        continue
+                    try:
+                        q.put(fut.result())
+                    except Exception as e:  # surface worker errors
+                        q.put(e)
+                        return
+            q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,308 @@
+"""Scalers and climatology — the xscaler layer (SURVEY.md §2.10).
+
+Reimplements the external `xscaler` API surface the reference trains with
+(reference call sites: scripts/04a_compute_scalers.py:42-384,
+scripts_training/train_predict_state.py:205-212):
+
+- GlobalStandardScaler / GlobalMinMaxScaler (per-feature global stats)
+- AnomalyScaler (per time-group x node x feature mean, optionally
+  standardized) for month / weekofyear / dayofyear / hour groupings
+- Climatology with mean + variability and `.forecast(times)`
+- SequentialScaler composition
+- load_scaler() for any saved scaler
+
+Scalers operate on stacked [time, node, feature] float arrays + their
+datetime64 time coordinate and the feature-name list; fitting streams over
+a SphericalDataset. Persistence is .npz + JSON header (netCDF is not
+available in this environment; format documented in the file header).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+__all__ = [
+    "GlobalStandardScaler", "GlobalMinMaxScaler", "AnomalyScaler",
+    "Climatology", "SequentialScaler", "load_scaler",
+    "time_group_indices",
+]
+
+_NS = "datetime64[ns]"
+
+
+def _group_sizes(time_groups) -> int:
+    return {"month": 12, "weekofyear": 53, "dayofyear": 366, "hour": 24}[time_groups]
+
+
+def time_group_indices(time: np.ndarray, time_groups: str) -> np.ndarray:
+    """0-based group index per timestamp for a grouping rule."""
+    idx = pd.DatetimeIndex(np.asarray(time, dtype=_NS))
+    if time_groups == "month":
+        return idx.month.to_numpy() - 1
+    if time_groups == "weekofyear":
+        return idx.isocalendar().week.to_numpy().astype(np.int64) - 1
+    if time_groups == "dayofyear":
+        return idx.dayofyear.to_numpy() - 1
+    if time_groups == "hour":
+        return idx.hour.to_numpy()
+    raise ValueError(f"unknown time_groups {time_groups!r}")
+
+
+class _BaseScaler:
+    kind = "base"
+
+    def transform(self, x: np.ndarray, time=None) -> np.ndarray:
+        raise NotImplementedError
+
+    def inverse_transform(self, x: np.ndarray, time=None) -> np.ndarray:
+        raise NotImplementedError
+
+    # -- persistence -----------------------------------------------------
+    def _state(self) -> Tuple[Dict, Dict]:
+        raise NotImplementedError
+
+    def save(self, path):
+        header, arrays = self._state()
+        header["kind"] = self.kind
+        np.savez_compressed(Path(path), __header__=json.dumps(header), **arrays)
+
+    @staticmethod
+    def _load_state(path):
+        with np.load(Path(path), allow_pickle=False) as z:
+            header = json.loads(str(z["__header__"]))
+            arrays = {k: z[k] for k in z.files if k != "__header__"}
+        return header, arrays
+
+
+class GlobalStandardScaler(_BaseScaler):
+    """Per-feature global standardization (xscaler.GlobalStandardScaler)."""
+
+    kind = "global_standard"
+
+    def __init__(self, mean=None, std=None, feature_order: Optional[List[str]] = None):
+        self.mean = mean
+        self.std = std
+        self.feature_order = feature_order
+
+    def fit(self, data: np.ndarray, feature_order=None) -> "GlobalStandardScaler":
+        """data: [T, V, F] (fits over time and node)."""
+        self.mean = data.mean(axis=(0, 1)).astype(np.float64)
+        self.std = data.std(axis=(0, 1)).astype(np.float64)
+        self.feature_order = feature_order
+        return self
+
+    def fit_dataset(self, ds, chunk: int = 1024) -> "GlobalStandardScaler":
+        """Streaming fit over a SphericalDataset (constant memory)."""
+        n, s1, s2 = 0, 0.0, 0.0
+        for lo in range(0, ds.n_time, chunk):
+            block = ds.read_stacked(np.arange(lo, min(lo + chunk, ds.n_time)))
+            x = block.reshape(-1, block.shape[-1]).astype(np.float64)
+            n += x.shape[0]
+            s1 = s1 + x.sum(axis=0)
+            s2 = s2 + (x ** 2).sum(axis=0)
+        self.mean = s1 / n
+        self.std = np.sqrt(np.maximum(s2 / n - self.mean ** 2, 0))
+        self.feature_order = list(ds.feature_order)
+        return self
+
+    def transform(self, x, time=None):
+        return (x - self.mean) / self.std
+
+    def inverse_transform(self, x, time=None):
+        return x * self.std + self.mean
+
+    def _state(self):
+        return ({"feature_order": self.feature_order},
+                {"mean": self.mean, "std": self.std})
+
+    @classmethod
+    def _from_state(cls, header, arrays):
+        return cls(mean=arrays["mean"], std=arrays["std"],
+                   feature_order=header.get("feature_order"))
+
+
+class GlobalMinMaxScaler(_BaseScaler):
+    """Per-feature min-max scaling to [0, 1] (xscaler.GlobalMinMaxScaler)."""
+
+    kind = "global_minmax"
+
+    def __init__(self, vmin=None, vmax=None, feature_order=None):
+        self.vmin, self.vmax = vmin, vmax
+        self.feature_order = feature_order
+
+    def fit(self, data: np.ndarray, feature_order=None):
+        self.vmin = data.min(axis=(0, 1)).astype(np.float64)
+        self.vmax = data.max(axis=(0, 1)).astype(np.float64)
+        self.feature_order = feature_order
+        return self
+
+    def fit_dataset(self, ds, chunk: int = 1024):
+        vmin = np.full(ds.n_feature, np.inf)
+        vmax = np.full(ds.n_feature, -np.inf)
+        for lo in range(0, ds.n_time, chunk):
+            block = ds.read_stacked(np.arange(lo, min(lo + chunk, ds.n_time)))
+            vmin = np.minimum(vmin, block.min(axis=(0, 1)))
+            vmax = np.maximum(vmax, block.max(axis=(0, 1)))
+        self.vmin, self.vmax = vmin, vmax
+        self.feature_order = list(ds.feature_order)
+        return self
+
+    def transform(self, x, time=None):
+        return (x - self.vmin) / (self.vmax - self.vmin)
+
+    def inverse_transform(self, x, time=None):
+        return x * (self.vmax - self.vmin) + self.vmin
+
+    def _state(self):
+        return ({"feature_order": self.feature_order},
+                {"vmin": self.vmin, "vmax": self.vmax})
+
+    @classmethod
+    def _from_state(cls, header, arrays):
+        return cls(vmin=arrays["vmin"], vmax=arrays["vmax"],
+                   feature_order=header.get("feature_order"))
+
+
+class AnomalyScaler(_BaseScaler):
+    """Per time-group, per-node anomaly scaler (xscaler.AnomalyScaler).
+
+    transform subtracts the group/node/feature climatological mean; if
+    standardized=True also divides by the group std (reference scalers:
+    MonthlyStdAnomalyScaler etc., scripts/04a:…).
+    """
+
+    kind = "anomaly"
+
+    def __init__(self, time_groups: str = "month", standardized: bool = True,
+                 mean=None, std=None, feature_order=None,
+                 reference_period: Optional[Tuple[str, str]] = None):
+        self.time_groups = time_groups
+        self.standardized = standardized
+        self.mean = mean          # [G, V, F]
+        self.std = std
+        self.feature_order = feature_order
+        self.reference_period = reference_period
+
+    def fit(self, data: np.ndarray, time: np.ndarray, feature_order=None):
+        time = np.asarray(time, dtype=_NS)
+        if self.reference_period is not None:
+            lo = np.datetime64(self.reference_period[0])
+            hi = np.datetime64(self.reference_period[1])
+            sel = (time >= lo) & (time < hi)
+            data, time = data[sel], time[sel]
+        G = _group_sizes(self.time_groups)
+        gidx = time_group_indices(time, self.time_groups)
+        T, V, F = data.shape
+        mean = np.zeros((G, V, F))
+        std = np.ones((G, V, F))
+        for g in range(G):
+            sel = gidx == g
+            if sel.any():
+                mean[g] = data[sel].mean(axis=0)
+                s = data[sel].std(axis=0)
+                std[g] = np.where(s > 0, s, 1.0)
+        self.mean, self.std = mean, std
+        self.feature_order = feature_order
+        return self
+
+    def _groups(self, time):
+        return time_group_indices(np.asarray(time, dtype=_NS), self.time_groups)
+
+    def transform(self, x, time=None):
+        g = self._groups(time)
+        out = x - self.mean[g]
+        if self.standardized:
+            out = out / self.std[g]
+        return out
+
+    def inverse_transform(self, x, time=None):
+        g = self._groups(time)
+        out = x * self.std[g] if self.standardized else x
+        return out + self.mean[g]
+
+    def _state(self):
+        return ({"time_groups": self.time_groups,
+                 "standardized": self.standardized,
+                 "feature_order": self.feature_order,
+                 "reference_period": list(self.reference_period)
+                 if self.reference_period else None},
+                {"mean": self.mean, "std": self.std})
+
+    @classmethod
+    def _from_state(cls, header, arrays):
+        return cls(time_groups=header["time_groups"],
+                   standardized=header["standardized"],
+                   mean=arrays["mean"], std=arrays["std"],
+                   feature_order=header.get("feature_order"),
+                   reference_period=tuple(header["reference_period"])
+                   if header.get("reference_period") else None)
+
+
+class Climatology(AnomalyScaler):
+    """Climatology = group mean (+ variability); adds `.forecast(times)`
+    (xscaler.Climatology, used by scripts/05_compute_verif_benchmarks.py:54)."""
+
+    kind = "climatology"
+
+    def forecast(self, times: np.ndarray) -> np.ndarray:
+        """Climatological forecast fields at the given times -> [T, V, F]."""
+        g = self._groups(times)
+        return self.mean[g].astype(np.float32)
+
+
+class SequentialScaler(_BaseScaler):
+    """Composition of scalers applied in order (xscaler.SequentialScaler,
+    reference train_predict_state.py:205-212)."""
+
+    kind = "sequential"
+
+    def __init__(self, *scalers):
+        self.scalers = list(scalers)
+
+    def transform(self, x, time=None):
+        for s in self.scalers:
+            x = s.transform(x, time=time)
+        return x
+
+    def inverse_transform(self, x, time=None):
+        for s in reversed(self.scalers):
+            x = s.inverse_transform(x, time=time)
+        return x
+
+    def save(self, path):
+        path = Path(path)
+        header = {"kind": self.kind, "n": len(self.scalers)}
+        path.mkdir(parents=True, exist_ok=True)
+        (path / "header.json").write_text(json.dumps(header))
+        for i, s in enumerate(self.scalers):
+            s.save(path / f"scaler_{i}.npz")
+
+    @classmethod
+    def load(cls, path):
+        path = Path(path)
+        header = json.loads((path / "header.json").read_text())
+        return cls(*[load_scaler(path / f"scaler_{i}.npz")
+                     for i in range(header["n"])])
+
+
+_KINDS = {
+    "global_standard": GlobalStandardScaler,
+    "global_minmax": GlobalMinMaxScaler,
+    "anomaly": AnomalyScaler,
+    "climatology": Climatology,
+}
+
+
+def load_scaler(path):
+    """Load any saved scaler (xscaler.LoadScaler/LoadAnomaly/LoadClimatology)."""
+    path = Path(path)
+    if path.is_dir() and (path / "header.json").exists():
+        return SequentialScaler.load(path)
+    header, arrays = _BaseScaler._load_state(path)
+    cls = _KINDS[header["kind"]]
+    return cls._from_state(header, arrays)

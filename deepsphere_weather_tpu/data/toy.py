@@ -1,0 +1,145 @@
+"""Synthetic ERA5-like toy data generator.
+
+The reference's test fixture is a 1-year HEALPix-400km subset of real ERA5
+(reference: scripts/06_prepare_toy_data.py:26-73). Real ERA5 is not
+shippable with the framework, so the toy generator synthesizes physically
+plausible fields with the same layout and statistics class:
+
+- dynamic: z500 (geopotential at 500 hPa, ~49000-58000 m^2/s^2) and t850
+  (temperature at 850 hPa, ~250-300 K) with zonal structure, an annual
+  cycle, westward/eastward propagating waves and AR(1) weather noise
+- boundary conditions: TOA incident solar radiation from the actual
+  declination/hour-angle geometry (reference bc variable 'tisr')
+- static: scaled orography, land-sea mask, soil type, sin(latitude)
+  (reference static feature engineering, scripts/03c:166-205 and
+  train_predict_state.py:186-200)
+
+Used by the test-suite and the end-to-end smoke experiment.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..sphere import build_sampling
+from .dataset import SphericalDataset, StaticDataset, save_dynamic, save_static
+
+__all__ = ["generate_toy_data", "toa_solar_radiation"]
+
+
+def toa_solar_radiation(time: np.ndarray, lat: np.ndarray,
+                        lon: np.ndarray) -> np.ndarray:
+    """Top-of-atmosphere incident solar radiation [W/m^2], shape [T, V]."""
+    t = np.asarray(time, dtype="datetime64[ns]")
+    day_of_year = ((t - t.astype("datetime64[Y]")) /
+                   np.timedelta64(1, "D")).astype(np.float64)
+    hour = ((t - t.astype("datetime64[D]")) /
+            np.timedelta64(1, "h")).astype(np.float64)
+    decl = np.deg2rad(-23.44) * np.cos(2 * np.pi * (day_of_year + 10) / 365.25)
+    lat_r = np.deg2rad(lat)[None, :]
+    lon_r = np.deg2rad(lon)[None, :]
+    hour_angle = (2 * np.pi * (hour[:, None] / 24.0) + lon_r) - np.pi
+    cos_zenith = (np.sin(lat_r) * np.sin(decl[:, None])
+                  + np.cos(lat_r) * np.cos(decl[:, None]) * np.cos(hour_angle))
+    return (1361.0 * np.maximum(cos_zenith, 0.0)).astype(np.float32)
+
+
+def _smooth_modes(rng, coords: np.ndarray, n_modes: int, length: float) -> np.ndarray:
+    """Random smooth fields on the sphere: gaussians at random centers."""
+    centers = rng.standard_normal((n_modes, 3))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    d2 = 2.0 - 2.0 * coords @ centers.T          # squared chordal distance
+    return np.exp(-d2 / (2 * length ** 2))        # [V, n_modes]
+
+
+def generate_toy_data(
+    out_dir,
+    sampling: str = "healpix",
+    sampling_kwargs: Optional[Dict] = None,
+    start: str = "2010-01-01",
+    n_timesteps: int = 1460,          # 1 year at 6 h
+    dt_hours: int = 6,
+    seed: int = 0,
+) -> Tuple[SphericalDataset, SphericalDataset, StaticDataset]:
+    """Generate and save toy dynamic/bc/static stores; returns open datasets."""
+    if sampling_kwargs is None:
+        sampling_kwargs = {"subdivisions": 16, "nest": True}
+    out_dir = Path(out_dir)
+    samp = build_sampling(sampling, sampling_kwargs)
+    V = samp.n_nodes
+    lat, lon = samp.lat, samp.lon
+    coords = samp.coords_3d
+    rng = np.random.default_rng(seed)
+
+    time = (np.datetime64(start) +
+            np.arange(n_timesteps) * np.timedelta64(dt_hours, "h"))
+    t_frac = np.arange(n_timesteps) * dt_hours / (24 * 365.25)  # years
+    lat_r = np.deg2rad(lat)
+    lon_r = np.deg2rad(lon)
+
+    # --- base climate structure -----------------------------------------
+    annual = np.cos(2 * np.pi * (t_frac - 0.5))[:, None]          # +1 in July
+    zonal_t = 288.0 - 30.0 * np.sin(lat_r) ** 2                   # [V]
+    seasonal_t = 15.0 * np.sin(lat_r)[None, :] * annual
+    zonal_z = 5650.0 - 350.0 * np.sin(lat_r) ** 2
+    seasonal_z = 80.0 * np.sin(lat_r)[None, :] * annual
+
+    # --- propagating planetary waves -------------------------------------
+    def waves(amp, wavenumbers, period_days):
+        f = np.zeros((n_timesteps, V), dtype=np.float64)
+        for m, p in zip(wavenumbers, period_days):
+            phase = 2 * np.pi * (t_frac * 365.25 / p)
+            f += (amp * np.cos(lat_r)[None, :]
+                  * np.cos(m * lon_r[None, :] - phase[:, None]
+                           + rng.uniform(0, 2 * np.pi)))
+        return f
+
+    wave_z = waves(60.0, (4, 6), (8.0, 5.0))
+    wave_t = waves(3.0, (5, 7), (7.0, 4.0))
+
+    # --- AR(1) weather noise on smooth spatial modes ----------------------
+    def ar1_noise(n_modes, length, sigma, rho=0.95):
+        modes = _smooth_modes(rng, coords, n_modes, length)       # [V, M]
+        a = np.zeros((n_timesteps, n_modes))
+        eps = rng.standard_normal((n_timesteps, n_modes))
+        for i in range(1, n_timesteps):
+            a[i] = rho * a[i - 1] + np.sqrt(1 - rho ** 2) * eps[i]
+        return sigma * a @ modes.T                                 # [T, V]
+
+    noise_z = ar1_noise(24, 0.45, 45.0)
+    noise_t = ar1_noise(24, 0.40, 2.5)
+
+    # geopotential stored as z [m^2/s^2] (g * height), like ERA5
+    g0 = 9.80665
+    z500 = (zonal_z[None, :] + seasonal_z + wave_z + noise_z) * g0
+    t850 = zonal_t[None, :] + seasonal_t + wave_t + noise_t
+
+    ds_dynamic = save_dynamic(
+        out_dir / "Data" / "dynamic" / "time_chunked" / "dynamic.zarr",
+        {"z500": z500.astype(np.float32), "t850": t850.astype(np.float32)},
+        time=time, lat=lat, lon=lon)
+
+    # --- boundary conditions ---------------------------------------------
+    tisr = toa_solar_radiation(time, lat, lon)
+    ds_bc = save_dynamic(
+        out_dir / "Data" / "bc" / "time_chunked" / "bc.zarr",
+        {"tisr": tisr}, time=time, lat=lat, lon=lon)
+
+    # --- static fields -----------------------------------------------------
+    orog = 800.0 * np.maximum(_smooth_modes(rng, coords, 12, 0.3).sum(axis=1)
+                              - 0.8, 0.0)
+    lsm = (_smooth_modes(rng, coords, 10, 0.5).sum(axis=1) > 0.9).astype(np.float32)
+    slt = (lsm * rng.integers(1, 7, V)).astype(np.float32)
+    ds_static = save_static(
+        out_dir / "Data" / "static.zarr",
+        {
+            "orog": (orog / orog.max() if orog.max() > 0 else orog).astype(np.float32),
+            "lsm": lsm,
+            "slt": slt / 7.0,
+            "sin_latitude": np.sin(lat_r).astype(np.float32),
+        },
+        lat=lat, lon=lon)
+    return ds_dynamic, ds_bc, ds_static

@@ -1,0 +1,267 @@
+"""Minimal self-contained zarr-v2-compatible chunked array store.
+
+The reference keeps all datasets in zarr stores read/written through
+xarray/dask (reference: scripts/03c_prepare_zarr_ERA5_HRES.py:307-331,
+SURVEY.md §2 L5). Neither zarr nor numcodecs is available in this
+environment, so the framework carries its own implementation of the zarr
+v2 directory format:
+
+- `.zarray` / `.zattrs` / `.zgroup` JSON metadata, C-order chunks in
+  `<i>.<j>` files
+- compressors: None (raw) or zlib (stdlib) — stores written by real zarr
+  with `compressor: {"id": "zlib"}` or uncompressed are interoperable
+- chunked reads/writes with region selection and append along axis 0
+  (the time axis), which is what the AR data pipeline and the streaming
+  prediction writer need (reference ar_blocks flushing,
+  scripts_training/predict_state.py:202-224)
+
+This is a host-side I/O layer: nothing here touches JAX.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import shutil
+import zlib
+from pathlib import Path
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["ZarrArray", "ZarrGroup", "open_group", "create_group"]
+
+
+def _dtype_to_str(dt: np.dtype) -> str:
+    dt = np.dtype(dt)
+    if dt.byteorder == "=":
+        return ("<" if np.little_endian else ">") + dt.kind + str(dt.itemsize)
+    return dt.str
+
+
+class ZarrArray:
+    """A chunked n-D array in zarr v2 directory layout."""
+
+    def __init__(self, path: Path):
+        self.path = Path(path)
+        meta = json.loads((self.path / ".zarray").read_text())
+        self.shape = tuple(meta["shape"])
+        self.chunks = tuple(meta["chunks"])
+        self.dtype = np.dtype(meta["dtype"])
+        self.fill_value = meta.get("fill_value", 0)
+        comp = meta.get("compressor")
+        self.compressor = comp["id"] if comp else None
+        if self.compressor not in (None, "zlib"):
+            raise ValueError(f"unsupported compressor {self.compressor!r}")
+        if meta.get("order", "C") != "C":
+            raise ValueError("only C order supported")
+        self.attrs = {}
+        attrs_path = self.path / ".zattrs"
+        if attrs_path.exists():
+            self.attrs = json.loads(attrs_path.read_text())
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(cls, path, shape: Sequence[int], chunks: Sequence[int],
+               dtype, compressor: Optional[str] = "zlib",
+               fill_value=0, attrs: Optional[Dict] = None,
+               overwrite: bool = False) -> "ZarrArray":
+        path = Path(path)
+        if path.exists():
+            if not overwrite:
+                raise FileExistsError(path)
+            shutil.rmtree(path)
+        path.mkdir(parents=True)
+        dt = np.dtype(dtype)
+        meta = {
+            "zarr_format": 2,
+            "shape": list(int(s) for s in shape),
+            "chunks": list(int(c) for c in chunks),
+            "dtype": _dtype_to_str(dt),
+            "compressor": {"id": "zlib", "level": 1} if compressor == "zlib" else None,
+            "fill_value": fill_value,
+            "order": "C",
+            "filters": None,
+        }
+        (path / ".zarray").write_text(json.dumps(meta, indent=1))
+        if attrs:
+            (path / ".zattrs").write_text(json.dumps(attrs, indent=1))
+        return cls(path)
+
+    # ------------------------------------------------------------------
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def n_chunks(self) -> Tuple[int, ...]:
+        return tuple(math.ceil(s / c) for s, c in zip(self.shape, self.chunks))
+
+    def _chunk_path(self, idx: Tuple[int, ...]) -> Path:
+        return self.path / ".".join(str(i) for i in idx)
+
+    def _read_chunk(self, idx: Tuple[int, ...]) -> np.ndarray:
+        p = self._chunk_path(idx)
+        cshape = self.chunks
+        if not p.exists():
+            return np.full(cshape, self.fill_value, dtype=self.dtype)
+        raw = p.read_bytes()
+        if self.compressor == "zlib":
+            raw = zlib.decompress(raw)
+        return np.frombuffer(raw, dtype=self.dtype).reshape(cshape).copy()
+
+    def _write_chunk(self, idx: Tuple[int, ...], data: np.ndarray):
+        raw = np.ascontiguousarray(data, dtype=self.dtype).tobytes()
+        if self.compressor == "zlib":
+            raw = zlib.compress(raw, 1)
+        self._chunk_path(idx).write_bytes(raw)
+
+    # ------------------------------------------------------------------
+    def _norm_key(self, key) -> Tuple[slice, ...]:
+        if not isinstance(key, tuple):
+            key = (key,)
+        if Ellipsis in key:
+            i = key.index(Ellipsis)
+            fill = (slice(None),) * (self.ndim - (len(key) - 1))
+            key = key[:i] + fill + key[i + 1:]
+        key = key + (slice(None),) * (self.ndim - len(key))
+        out = []
+        for k, s in zip(key, self.shape):
+            if isinstance(k, int):
+                k = slice(k, k + 1)
+            start, stop, step = k.indices(s)
+            if step != 1:
+                raise ValueError("only contiguous slices supported")
+            out.append(slice(start, stop))
+        return tuple(out)
+
+    def __getitem__(self, key) -> np.ndarray:
+        sel = self._norm_key(key)
+        out_shape = tuple(s.stop - s.start for s in sel)
+        out = np.empty(out_shape, dtype=self.dtype)
+        for idx in self._chunks_overlapping(sel):
+            chunk = self._read_chunk(idx)
+            self._copy(chunk, idx, sel, out, to_out=True)
+        return out
+
+    def __setitem__(self, key, value):
+        sel = self._norm_key(key)
+        value = np.asarray(value, dtype=self.dtype)
+        value = np.broadcast_to(value, tuple(s.stop - s.start for s in sel))
+        for idx in self._chunks_overlapping(sel):
+            full = all(
+                idx[d] * self.chunks[d] >= sel[d].start
+                and min((idx[d] + 1) * self.chunks[d], self.shape[d]) <= sel[d].stop
+                and self.chunks[d] * (idx[d] + 1) <= self.shape[d]
+                for d in range(self.ndim)
+            )
+            chunk = (np.full(self.chunks, self.fill_value, dtype=self.dtype)
+                     if full else self._read_chunk(idx))
+            self._copy(chunk, idx, sel, value, to_out=False)
+            self._write_chunk(idx, chunk)
+
+    def _chunks_overlapping(self, sel):
+        ranges = []
+        for d in range(self.ndim):
+            c = self.chunks[d]
+            first = sel[d].start // c
+            last = max((sel[d].stop - 1) // c, first) if sel[d].stop > sel[d].start else first - 1
+            ranges.append(range(first, last + 1))
+        idxs = [()]
+        for r in ranges:
+            idxs = [i + (j,) for i in idxs for j in r]
+        return idxs
+
+    def _copy(self, chunk, idx, sel, buf, to_out: bool):
+        chunk_sl, buf_sl = [], []
+        for d in range(self.ndim):
+            c0 = idx[d] * self.chunks[d]
+            lo = max(sel[d].start, c0)
+            hi = min(sel[d].stop, c0 + self.chunks[d], self.shape[d])
+            if hi <= lo:
+                return
+            chunk_sl.append(slice(lo - c0, hi - c0))
+            buf_sl.append(slice(lo - sel[d].start, hi - sel[d].start))
+        if to_out:
+            buf[tuple(buf_sl)] = chunk[tuple(chunk_sl)]
+        else:
+            chunk[tuple(chunk_sl)] = buf[tuple(buf_sl)]
+
+    # ------------------------------------------------------------------
+    def append(self, value: np.ndarray, axis: int = 0):
+        """Append along an axis (zarr append semantics; used for time-chunked
+        ingest, reference scripts/03c:109-120)."""
+        value = np.asarray(value, dtype=self.dtype)
+        old = self.shape[axis]
+        new_shape = list(self.shape)
+        new_shape[axis] = old + value.shape[axis]
+        self.resize(new_shape)
+        sel = [slice(None)] * self.ndim
+        sel[axis] = slice(old, new_shape[axis])
+        self[tuple(sel)] = value
+
+    def resize(self, new_shape: Sequence[int]):
+        meta = json.loads((self.path / ".zarray").read_text())
+        meta["shape"] = [int(s) for s in new_shape]
+        (self.path / ".zarray").write_text(json.dumps(meta, indent=1))
+        self.shape = tuple(int(s) for s in new_shape)
+
+    def set_attrs(self, attrs: Dict):
+        self.attrs.update(attrs)
+        (self.path / ".zattrs").write_text(json.dumps(self.attrs, indent=1))
+
+    def __array__(self, dtype=None):
+        arr = self[...]
+        return arr.astype(dtype) if dtype is not None else arr
+
+
+class ZarrGroup:
+    """A zarr v2 group: a directory of named arrays + attributes."""
+
+    def __init__(self, path):
+        self.path = Path(path)
+        if not (self.path / ".zgroup").exists():
+            raise FileNotFoundError(f"not a zarr group: {path}")
+        self.attrs = {}
+        ap = self.path / ".zattrs"
+        if ap.exists():
+            self.attrs = json.loads(ap.read_text())
+
+    @classmethod
+    def create(cls, path, attrs: Optional[Dict] = None,
+               overwrite: bool = False) -> "ZarrGroup":
+        path = Path(path)
+        if path.exists() and overwrite:
+            shutil.rmtree(path)
+        path.mkdir(parents=True, exist_ok=True)
+        (path / ".zgroup").write_text(json.dumps({"zarr_format": 2}, indent=1))
+        if attrs:
+            (path / ".zattrs").write_text(json.dumps(attrs, indent=1))
+        return cls(path)
+
+    def array_names(self):
+        return sorted(
+            p.name for p in self.path.iterdir()
+            if p.is_dir() and (p / ".zarray").exists()
+        )
+
+    def __contains__(self, name: str) -> bool:
+        return (self.path / name / ".zarray").exists()
+
+    def __getitem__(self, name: str) -> ZarrArray:
+        return ZarrArray(self.path / name)
+
+    def create_array(self, name: str, **kwargs) -> ZarrArray:
+        return ZarrArray.create(self.path / name, **kwargs)
+
+    def set_attrs(self, attrs: Dict):
+        self.attrs.update(attrs)
+        (self.path / ".zattrs").write_text(json.dumps(self.attrs, indent=1))
+
+
+def open_group(path) -> ZarrGroup:
+    return ZarrGroup(path)
+
+
+def create_group(path, attrs=None, overwrite=False) -> ZarrGroup:
+    return ZarrGroup.create(path, attrs=attrs, overwrite=overwrite)

@@ -1,0 +1,224 @@
+"""Data layer tests: zarr store, datasets, scalers, AR indexing, loader.
+
+The loader-alignment test mirrors the reference's dataloader debug oracle
+(reference: dev/w_debug_dataloader.py:543-559 — loader tensors must match
+a direct dataset computation).
+"""
+
+import numpy as np
+import pytest
+
+from deepsphere_weather_tpu.data import (
+    ARIndexer,
+    AutoregressiveDataLoader,
+    AutoregressiveDataset,
+    GlobalMinMaxScaler,
+    GlobalStandardScaler,
+    AnomalyScaler,
+    Climatology,
+    SequentialScaler,
+    ZarrArray,
+    generate_toy_data,
+    get_ar_model_tensor_info,
+    load_scaler,
+    open_group,
+)
+
+
+class TestZarrStore:
+    def test_roundtrip_and_chunking(self, tmp_path):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((50, 33)).astype(np.float32)
+        arr = ZarrArray.create(tmp_path / "a", shape=(50, 33), chunks=(7, 33),
+                               dtype=np.float32, compressor="zlib")
+        arr[...] = x
+        np.testing.assert_array_equal(ZarrArray(tmp_path / "a")[...], x)
+        np.testing.assert_array_equal(arr[10:23, 5:20], x[10:23, 5:20])
+
+    def test_partial_write_and_append(self, tmp_path):
+        arr = ZarrArray.create(tmp_path / "a", shape=(10, 4), chunks=(4, 4),
+                               dtype=np.float32, compressor=None, fill_value=-1)
+        arr[2:5, :] = 7.0
+        out = arr[...]
+        assert (out[2:5] == 7).all() and (out[0] == -1).all()
+        arr.append(np.zeros((3, 4), dtype=np.float32))
+        assert arr.shape == (13, 4)
+        assert (arr[10:13] == 0).all()
+
+    def test_zarr_v2_metadata_format(self, tmp_path):
+        import json
+        arr = ZarrArray.create(tmp_path / "a", shape=(8,), chunks=(4,),
+                               dtype=np.float64, compressor="zlib")
+        meta = json.loads((tmp_path / "a" / ".zarray").read_text())
+        assert meta["zarr_format"] == 2
+        assert meta["compressor"] == {"id": "zlib", "level": 1}
+
+
+@pytest.fixture(scope="module")
+def toy(tmp_path_factory):
+    d = tmp_path_factory.mktemp("toy")
+    dyn, bc, static = generate_toy_data(
+        d, sampling_kwargs={"subdivisions": 4, "nest": True},
+        n_timesteps=200, seed=1)
+    return dyn, bc, static
+
+
+class TestToyData:
+    def test_shapes_and_ranges(self, toy):
+        dyn, bc, static = toy
+        assert dyn.n_node == 192 and dyn.n_time == 200
+        assert dyn.feature_order == ["t850", "z500"]
+        x = dyn.read_all()
+        t850 = x[:, :, 0]
+        z500 = x[:, :, 1]
+        assert 200 < t850.mean() < 320
+        assert 45000 < z500.mean() < 60000
+        tisr = bc.read_stacked(np.arange(10))[:, :, 0]
+        assert tisr.min() >= 0 and tisr.max() < 1500
+        assert static.read_stacked().shape == (192, 4)
+
+
+class TestScalers:
+    def test_standard_roundtrip(self, toy, tmp_path):
+        dyn, _, _ = toy
+        x = dyn.read_all()
+        s = GlobalStandardScaler().fit_dataset(dyn, chunk=64)
+        y = s.transform(x)
+        assert abs(y.mean()) < 1e-3 and abs(y.std() - 1) < 1e-2
+        np.testing.assert_allclose(s.inverse_transform(y), x, rtol=1e-4)
+        s.save(tmp_path / "s.npz")
+        s2 = load_scaler(tmp_path / "s.npz")
+        np.testing.assert_allclose(s2.transform(x), y, rtol=1e-6)
+
+    def test_minmax(self, toy):
+        dyn, _, _ = toy
+        x = dyn.read_all()
+        s = GlobalMinMaxScaler().fit_dataset(dyn)
+        y = s.transform(x)
+        assert y.min() >= -1e-6 and y.max() <= 1 + 1e-6
+
+    def test_anomaly_and_climatology(self, toy, tmp_path):
+        dyn, _, _ = toy
+        x = dyn.read_all()
+        s = AnomalyScaler(time_groups="month", standardized=True).fit(
+            x, dyn.time, feature_order=dyn.feature_order)
+        y = s.transform(x, time=dyn.time)
+        assert abs(y.mean()) < 0.05
+        np.testing.assert_allclose(s.inverse_transform(y, time=dyn.time), x,
+                                   rtol=1e-3, atol=1e-2)
+        clim = Climatology(time_groups="month").fit(x, dyn.time)
+        f = clim.forecast(dyn.time[:5])
+        assert f.shape == (5, dyn.n_node, 2)
+        clim.save(tmp_path / "clim.npz")
+        clim2 = load_scaler(tmp_path / "clim.npz")
+        np.testing.assert_allclose(clim2.forecast(dyn.time[:5]), f)
+
+    def test_sequential(self, toy, tmp_path):
+        dyn, _, _ = toy
+        x = dyn.read_all()
+        s = SequentialScaler(
+            AnomalyScaler(time_groups="month").fit(x, dyn.time),
+            GlobalMinMaxScaler().fit(x),
+        )
+        y = s.transform(x, time=dyn.time)
+        np.testing.assert_allclose(s.inverse_transform(y, time=dyn.time), x,
+                                   rtol=1e-2, atol=1e-1)
+        s.save(tmp_path / "seq")
+        s2 = load_scaler(tmp_path / "seq")
+        np.testing.assert_allclose(s2.transform(x, time=dyn.time), y, rtol=1e-6)
+
+
+class TestARIndexer:
+    def test_reference_config_offsets(self):
+        # the 6h config: input_k=[-18,-12,-6]/6h steps = [-3,-2,-1]
+        ix = ARIndexer.build([-3, -2, -1], [0], 1, 2)
+        assert list(ix.rel_offsets) == [-3, -2, -1, 0, 1, 2]
+        # iteration 1 inputs: offsets [-2, -1, 0] -> positions [1, 2, 3]
+        np.testing.assert_array_equal(ix.input_pos[1], [1, 2, 3])
+        np.testing.assert_array_equal(ix.output_pos[2], [5])
+
+    def test_valid_positions(self):
+        ix = ARIndexer.build([-3, -2, -1], [0], 1, 2)
+        pos = ix.valid_reference_positions(10)
+        assert pos[0] == 3 and pos[-1] == 7  # t0+2 <= 9
+
+    def test_invalid_settings_raise(self):
+        with pytest.raises(ValueError):
+            ARIndexer.build([0], [0], 1, 1)       # input must precede output
+        with pytest.raises(ValueError):
+            ARIndexer.build([-1], [0], 0, 1)      # bad cycle
+
+    def test_reference_times_validation(self, toy):
+        dyn, _, _ = toy
+        ix = ARIndexer.build([-3, -2, -1], [0], 1, 2)
+        t0 = ix.reference_positions_for_times(dyn.time, dyn.time[[10, 20]])
+        np.testing.assert_array_equal(t0, [10, 20])
+        with pytest.raises(ValueError):
+            ix.reference_positions_for_times(dyn.time, dyn.time[[10, 10]])
+        with pytest.raises(ValueError):
+            ix.reference_positions_for_times(
+                dyn.time, np.array(["2050-01-01"], dtype="datetime64[ns]"))
+        with pytest.raises(ValueError):
+            ix.reference_positions_for_times(dyn.time, dyn.time[[1]])  # no history
+
+
+class TestTensorInfo:
+    def test_contract(self, toy):
+        dyn, bc, static = toy
+        info = get_ar_model_tensor_info(
+            {"input_k": [-3, -2, -1], "output_k": [0], "forecast_cycle": 1,
+             "ar_iterations": 2},
+            dyn, data_static=static, data_bc=bc)
+        assert info["input_n_feature"] == 4 + 1 + 2
+        assert info["output_n_feature"] == 2
+        assert info["input_n_time"] == 3
+        assert info["input_shape_info"]["dynamic"]["node"] == 192
+        assert info["feature_order"]["dynamic"] == ["t850", "z500"]
+
+
+class TestLoader:
+    def test_alignment_with_direct_read(self, toy):
+        # loader tensors must equal a direct scaled dataset read
+        # (reference oracle: dev/w_debug_dataloader.py:543-559)
+        dyn, bc, static = toy
+        scaler = GlobalStandardScaler().fit_dataset(dyn)
+        ix = ARIndexer.build([-3, -2, -1], [0], 1, 2)
+        ds = AutoregressiveDataset(dyn, ix, data_bc=bc, data_static=static,
+                                   scaler=scaler)
+        loader = AutoregressiveDataLoader(ds, batch_size=4, shuffle=False,
+                                          num_workers=1)
+        batch = next(iter(loader))
+        assert batch["dynamic"].shape == (4, 6, 192, 2)
+        assert batch["bc"].shape == (4, 6, 192, 1)
+        assert batch["static"].shape == (192, 4)
+        t0 = ds.reference_positions[0]
+        expected = scaler.transform(
+            dyn.read_stacked(t0 + ix.rel_offsets),
+            time=dyn.time[t0 + ix.rel_offsets]).astype(np.float32)
+        np.testing.assert_allclose(batch["dynamic"][0], expected, rtol=1e-6)
+        assert batch["forecast_start_time"][0] == dyn.time[t0].astype(
+            "datetime64[ns]").view(np.int64)
+
+    def test_shuffle_determinism_and_prefetch(self, toy):
+        dyn, bc, static = toy
+        ix = ARIndexer.build([-3, -2, -1], [0], 1, 1)
+        ds = AutoregressiveDataset(dyn, ix)
+        l1 = AutoregressiveDataLoader(ds, batch_size=8, shuffle=True,
+                                      shuffle_seed=42, num_workers=4)
+        l2 = AutoregressiveDataLoader(ds, batch_size=8, shuffle=True,
+                                      shuffle_seed=42, num_workers=1)
+        b1 = [b["dynamic"] for b in l1]
+        b2 = [b["dynamic"] for b in l2]
+        assert len(b1) == len(l1)
+        for a, b in zip(b1, b2):
+            np.testing.assert_array_equal(a, b)
+
+    def test_update_ar_iterations(self, toy):
+        dyn, _, _ = toy
+        ix = ARIndexer.build([-1], [0], 1, 5)
+        ds = AutoregressiveDataset(dyn, ix)
+        n5 = len(ds)
+        ds.update_AR_iterations(2)
+        assert len(ds) == n5 + 3
+        with pytest.raises(ValueError):
+            ds.update_AR_iterations(6)
