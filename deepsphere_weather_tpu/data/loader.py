@@ -76,7 +76,11 @@ class AutoregressiveDataset:
     # ------------------------------------------------------------------
     def get_sample(self, i: int) -> Dict[str, np.ndarray]:
         t0 = int(self.reference_positions[i])
-        t_idx = self.indexer.window_time_indices(t0)
+        # The window is sized for the indexer's MAX AR iterations; positions
+        # beyond current_ar_iterations are never read by the scan (its length
+        # is current+1), so clamping keeps reduced-AR samples in-bounds.
+        t_idx = np.clip(self.indexer.window_time_indices(t0), 0,
+                        self.data_dynamic.n_time - 1)
         times = self.data_dynamic.time[t_idx]
         dyn = self.data_dynamic.read_stacked(t_idx)          # [W, V, Fd]
         if self.scaler is not None:

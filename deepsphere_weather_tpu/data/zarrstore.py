@@ -126,26 +126,31 @@ class ZarrArray:
             key = key[:i] + fill + key[i + 1:]
         key = key + (slice(None),) * (self.ndim - len(key))
         out = []
-        for k, s in zip(key, self.shape):
-            if isinstance(k, int):
-                k = slice(k, k + 1)
+        squeeze = []
+        for d, (k, s) in enumerate(zip(key, self.shape)):
+            if isinstance(k, (int, np.integer)):
+                k = slice(int(k), int(k) + 1)
+                squeeze.append(d)
             start, stop, step = k.indices(s)
             if step != 1:
                 raise ValueError("only contiguous slices supported")
             out.append(slice(start, stop))
-        return tuple(out)
+        return tuple(out), tuple(squeeze)
 
     def __getitem__(self, key) -> np.ndarray:
-        sel = self._norm_key(key)
+        sel, squeeze = self._norm_key(key)
         out_shape = tuple(s.stop - s.start for s in sel)
         out = np.empty(out_shape, dtype=self.dtype)
         for idx in self._chunks_overlapping(sel):
             chunk = self._read_chunk(idx)
             self._copy(chunk, idx, sel, out, to_out=True)
+        if squeeze:
+            out = out.reshape(tuple(
+                n for d, n in enumerate(out_shape) if d not in squeeze))
         return out
 
     def __setitem__(self, key, value):
-        sel = self._norm_key(key)
+        sel, _ = self._norm_key(key)
         value = np.asarray(value, dtype=self.dtype)
         value = np.broadcast_to(value, tuple(s.stop - s.start for s in sel))
         for idx in self._chunks_overlapping(sel):

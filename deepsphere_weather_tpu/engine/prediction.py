@@ -1,0 +1,246 @@
+"""Autoregressive prediction engine (xforecasting.AutoregressivePredictions
+parity, SURVEY.md §2.9).
+
+Runs jitted block rollouts (engine/step.py make_rollout_block) from
+explicit `forecast_reference_times`, inverse-scales, rounds, and streams
+results to a forecast zarr store with dims
+(forecast_reference_time, leadtime, node) per variable and default chunks
+{frt: 1, leadtime: 1, node: -1} — matching the reference's output layout
+(dev/w_debug_predictions.py:318-348). `ar_blocks` bounds device/host
+memory for multi-year rollouts (reference defaults ar_iterations=500,
+ar_blocks=1000 — predict_state.py:223-224).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.ar import ARIndexer
+from ..data.dataset import SphericalDataset
+from ..data.zarrstore import ZarrGroup, create_group
+from .step import make_rollout_block
+
+__all__ = ["AutoregressivePredictions", "ForecastDataset",
+           "rechunk_forecasts_for_verification"]
+
+
+class ForecastDataset:
+    """Forecast store: per-variable [frt, leadtime, node] + coords."""
+
+    def __init__(self, group: ZarrGroup):
+        self.group = group
+        self.feature_order = group.attrs["feature_order"]
+        self.variables = {n: group[n] for n in self.feature_order}
+        self.forecast_reference_time = np.asarray(
+            group["forecast_reference_time"][...]).view("datetime64[ns]")
+        self.leadtime_hours = np.asarray(group["leadtime"][...])
+        self.lat = np.asarray(group["lat"][...])
+        self.lon = np.asarray(group["lon"][...])
+
+    @classmethod
+    def open(cls, path) -> "ForecastDataset":
+        return cls(ZarrGroup(path))
+
+    @property
+    def n_frt(self):
+        return len(self.forecast_reference_time)
+
+    @property
+    def n_leadtime(self):
+        return len(self.leadtime_hours)
+
+    def read_leadtime(self, lt_index: int) -> np.ndarray:
+        """-> [n_frt, node, feature] for one leadtime."""
+        out = np.stack([self.variables[n][:, lt_index, :]
+                        for n in self.feature_order], axis=-1)
+        return out
+
+    def valid_time(self, lt_index: int) -> np.ndarray:
+        return (self.forecast_reference_time
+                + self.leadtime_hours[lt_index].astype("timedelta64[h]"))
+
+
+def AutoregressivePredictions(
+    model,
+    params,
+    *,
+    data_dynamic: SphericalDataset,
+    data_bc: Optional[SphericalDataset] = None,
+    data_static=None,
+    scaler=None,
+    # AR settings
+    input_k,
+    output_k,
+    forecast_cycle,
+    ar_iterations: int,
+    stack_most_recent_prediction: bool = True,
+    forecast_reference_times=None,
+    batch_size: int = 16,
+    ar_blocks: Optional[int] = None,
+    keep_first_prediction: bool = True,
+    rounding: Optional[int] = None,
+    zarr_fpath=None,
+    chunks: Optional[Dict] = None,
+    verbose: bool = False,
+) -> ForecastDataset:
+    """Roll out forecasts; returns the (streamed) ForecastDataset."""
+    # Note: ar_iterations here = number of AR steps to roll (prediction
+    # horizon), independent of the training value (reference: AR=6 train /
+    # AR=20 predict, train_predict_state.py:484).
+    indexer = ARIndexer.build(input_k, output_k, forecast_cycle, ar_iterations,
+                              stack_most_recent_prediction)
+    n_steps = ar_iterations + 1
+    if ar_blocks is None or ar_blocks > n_steps:
+        ar_blocks = n_steps
+    # prediction feasibility: every future input time must be produced by
+    # an earlier iteration's output (see engine/step.py rolling buffer)
+    for i in range(1, min(n_steps, 8)):
+        for k in indexer.input_k:
+            off = i * indexer.forecast_cycle + k
+            if off >= min(indexer.output_k):
+                covered = any(
+                    off == j * indexer.forecast_cycle + ok
+                    for j in range(i) for ok in indexer.output_k)
+                if not covered:
+                    raise ValueError(
+                        f"AR settings infeasible: input offset {off} at "
+                        f"iteration {i} is never predicted")
+
+    # --- forecast reference times ---------------------------------------
+    if forecast_reference_times is None:
+        pos = indexer.valid_reference_positions(data_dynamic.n_time, 0)
+        t0s = pos
+    else:
+        t0s = indexer.reference_positions_for_times(
+            data_dynamic.time, forecast_reference_times)
+    frts = data_dynamic.time[t0s]
+
+    dt = data_dynamic.timestep
+    dt_hours = dt / np.timedelta64(1, "h")
+    lead_offsets = np.concatenate(
+        [i * indexer.forecast_cycle + np.asarray(indexer.output_k)
+         for i in range(n_steps)])
+    leadtime_hours = lead_offsets * dt_hours
+    n_out = len(indexer.output_k)
+    L = len(lead_offsets)
+    V = data_dynamic.n_node
+    F = data_dynamic.n_feature
+
+    # --- output store -----------------------------------------------------
+    if zarr_fpath is None:
+        raise ValueError("zarr_fpath is required")
+    if chunks is None:
+        chunks = {"forecast_reference_time": 1, "leadtime": 1, "node": -1}
+    cf = chunks.get("forecast_reference_time", 1)
+    cl = chunks.get("leadtime", 1)
+    cn = chunks.get("node", -1)
+    cn = V if cn in (-1, None) else cn
+    cf = len(frts) if cf in (-1, None) else cf
+    cl = L if cl in (-1, None) else cl
+    g = create_group(zarr_fpath, overwrite=True,
+                     attrs={"feature_order": list(data_dynamic.feature_order)})
+    for name in data_dynamic.feature_order:
+        g.create_array(name, shape=(len(frts), L, V), chunks=(cf, cl, cn),
+                       dtype=np.float32, compressor="zlib")
+    a = g.create_array("forecast_reference_time", shape=(len(frts),),
+                       chunks=(len(frts),), dtype=np.int64, compressor=None)
+    a[...] = np.asarray(frts, dtype="datetime64[ns]").view(np.int64)
+    a = g.create_array("leadtime", shape=(L,), chunks=(L,), dtype=np.float64,
+                       compressor=None,
+                       attrs={"units": "hours"})
+    a[...] = leadtime_hours
+    for cname, cval in (("lat", data_dynamic.lat), ("lon", data_dynamic.lon)):
+        c = g.create_array(cname, shape=(V,), chunks=(V,), dtype=np.float64,
+                           compressor=None)
+        c[...] = cval
+
+    # --- rollout ----------------------------------------------------------
+    static = (jnp.asarray(data_static.read_stacked())
+              if data_static is not None else None)
+    rollout_fn, H = make_rollout_block(model, indexer, ar_blocks)
+    min_k = min(indexer.input_k)
+
+    for lo in range(0, len(t0s), batch_size):
+        sel = t0s[lo: lo + batch_size]
+        B = len(sel)
+        # init history: truth (scaled) at offsets [min_k, max_out]
+        hist = np.zeros((B, H, V, F), dtype=np.float32)
+        for b, t0 in enumerate(sel):
+            t_hist = np.arange(t0 + min_k, t0 + min(indexer.output_k))
+            vals = data_dynamic.read_stacked(t_hist)
+            if scaler is not None:
+                vals = scaler.transform(
+                    vals, time=data_dynamic.time[t_hist]).astype(np.float32)
+            hist[b, : len(t_hist)] = vals
+        hist = jnp.asarray(hist)
+
+        n_blocks = (n_steps + ar_blocks - 1) // ar_blocks
+        step0 = 0
+        for blk in range(n_blocks):
+            steps = min(ar_blocks, n_steps - step0)
+            # bc for iterations [step0, step0+ar_blocks)
+            bc_block = None
+            if data_bc is not None:
+                bc_np = np.zeros(
+                    (B, ar_blocks, len(indexer.input_k), V,
+                     data_bc.n_feature), dtype=np.float32)
+                for b, t0 in enumerate(sel):
+                    for j in range(steps):
+                        i = step0 + j
+                        t_in = t0 + i * indexer.forecast_cycle + np.asarray(
+                            indexer.input_k)
+                        t_in = np.clip(t_in, 0, data_bc.n_time - 1)
+                        bc_np[b, j] = data_bc.read_stacked(t_in)
+                bc_block = jnp.asarray(bc_np)
+            hist, preds = rollout_fn(params, hist, bc_block, static)
+            preds = np.asarray(preds[:, :steps])     # [B, steps, n_out, V, F]
+
+            # inverse scale + round + write
+            for j in range(steps):
+                i = step0 + j
+                for oi, ok in enumerate(indexer.output_k):
+                    lt_index = i * n_out + oi
+                    block = preds[:, j, oi]           # [B, V, F]
+                    if scaler is not None:
+                        # per-sample valid times (time-group scalers need them)
+                        t_valid = (frts[lo: lo + B]
+                                   + (lead_offsets[lt_index] * dt))
+                        block = scaler.inverse_transform(block, time=t_valid)
+                    if rounding is not None:
+                        block = np.round(block, rounding)
+                    for f, name in enumerate(data_dynamic.feature_order):
+                        # int index normalizes to a size-1 slice in the store
+                        g[name][lo: lo + B, lt_index, :] = block[:, None, :, f]
+            step0 += steps
+        if verbose:
+            print(f"predicted frts {lo}..{lo + B - 1} / {len(t0s)}")
+
+    return ForecastDataset(g)
+
+
+def rechunk_forecasts_for_verification(forecast: ForecastDataset, target_store,
+                                       node_chunk: int = 1) -> ForecastDataset:
+    """Space-chunked copy for verification access patterns
+    (xforecasting.rechunk_forecasts_for_verification parity,
+    train_predict_state.py:505-510)."""
+    g = create_group(target_store, overwrite=True,
+                     attrs={"feature_order": forecast.feature_order})
+    n_frt, L = forecast.n_frt, forecast.n_leadtime
+    V = len(forecast.lat)
+    for name in forecast.feature_order:
+        arr = g.create_array(name, shape=(n_frt, L, V),
+                             chunks=(n_frt, L, max(node_chunk, 1)),
+                             dtype=np.float32, compressor="zlib")
+        arr[...] = forecast.variables[name][...]
+    for cname in ("forecast_reference_time", "leadtime", "lat", "lon"):
+        src = forecast.group[cname]
+        a = g.create_array(cname, shape=src.shape, chunks=src.shape,
+                           dtype=src.dtype, compressor=None,
+                           attrs=src.attrs)
+        a[...] = src[...]
+    return ForecastDataset(g)

@@ -1,0 +1,184 @@
+"""Jitted AR step builders: multi-step loss, train step, rollout blocks.
+
+The reference's hot loop (reference: SURVEY.md §3.1 — python-level AR
+iteration with per-step CUDA launches, get_aligned_ar_batch H2D copies and
+loss accumulation) becomes a single jitted `lax.scan` over AR iterations:
+
+- the scaled truth window `dynamic` [B, W, V, F] doubles as the rollout
+  buffer: each iteration's prediction is scattered into a copy at its
+  output positions, so later iterations consume model predictions exactly
+  like `stack_most_recent_prediction=True` (SURVEY.md §2.9)
+- per-iteration losses are area-weighted MSE, combined with the (dynamic,
+  device-resident) AR-scheduler weight vector — growing weights never
+  recompiles; growing the *number* of scanned iterations compiles once per
+  AR stage (bounded by ar_iterations, each cached)
+- 'AR' training strategy stops gradients at the buffer write (each step
+  learns independently); 'RNN' backpropagates through the whole rollout
+
+Prediction uses a rolling-history carry so unbounded rollouts (reference:
+7300-step 5-year simulations, 05_exp_X_year_sims.py:36-46) run in blocks
+of jit-compiled scans with O(history) memory (`ar_blocks` semantics,
+predict_state.py:202-224).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.ar import ARIndexer
+from .loss import weighted_mse
+
+__all__ = ["assemble_input", "make_ar_loss_fn", "make_train_step",
+           "make_validation_fn", "make_rollout_block"]
+
+
+def assemble_input(dyn_buf: jnp.ndarray, bc: Optional[jnp.ndarray],
+                   static: Optional[jnp.ndarray],
+                   pin: jnp.ndarray) -> jnp.ndarray:
+    """Build the model input for one AR iteration.
+
+    dyn_buf: [B, W, V, Fd]; bc: [B, W, V, Fb] or None; static: [V, Fs] or
+    None; pin: [n_in] window positions. Feature order static+bc+dynamic
+    (reference: my_models_graph.py:319-325).
+    """
+    x_dyn = jnp.take(dyn_buf, pin, axis=1)              # [B, n_in, V, Fd]
+    B, T, V, _ = x_dyn.shape
+    parts = []
+    if static is not None:
+        parts.append(jnp.broadcast_to(static[None, None], (B, T) + static.shape))
+    if bc is not None:
+        parts.append(jnp.take(bc, pin, axis=1))
+    parts.append(x_dyn)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def make_ar_loss_fn(model, indexer: ARIndexer, area_w: jnp.ndarray,
+                    n_scan_iterations: int,
+                    ar_training_strategy: str = "RNN") -> Callable:
+    """Build loss(params, batch, ar_weights) -> (total, per_iter_losses).
+
+    `n_scan_iterations` is static (= current AR iterations + 1); the AR
+    weight vector is a traced [n_scan_iterations] array.
+    """
+    if ar_training_strategy not in ("RNN", "AR"):
+        raise ValueError("ar_training_strategy must be 'RNN' or 'AR'")
+    in_pos = jnp.asarray(indexer.input_pos)
+    out_pos = jnp.asarray(indexer.output_pos)
+    stop_grad = ar_training_strategy == "AR"
+
+    def loss_fn(params, batch: Dict, ar_weights: jnp.ndarray):
+        dyn = batch["dynamic"]
+        bc = batch.get("bc")
+        static = batch.get("static")
+
+        def step(dyn_buf, i):
+            x = assemble_input(dyn_buf, bc, static, in_pos[i])
+            y_pred = model.apply(params, x)              # [B, n_out, V, Fd]
+            y_true = jnp.take(dyn, out_pos[i], axis=1)
+            l = weighted_mse(y_pred, y_true, area_w)
+            y_write = jax.lax.stop_gradient(y_pred) if stop_grad else y_pred
+            dyn_buf = dyn_buf.at[:, out_pos[i]].set(y_write)
+            return dyn_buf, l
+
+        _, losses = jax.lax.scan(step, dyn, jnp.arange(n_scan_iterations))
+        w = ar_weights[:n_scan_iterations]
+        w = w / jnp.maximum(w.sum(), 1e-12)
+        return jnp.sum(losses * w), losses
+
+    return loss_fn
+
+
+def make_train_step(model, indexer: ARIndexer, area_w: jnp.ndarray,
+                    optimizer: optax.GradientTransformation,
+                    n_scan_iterations: int,
+                    ar_training_strategy: str = "RNN") -> Callable:
+    """Jitted train step: (params, opt_state, batch, ar_weights) ->
+    (params, opt_state, total_loss, per_iter_losses)."""
+    loss_fn = make_ar_loss_fn(model, indexer, area_w, n_scan_iterations,
+                              ar_training_strategy)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def train_step(params, opt_state, batch, ar_weights):
+        (total, per_iter), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, ar_weights)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total, per_iter
+
+    return train_step
+
+
+def make_validation_fn(model, indexer: ARIndexer, area_w: jnp.ndarray,
+                       n_scan_iterations: int) -> Callable:
+    loss_fn = make_ar_loss_fn(model, indexer, area_w, n_scan_iterations, "RNN")
+
+    @jax.jit
+    def validate(params, batch, ar_weights):
+        return loss_fn(params, batch, ar_weights)
+
+    return validate
+
+
+# ---------------------------------------------------------------------------
+# Prediction rollout
+# ---------------------------------------------------------------------------
+
+def make_rollout_block(model, indexer: ARIndexer,
+                       block_size: int) -> Tuple[Callable, int]:
+    """Build the jitted block-rollout function for unbounded AR prediction.
+
+    The carry is a rolling history buffer of the last H timesteps of
+    (predicted or observed) dynamic fields, where
+    H = max(output_k) - min(input_k) + 1. Each scan step:
+      1. assembles inputs from fixed positions in the buffer,
+      2. predicts, 3. emits the prediction, 4. shifts the buffer left by
+      forecast_cycle and writes the prediction at its output offsets.
+
+    BC features for the whole block are supplied as [B, block, n_in, V, Fb]
+    (host-gathered: BC is known for all future times). Returns
+    (rollout_fn, history_size). rollout_fn(params, hist, bc_block) ->
+    (new_hist, preds [B, block, n_out, V, F]).
+    """
+    fc = indexer.forecast_cycle
+    min_k = min(indexer.input_k)
+    max_out = max(indexer.output_k)
+    H = max_out - min_k + 1
+    # positions inside the history buffer: index 0 holds time t0 + min_k
+    in_pos = jnp.asarray([k - min_k for k in indexer.input_k], dtype=jnp.int32)
+    out_pos = jnp.asarray([k - min_k for k in indexer.output_k], dtype=jnp.int32)
+
+    def rollout(params, hist, bc_block, static):
+        def step(h, bc_i):
+            x_dyn = jnp.take(h, in_pos, axis=1)          # [B, n_in, V, Fd]
+            B, T, V, _ = x_dyn.shape
+            parts = []
+            if static is not None:
+                parts.append(jnp.broadcast_to(static[None, None],
+                                              (B, T) + static.shape))
+            if bc_i is not None:
+                parts.append(bc_i)                        # [B, n_in, V, Fb]
+            parts.append(x_dyn)
+            x = jnp.concatenate(parts, axis=-1)
+            y = model.apply(params, x)                    # [B, n_out, V, Fd]
+            h = h.at[:, out_pos].set(y)
+            h = jnp.roll(h, -fc, axis=1)                  # advance one cycle
+            return h, y
+
+        if bc_block is None:
+            bc_seq = jnp.zeros((block_size, 0))
+            def step_nobc(h, _):
+                return step(h, None)
+            hist, preds = jax.lax.scan(step_nobc, hist, jnp.arange(block_size))
+        else:
+            hist, preds = jax.lax.scan(step, hist,
+                                       jnp.swapaxes(bc_block, 0, 1))
+        # [block, B, n_out, V, F] -> [B, block, n_out, V, F]
+        return hist, jnp.swapaxes(preds, 0, 1)
+
+    return jax.jit(rollout), H

@@ -1,0 +1,292 @@
+"""Autoregressive training engine (xforecasting.AutoregressiveTraining parity).
+
+Orchestrates the jitted AR train step (engine/step.py) with:
+- AR scheduler weight growth per scoring interval + AR-iteration growth on
+  early-stopping plateaus (reference: train_predict_state.py:343-381)
+- RNN / AR training strategies (weight fixing + stop-gradient policy)
+- validation scoring, EarlyStopping, per-epoch checkpoints
+- SWAG moment collection hooks (swag=True, swag_freq, swa_start —
+  reference: finetune_swag.py:354-401)
+- optional ('data',) mesh sharding of batches (SURVEY.md §2.14)
+
+Returns an ARTrainingInfo with the full metric history and .plots().
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+import optax
+
+from ..data.ar import ARIndexer
+from ..data.loader import AutoregressiveDataLoader, AutoregressiveDataset
+from ..parallel.mesh import shard_batch
+from ..utils.checkpoint import Checkpointer
+from .scheduler import ARScheduler, EarlyStopping
+from .step import make_train_step, make_validation_fn
+
+__all__ = ["ARTrainingInfo", "AutoregressiveTraining"]
+
+
+@dataclasses.dataclass
+class ARTrainingInfo:
+    """Training metric history (xforecasting.AR_TrainingInfo parity)."""
+
+    iterations: List[int] = dataclasses.field(default_factory=list)
+    training_total_loss: List[float] = dataclasses.field(default_factory=list)
+    validation_iterations: List[int] = dataclasses.field(default_factory=list)
+    validation_total_loss: List[float] = dataclasses.field(default_factory=list)
+    per_iteration_loss: List[List[float]] = dataclasses.field(default_factory=list)
+    ar_weights_history: List[List[float]] = dataclasses.field(default_factory=list)
+    ar_growth_events: List[int] = dataclasses.field(default_factory=list)
+    epoch_boundaries: List[int] = dataclasses.field(default_factory=list)
+    samples_per_sec: List[float] = dataclasses.field(default_factory=list)
+
+    def to_dict(self) -> Dict:
+        return dataclasses.asdict(self)
+
+    def save(self, path):
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        Path(path).write_text(json.dumps(self.to_dict(), default=float))
+
+    @classmethod
+    def load(cls, path) -> "ARTrainingInfo":
+        return cls(**json.loads(Path(path).read_text()))
+
+    def plots(self, exp_dir, ylim=None):
+        """Render training/validation curves (reference:
+        ar_training_info.plots, train_predict_state.py:449)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig_dir = Path(exp_dir) / "figs" / "training_info"
+        fig_dir.mkdir(parents=True, exist_ok=True)
+
+        fig, ax = plt.subplots(figsize=(8, 5))
+        ax.plot(self.iterations, self.training_total_loss, label="training",
+                lw=0.8)
+        if self.validation_total_loss:
+            ax.plot(self.validation_iterations, self.validation_total_loss,
+                    label="validation", lw=1.2)
+        for ev in self.ar_growth_events:
+            ax.axvline(ev, color="gray", ls="--", lw=0.6)
+        ax.set_xlabel("weight update")
+        ax.set_ylabel("total loss")
+        if ylim:
+            ax.set_ylim(ylim)
+        ax.legend()
+        ax.set_title("AR training")
+        fig.tight_layout()
+        fig.savefig(fig_dir / "loss_curves.png", dpi=120)
+        plt.close(fig)
+
+        if self.per_iteration_loss:
+            fig, ax = plt.subplots(figsize=(8, 5))
+            arr = np.full((len(self.per_iteration_loss),
+                           max(len(x) for x in self.per_iteration_loss)), np.nan)
+            for i, row in enumerate(self.per_iteration_loss):
+                arr[i, : len(row)] = row
+            for j in range(arr.shape[1]):
+                ax.plot(self.validation_iterations, arr[:, j],
+                        label=f"AR iter {j}", lw=0.9)
+            ax.set_xlabel("weight update")
+            ax.set_ylabel("per-leadtime validation loss")
+            ax.legend(fontsize=7)
+            fig.tight_layout()
+            fig.savefig(fig_dir / "per_leadtime_loss.png", dpi=120)
+            plt.close(fig)
+        return fig_dir
+
+
+def AutoregressiveTraining(
+    model,
+    params,
+    *,
+    # data
+    training_data_dynamic,
+    validation_data_dynamic=None,
+    training_data_bc=None,
+    validation_data_bc=None,
+    data_static=None,
+    scaler=None,
+    # AR settings
+    input_k,
+    output_k,
+    forecast_cycle,
+    ar_iterations,
+    stack_most_recent_prediction: bool = True,
+    ar_training_strategy: str = "RNN",
+    # loss / optimizer
+    area_weights=None,
+    learning_rate: float = 0.007,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    ar_scheduler: Optional[ARScheduler] = None,
+    early_stopping: Optional[EarlyStopping] = None,
+    # loop control
+    epochs: int = 15,
+    training_batch_size: int = 16,
+    validation_batch_size: int = 16,
+    scoring_interval: int = 10,
+    save_model_each_epoch: bool = False,
+    # infra
+    exp_dir=None,
+    mesh=None,
+    num_workers: int = 4,
+    prefetch_factor: int = 2,
+    shuffle: bool = True,
+    shuffle_seed: int = 69,
+    # SWAG hooks (reference finetune_swag.py:354-401)
+    swag: bool = False,
+    swag_model=None,
+    swag_freq: int = 10,
+    swa_start: int = 0,
+    verbose: bool = True,
+):
+    """Train; returns (params, opt_state, ARTrainingInfo)."""
+    indexer = ARIndexer.build(input_k, output_k, forecast_cycle, ar_iterations,
+                              stack_most_recent_prediction)
+    if optimizer is None:
+        # reference: Adam(lr, eps=1e-7) (train_predict_state.py:334)
+        optimizer = optax.adam(learning_rate, eps=1e-7)
+    if ar_scheduler is None:
+        ar_scheduler = ARScheduler(method="Constant",
+                                   initial_ar_absolute_weights=[1.0] *
+                                   (ar_iterations + 1),
+                                   max_ar_iterations=ar_iterations)
+    ar_scheduler.max_ar_iterations = ar_iterations
+    if early_stopping is None:
+        early_stopping = EarlyStopping(patience=3000 // max(scoring_interval, 1))
+
+    opt_state = optimizer.init(params)
+
+    train_ds = AutoregressiveDataset(
+        training_data_dynamic, indexer, data_bc=training_data_bc,
+        data_static=data_static, scaler=scaler)
+    train_ds.update_AR_iterations(ar_scheduler.current_ar_iterations)
+    val_ds = None
+    if validation_data_dynamic is not None:
+        val_ds = AutoregressiveDataset(
+            validation_data_dynamic, indexer, data_bc=validation_data_bc,
+            data_static=data_static, scaler=scaler)
+        val_ds.update_AR_iterations(ar_scheduler.current_ar_iterations)
+
+    info = ARTrainingInfo()
+    ckpt = Checkpointer(exp_dir) if exp_dir is not None else None
+
+    # per-AR-stage compiled steps (cached across growth events)
+    step_cache: Dict[int, tuple] = {}
+
+    def get_steps(n_iters: int):
+        if n_iters not in step_cache:
+            n_scan = n_iters + 1
+            step_cache[n_iters] = (
+                make_train_step(model, indexer, area_weights, optimizer,
+                                n_scan, ar_training_strategy),
+                make_validation_fn(model, indexer, area_weights, n_scan),
+            )
+        return step_cache[n_iters]
+
+    update = 0
+    stop = False
+    swag_counter = 0
+    for epoch in range(epochs):
+        if stop:
+            break
+        loader = AutoregressiveDataLoader(
+            train_ds, batch_size=training_batch_size, shuffle=shuffle,
+            shuffle_seed=shuffle_seed, num_workers=num_workers,
+            prefetch_factor=prefetch_factor)
+        info.epoch_boundaries.append(update)
+        for batch in loader:
+            n_iters = ar_scheduler.current_ar_iterations
+            train_step, _ = get_steps(n_iters)
+            w = jax.numpy.asarray(ar_scheduler.padded_weights(n_iters + 1))
+            t0 = time.perf_counter()
+            dev_batch = shard_batch(batch, mesh)
+            params, opt_state, total, per_iter = train_step(
+                params, opt_state, dev_batch, w)
+            total = float(total)
+            dt = time.perf_counter() - t0
+            update += 1
+            info.iterations.append(update)
+            info.training_total_loss.append(total)
+            info.samples_per_sec.append(training_batch_size / dt)
+
+            if update % scoring_interval == 0:
+                ar_scheduler.step()
+                # --- validation -------------------------------------------
+                val_loss = total
+                per_iter_val = [float(x) for x in np.asarray(per_iter)]
+                if val_ds is not None:
+                    _, val_fn = get_steps(n_iters)
+                    vloader = AutoregressiveDataLoader(
+                        val_ds, batch_size=validation_batch_size,
+                        shuffle=False, num_workers=num_workers)
+                    tot, per, nb = 0.0, None, 0
+                    for vb in vloader:
+                        vt, vp = val_fn(params, shard_batch(vb, mesh), w)
+                        tot += float(vt)
+                        per = np.asarray(vp) if per is None else per + np.asarray(vp)
+                        nb += 1
+                        if nb >= 8:  # validation subsample for speed
+                            break
+                    if nb:
+                        val_loss = tot / nb
+                        per_iter_val = [float(x) for x in per / nb]
+                info.validation_iterations.append(update)
+                info.validation_total_loss.append(val_loss)
+                info.per_iteration_loss.append(per_iter_val)
+                info.ar_weights_history.append(
+                    [float(x) for x in ar_scheduler.ar_weights])
+                if verbose:
+                    print(f"[epoch {epoch} update {update}] "
+                          f"train {total:.5f} val {val_loss:.5f} "
+                          f"AR {n_iters} weights "
+                          f"{np.round(ar_scheduler.ar_weights, 3)} "
+                          f"({info.samples_per_sec[-1]:.1f} samples/s)")
+
+                # --- SWAG collection ---------------------------------------
+                if swag and swag_model is not None and update >= swa_start:
+                    swag_counter += 1
+                    if swag_counter % swag_freq == 0:
+                        swag_model.collect_model(params)
+
+                # --- early stopping / AR growth ----------------------------
+                if early_stopping.check(val_loss):
+                    if ar_scheduler.can_update():
+                        ar_scheduler.update()
+                        if ar_training_strategy == "AR":
+                            # freeze all previously grown weights
+                            ar_scheduler.fixed_ar_weights |= set(
+                                range(len(ar_scheduler.absolute_weights) - 1))
+                        early_stopping.reset_counter()
+                        info.ar_growth_events.append(update)
+                        train_ds.update_AR_iterations(
+                            ar_scheduler.current_ar_iterations)
+                        if val_ds is not None:
+                            val_ds.update_AR_iterations(
+                                ar_scheduler.current_ar_iterations)
+                        if verbose:
+                            print(f"  -> AR iterations grown to "
+                                  f"{ar_scheduler.current_ar_iterations}")
+                        break  # rebuild loader with new sample set
+                    stop = True
+                    if verbose:
+                        print("  -> early stopping")
+                    break
+        if ckpt is not None and save_model_each_epoch:
+            ckpt.save_model(params, name=f"model_epoch_{epoch}.npz")
+
+    if ckpt is not None:
+        ckpt.save_model(params)
+        ckpt.save_training_state(opt_state, ar_scheduler.state_dict(),
+                                 early_stopping.state_dict())
+        info.save(Path(ckpt.exp_dir) / "training_info" / "ar_training_info.json")
+    return params, opt_state, info

@@ -1,0 +1,4 @@
+"""Utilities: checkpointing, timing, profiling, model summaries."""
+
+from .checkpoint import save_pytree, load_pytree, Checkpointer  # noqa: F401
+from .timing import Timer, device_sync  # noqa: F401

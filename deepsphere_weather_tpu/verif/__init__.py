@@ -1,0 +1,11 @@
+"""Verification: deterministic skills, summaries, benchmark forecasts."""
+
+from .deterministic import (  # noqa: F401
+    SkillDataset,
+    deterministic,
+    deterministic_metrics,
+    global_summary,
+    latitudinal_summary,
+    longitudinal_summary,
+)
+from .benchmarks import climatology_skills, persistence_skills  # noqa: F401

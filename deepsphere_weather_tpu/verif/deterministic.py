@@ -1,0 +1,196 @@
+"""Deterministic forecast verification (xverif parity, SURVEY.md §2.12).
+
+Computes per-(node, leadtime) skill metrics between forecasts and
+observations, matching the reference's skill set
+(train_predict_state.py:525-560): error_CoV, obs_CoV, pred_CoV, BIAS, MAE,
+MSE, RMSE, percBIAS, percMAE, rSD, pearson_R2, KGE, NSE, plus diff_SD and
+correlation pieces. Vectorized numpy over [time, node] stacks per
+leadtime; metrics dataset is an in-memory dict with save/load to .npz.
+
+`global_summary` aggregates with spherical cell-area weights (the
+reference uses the Voronoi mesh areas, SURVEY.md §2.12);
+latitudinal/longitudinal summaries bin by coordinate bands.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+__all__ = ["deterministic_metrics", "deterministic", "global_summary",
+           "latitudinal_summary", "longitudinal_summary",
+           "SkillDataset"]
+
+EPS = 1e-12
+
+SKILL_NAMES = [
+    "BIAS", "MAE", "MSE", "RMSE", "percBIAS", "percMAE",
+    "rSD", "pearson_R", "pearson_R2", "error_CoV", "obs_CoV", "pred_CoV",
+    "diffSD", "NSE", "KGE",
+]
+
+
+def deterministic_metrics(pred: np.ndarray, obs: np.ndarray,
+                          axis: int = 0) -> Dict[str, np.ndarray]:
+    """Skill metrics aggregating over `axis` (the time/sample axis).
+
+    pred/obs: arrays with matching shape; returns dict of arrays with the
+    aggregation axis removed.
+    """
+    pred = np.asarray(pred, dtype=np.float64)
+    obs = np.asarray(obs, dtype=np.float64)
+    err = pred - obs
+    mean_obs = obs.mean(axis=axis)
+    mean_pred = pred.mean(axis=axis)
+    std_obs = obs.std(axis=axis)
+    std_pred = pred.std(axis=axis)
+    cov = ((pred - np.expand_dims(mean_pred, axis))
+           * (obs - np.expand_dims(mean_obs, axis))).mean(axis=axis)
+
+    bias = err.mean(axis=axis)
+    mae = np.abs(err).mean(axis=axis)
+    mse = (err ** 2).mean(axis=axis)
+    rmse = np.sqrt(mse)
+    perc_bias = 100 * bias / np.where(np.abs(mean_obs) > EPS, mean_obs, np.nan)
+    perc_mae = 100 * mae / np.where(np.abs(mean_obs) > EPS, mean_obs, np.nan)
+    r_sd = std_pred / np.where(std_obs > EPS, std_obs, np.nan)
+    pearson_r = cov / np.where(std_pred * std_obs > EPS, std_pred * std_obs,
+                               np.nan)
+    error_cov = err.std(axis=axis) / np.where(np.abs(mean_obs) > EPS,
+                                              mean_obs, np.nan)
+    obs_cov = std_obs / np.where(np.abs(mean_obs) > EPS, mean_obs, np.nan)
+    pred_cov = std_pred / np.where(np.abs(mean_pred) > EPS, mean_pred, np.nan)
+    diff_sd = (pred - obs).std(axis=axis)
+    denom = ((obs - np.expand_dims(mean_obs, axis)) ** 2).sum(axis=axis)
+    nse = 1 - (err ** 2).sum(axis=axis) / np.where(denom > EPS, denom, np.nan)
+    beta = mean_pred / np.where(np.abs(mean_obs) > EPS, mean_obs, np.nan)
+    kge = 1 - np.sqrt((pearson_r - 1) ** 2 + (r_sd - 1) ** 2 + (beta - 1) ** 2)
+
+    return {
+        "BIAS": bias, "MAE": mae, "MSE": mse, "RMSE": rmse,
+        "percBIAS": perc_bias, "percMAE": perc_mae,
+        "rSD": r_sd, "pearson_R": pearson_r, "pearson_R2": pearson_r ** 2,
+        "error_CoV": error_cov, "obs_CoV": obs_cov, "pred_CoV": pred_cov,
+        "diffSD": diff_sd, "NSE": nse, "KGE": kge,
+    }
+
+
+class SkillDataset:
+    """Skills indexed [leadtime, node, feature] (or aggregated), with coords."""
+
+    def __init__(self, skills: Dict[str, np.ndarray], leadtime_hours: np.ndarray,
+                 feature_order: List[str], lat=None, lon=None):
+        self.skills = skills
+        self.leadtime_hours = np.asarray(leadtime_hours)
+        self.feature_order = list(feature_order)
+        self.lat = lat
+        self.lon = lon
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        return self.skills[name]
+
+    def save(self, path):
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        header = {"feature_order": self.feature_order,
+                  "skill_names": sorted(self.skills)}
+        arrays = {f"skill_{k}": v for k, v in self.skills.items()}
+        arrays["leadtime_hours"] = self.leadtime_hours
+        if self.lat is not None:
+            arrays["lat"] = self.lat
+            arrays["lon"] = self.lon
+        np.savez_compressed(path, __header__=json.dumps(header), **arrays)
+
+    @classmethod
+    def load(cls, path) -> "SkillDataset":
+        with np.load(path) as z:
+            header = json.loads(str(z["__header__"]))
+            skills = {k[len("skill_"):]: z[k] for k in z.files
+                      if k.startswith("skill_")}
+            return cls(skills, z["leadtime_hours"], header["feature_order"],
+                       lat=z["lat"] if "lat" in z.files else None,
+                       lon=z["lon"] if "lon" in z.files else None)
+
+
+def deterministic(forecast, obs_dataset, forecast_type: str = "continuous",
+                  aggregating_dim: str = "time") -> SkillDataset:
+    """Verify a ForecastDataset against a SphericalDataset.
+
+    Per leadtime: align forecast valid times with observation times,
+    compute metrics over the aligned sample axis -> [leadtime, node,
+    feature] skill arrays (xverif.deterministic parity).
+    """
+    if forecast_type != "continuous" or aggregating_dim != "time":
+        raise NotImplementedError(
+            "only continuous/time verification implemented (reference usage)")
+    L = forecast.n_leadtime
+    skills: Dict[str, List[np.ndarray]] = {k: [] for k in
+                                           deterministic_metrics(
+                                               np.zeros((2, 1)),
+                                               np.ones((2, 1))).keys()}
+    obs_time = obs_dataset.time
+    for lt in range(L):
+        valid = forecast.valid_time(lt)
+        sidx = np.searchsorted(obs_time, valid)
+        ok = (sidx < len(obs_time))
+        ok &= obs_time[np.minimum(sidx, len(obs_time) - 1)] == valid
+        pred = forecast.read_leadtime(lt)[ok]              # [T, V, F]
+        obs = obs_dataset.read_stacked(sidx[ok])            # [T, V, F]
+        m = deterministic_metrics(pred, obs, axis=0)        # [V, F] each
+        for k, v in m.items():
+            skills[k].append(v)
+    stacked = {k: np.stack(v, axis=0) for k, v in skills.items()}  # [L, V, F]
+    return SkillDataset(stacked, forecast.leadtime_hours,
+                        obs_dataset.feature_order,
+                        lat=obs_dataset.lat, lon=obs_dataset.lon)
+
+
+def global_summary(skill: SkillDataset, area_weights: np.ndarray) -> SkillDataset:
+    """Area-weighted aggregation over nodes (xverif.global_summary parity)."""
+    w = np.asarray(area_weights, dtype=np.float64)
+    w = w / w.sum()
+    out = {}
+    for k, v in skill.skills.items():
+        if k in ("MSE",):
+            out[k] = np.einsum("lvf,v->lf", np.nan_to_num(v), w)
+            continue
+        if k == "RMSE":
+            mse = np.einsum("lvf,v->lf", np.nan_to_num(skill.skills["MSE"]), w)
+            out[k] = np.sqrt(mse)
+            continue
+        out[k] = np.einsum("lvf,v->lf", np.nan_to_num(v), w)
+    return SkillDataset(out, skill.leadtime_hours, skill.feature_order)
+
+
+def _banded_summary(skill: SkillDataset, coord: np.ndarray, res: float,
+                    area_weights: Optional[np.ndarray]) -> Dict:
+    lo = np.floor(coord.min() / res) * res
+    edges = np.arange(lo, coord.max() + res, res)
+    centers = edges[:-1] + res / 2
+    w = (np.ones_like(coord) if area_weights is None
+         else np.asarray(area_weights, dtype=np.float64))
+    out = {k: [] for k in skill.skills}
+    for e0, e1 in zip(edges[:-1], edges[1:]):
+        sel = (coord >= e0) & (coord < e1)
+        ws = w[sel]
+        ws = ws / ws.sum() if ws.sum() > 0 else ws
+        for k, v in skill.skills.items():
+            if sel.any():
+                out[k].append(np.einsum("lvf,v->lf", np.nan_to_num(v[:, sel]), ws))
+            else:
+                out[k].append(np.full(v.shape[0:1] + v.shape[2:], np.nan))
+    return {"centers": centers,
+            "skills": {k: np.stack(v, axis=1) for k, v in out.items()}}
+
+
+def latitudinal_summary(skill: SkillDataset, lat_res: float = 5.0,
+                        area_weights=None) -> Dict:
+    """Skills binned in latitude bands (xverif.latitudinal_summary parity)."""
+    return _banded_summary(skill, np.asarray(skill.lat), lat_res, area_weights)
+
+
+def longitudinal_summary(skill: SkillDataset, lon_res: float = 5.0,
+                         area_weights=None) -> Dict:
+    return _banded_summary(skill, np.asarray(skill.lon), lon_res, area_weights)

@@ -1,0 +1,233 @@
+"""Engine tests: AR loss semantics, scheduler, training loop, prediction
+rollout, verification — ending in the end-to-end toy smoke test
+(SURVEY.md §4 implication: train + predict + verify on toy data)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsphere_weather_tpu.data import (
+    ARIndexer,
+    GlobalStandardScaler,
+    generate_toy_data,
+    get_ar_model_tensor_info,
+)
+from deepsphere_weather_tpu.engine import (
+    ARScheduler,
+    AreaWeights,
+    AutoregressivePredictions,
+    AutoregressiveTraining,
+    EarlyStopping,
+    make_ar_loss_fn,
+    weighted_mse,
+)
+from deepsphere_weather_tpu.models import UNetSpherical
+from deepsphere_weather_tpu.verif import (
+    deterministic,
+    global_summary,
+    persistence_skills,
+)
+
+
+class TestWeightedMSE:
+    def test_matches_reference_semantics(self):
+        # reference WeightedMSELoss 'mean': sum(w*se)/sum(w)/n_batch/n_val
+        rng = np.random.default_rng(0)
+        pred = rng.standard_normal((3, 10, 2))
+        tgt = rng.standard_normal((3, 10, 2))
+        w = rng.random(10) + 0.1
+        got = float(weighted_mse(jnp.asarray(pred), jnp.asarray(tgt),
+                                 jnp.asarray(w)))
+        se = (pred - tgt) ** 2
+        expected = (se * w[None, :, None]).sum() / w.sum() / 3 / 2
+        assert got == pytest.approx(expected, rel=1e-5)
+
+
+class TestARScheduler:
+    def test_linear_step_growth(self):
+        s = ARScheduler(method="LinearStep", factor=0.1,
+                        fixed_ar_weights=[0],
+                        initial_ar_absolute_weights=[1, 0],
+                        max_ar_iterations=3)
+        assert s.current_ar_iterations == 1
+        np.testing.assert_allclose(s.ar_weights, [1, 0])
+        for _ in range(5):
+            s.step()
+        np.testing.assert_allclose(s.ar_absolute_weights, [1, 0.5])
+        s.update()
+        assert s.current_ar_iterations == 2
+        np.testing.assert_allclose(s.ar_absolute_weights, [1, 0.5, 0])
+        # fixed weight never grows past 1; weights normalize
+        assert s.ar_weights.sum() == pytest.approx(1.0)
+        # padded weights for the jitted step
+        np.testing.assert_allclose(s.padded_weights(5)[3:], 0)
+
+    def test_state_roundtrip(self):
+        s = ARScheduler(method="LinearStep", factor=0.2,
+                        initial_ar_absolute_weights=[1, 0.3])
+        s.step()
+        s2 = ARScheduler.from_state_dict(s.state_dict())
+        np.testing.assert_allclose(s2.ar_weights, s.ar_weights)
+
+
+class TestEarlyStopping:
+    def test_patience(self):
+        es = EarlyStopping(patience=2)
+        assert not es.check(1.0)
+        assert not es.check(0.9)
+        assert not es.check(0.95)
+        assert es.check(0.95)
+        es.reset_counter()
+        assert not es.check(0.95)
+
+
+@pytest.fixture(scope="module")
+def toy_setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("toy_engine")
+    dyn, bc, static = generate_toy_data(
+        d, sampling_kwargs={"subdivisions": 4, "nest": True},
+        n_timesteps=240, seed=2)
+    scaler = GlobalStandardScaler().fit_dataset(dyn)
+    ar_settings = {"input_k": [-3, -2, -1], "output_k": [0],
+                   "forecast_cycle": 1, "ar_iterations": 2}
+    tensor_info = get_ar_model_tensor_info(ar_settings, dyn,
+                                           data_static=static, data_bc=bc)
+    model = UNetSpherical(
+        tensor_info=tensor_info,
+        sampling="healpix",
+        sampling_kwargs={"subdivisions": 4, "nest": True},
+        knn=8, pool_method="max", increment_learning=True)
+    params = model.init(jax.random.key(0))
+    from deepsphere_weather_tpu.sphere import build_sampling
+    samp = build_sampling("healpix", {"subdivisions": 4, "nest": True})
+    area_w = AreaWeights(samp)
+    return dict(dyn=dyn, bc=bc, static=static, scaler=scaler,
+                ar_settings=ar_settings, tensor_info=tensor_info,
+                model=model, params=params, area_w=area_w, dir=d)
+
+
+class TestARLoss:
+    def test_prediction_stacking_changes_later_iterations(self, toy_setup):
+        # With AR>0, later iterations must consume model predictions:
+        # perturbing params must change iteration-1 loss even when
+        # iteration-1 truth is untouched.
+        s = toy_setup
+        ix = ARIndexer.build(**s["ar_settings"])
+        from deepsphere_weather_tpu.data import (AutoregressiveDataset,
+                                                 AutoregressiveDataLoader)
+        ds = AutoregressiveDataset(s["dyn"], ix, data_bc=s["bc"],
+                                   data_static=s["static"], scaler=s["scaler"])
+        batch = next(iter(AutoregressiveDataLoader(ds, batch_size=2,
+                                                   shuffle=False,
+                                                   num_workers=1)))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k in ("dynamic", "bc", "static")}
+        loss_fn = make_ar_loss_fn(s["model"], ix, s["area_w"], 3, "RNN")
+        w = jnp.asarray([1.0, 1.0, 1.0])
+        _, per0 = loss_fn(s["params"], batch, w)
+        # perturb params
+        p2 = jax.tree_util.tree_map(lambda x: x + 0.01, s["params"])
+        _, per1 = loss_fn(p2, batch, w)
+        assert not np.allclose(np.asarray(per0), np.asarray(per1))
+        # all iterations produce finite losses
+        assert np.all(np.isfinite(np.asarray(per0)))
+
+    def test_ar_strategy_blocks_cross_iteration_gradients(self, toy_setup):
+        s = toy_setup
+        ix = ARIndexer.build(**s["ar_settings"])
+        from deepsphere_weather_tpu.data import (AutoregressiveDataset,
+                                                 AutoregressiveDataLoader)
+        ds = AutoregressiveDataset(s["dyn"], ix, data_bc=s["bc"],
+                                   data_static=s["static"], scaler=s["scaler"])
+        batch = next(iter(AutoregressiveDataLoader(ds, batch_size=2,
+                                                   shuffle=False,
+                                                   num_workers=1)))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k in ("dynamic", "bc", "static")}
+        # weight only on the LAST iteration: with 'AR' strategy the gradient
+        # contribution through earlier iterations' predictions is cut
+        w = jnp.asarray([0.0, 0.0, 1.0])
+        for strategy in ("RNN", "AR"):
+            loss_fn = make_ar_loss_fn(s["model"], ix, s["area_w"], 3, strategy)
+            g = jax.grad(lambda p: loss_fn(p, batch, w)[0])(s["params"])
+            leaves = jax.tree_util.tree_leaves(g)
+            assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+class TestTrainingLoop:
+    def test_loss_decreases_and_checkpointing(self, toy_setup, tmp_path):
+        s = toy_setup
+        sched = ARScheduler(method="LinearStep", factor=0.05,
+                            fixed_ar_weights=[0],
+                            initial_ar_absolute_weights=[1, 1])
+        es = EarlyStopping(patience=100)
+        params, opt_state, info = AutoregressiveTraining(
+            s["model"], s["params"],
+            training_data_dynamic=s["dyn"],
+            validation_data_dynamic=s["dyn"],
+            training_data_bc=s["bc"],
+            validation_data_bc=s["bc"],
+            data_static=s["static"],
+            scaler=s["scaler"],
+            **s["ar_settings"],
+            ar_training_strategy="RNN",
+            area_weights=s["area_w"],
+            learning_rate=2e-3,
+            ar_scheduler=sched,
+            early_stopping=es,
+            epochs=1,
+            training_batch_size=8,
+            validation_batch_size=8,
+            scoring_interval=5,
+            exp_dir=tmp_path,
+            num_workers=1,
+            verbose=False,
+        )
+        assert len(info.training_total_loss) > 10
+        first5 = np.mean(info.training_total_loss[:5])
+        last5 = np.mean(info.training_total_loss[-5:])
+        assert last5 < first5  # learning happened
+        assert (tmp_path / "model_weights" / "model.npz").exists()
+        # reload roundtrip
+        from deepsphere_weather_tpu.utils import Checkpointer
+        ck = Checkpointer(tmp_path)
+        params2 = ck.load_model(s["params"])
+        x = jnp.ones((1, 3, 192, 7))
+        np.testing.assert_allclose(
+            np.asarray(s["model"].apply(params, x)),
+            np.asarray(s["model"].apply(params2, x)), atol=1e-6)
+        # plots render
+        info.plots(tmp_path)
+        assert (tmp_path / "figs" / "training_info" / "loss_curves.png").exists()
+
+
+class TestPrediction:
+    def test_rollout_and_verification(self, toy_setup, tmp_path):
+        s = toy_setup
+        frts = s["dyn"].time[[50, 60, 70, 80]]
+        forecast = AutoregressivePredictions(
+            s["model"], s["params"],
+            data_dynamic=s["dyn"], data_bc=s["bc"], data_static=s["static"],
+            scaler=s["scaler"],
+            input_k=[-3, -2, -1], output_k=[0], forecast_cycle=1,
+            ar_iterations=9, ar_blocks=4,
+            forecast_reference_times=frts,
+            batch_size=4,
+            zarr_fpath=tmp_path / "pred.zarr",
+        )
+        assert forecast.n_frt == 4 and forecast.n_leadtime == 10
+        # increment-learning zero-init + trained-ish params -> finite fields
+        x = forecast.read_leadtime(0)
+        assert np.all(np.isfinite(x))
+        # leadtime-0 prediction with untouched rezero params == persistence of
+        # inverse-scaled last input -> values in physical range
+        assert 40000 < x[..., 1].mean() < 62000   # z500
+        skill = deterministic(forecast, s["dyn"])
+        assert skill["RMSE"].shape == (10, 192, 2)
+        gs = global_summary(skill, np.asarray(s["area_w"]))
+        # rmse grows (or at least stays finite) with leadtime
+        assert np.all(np.isfinite(gs["RMSE"]))
+        # persistence benchmark computes
+        ps = persistence_skills(s["dyn"], np.arange(1, 5))
+        assert np.all(np.isfinite(ps["RMSE"][:, :, 0]))
