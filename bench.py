@@ -1,0 +1,135 @@
+"""Benchmark: AR training throughput on the flagship configuration.
+
+Measures AR6 training samples/sec for UNetSpherical on HEALPix-16
+(3072 nodes, knn-20 graph, K=3 Chebyshev, batch 16, 7 input features,
+z500+t850 outputs) — the reference's comparison anchor
+(BASELINE.md: configs/UNetSpherical/Healpix_400km/MaxPool-Graph_knn.json).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N/base}
+
+The baseline is a faithful PyTorch implementation of the same model/step
+(reference stack: torch sparse SpMM + dense GEMM) measured on this host's
+CPU (no NVIDIA GPU is available in this environment; the reference's own
+hardware target is unavailable). The torch number is measured once and
+cached in BENCH_BASELINE.json. Methodology follows the reference's
+scalability harness: device-synchronized timing, median of repetitions
+(scripts_figs/scalability_plot.py:68-216).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+SUBDIV = 16
+N_NODE = 12 * SUBDIV ** 2
+BATCH = 16
+AR_ITERS = 6          # AR6 training (reference config)
+N_SCAN = AR_ITERS + 1
+IN_FEAT, OUT_FEAT, IN_TIME = 7, 2, 3
+KNN = 20
+BASELINE_FILE = Path(__file__).parent / "BENCH_BASELINE.json"
+
+
+def _tensor_info():
+    return {
+        "input_n_feature": IN_FEAT, "output_n_feature": OUT_FEAT,
+        "input_n_time": IN_TIME, "output_n_time": 1,
+        "input_shape_info": {"dynamic": {"node": N_NODE}},
+        "output_shape_info": {"dynamic": {"node": N_NODE}},
+        "dim_order": {"dynamic": ["sample", "time", "node", "feature"]},
+    }
+
+
+def bench_jax(repeats: int = 20) -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deepsphere_weather_tpu.data.ar import ARIndexer
+    from deepsphere_weather_tpu.engine.loss import AreaWeights
+    from deepsphere_weather_tpu.engine.step import make_train_step
+    from deepsphere_weather_tpu.models import UNetSpherical
+    from deepsphere_weather_tpu.sphere import build_sampling
+
+    model = UNetSpherical(
+        tensor_info=_tensor_info(), sampling="healpix",
+        sampling_kwargs={"subdivisions": SUBDIV, "nest": True},
+        knn=KNN, pool_method="max", increment_learning=True)
+    params = model.init(jax.random.key(0))
+    indexer = ARIndexer.build([-3, -2, -1], [0], 1, AR_ITERS)
+    samp = build_sampling("healpix", {"subdivisions": SUBDIV, "nest": True})
+    area_w = AreaWeights(samp)
+    optimizer = optax.adam(1e-3, eps=1e-7)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(model, indexer, area_w, optimizer,
+                                 n_scan_iterations=N_SCAN,
+                                 ar_training_strategy="RNN")
+
+    rng = np.random.default_rng(0)
+    W = indexer.window_size
+    batch = {
+        "dynamic": jnp.asarray(rng.standard_normal(
+            (BATCH, W, N_NODE, OUT_FEAT)).astype(np.float32)),
+        "bc": jnp.asarray(rng.standard_normal(
+            (BATCH, W, N_NODE, 1)).astype(np.float32)),
+        "static": jnp.asarray(rng.standard_normal(
+            (N_NODE, IN_FEAT - OUT_FEAT - 1)).astype(np.float32)),
+    }
+    w = jnp.ones(N_SCAN) / N_SCAN
+
+    # warmup / compile
+    for _ in range(3):
+        params, opt_state, total, _ = train_step(params, opt_state, batch, w)
+    jax.block_until_ready(total)
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        params, opt_state, total, _ = train_step(params, opt_state, batch, w)
+        jax.block_until_ready(total)
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    return BATCH / med
+
+
+def bench_torch_baseline(repeats: int = 3) -> float:
+    """Reference-stack implementation (torch sparse SpMM + GEMM) of the same
+    model and AR6 training step, on this host's CPU."""
+    if BASELINE_FILE.exists():
+        return json.loads(BASELINE_FILE.read_text())["samples_per_sec"]
+    from bench_baseline_torch import measure_torch_baseline
+
+    val = measure_torch_baseline(repeats=repeats)
+    BASELINE_FILE.write_text(json.dumps({
+        "samples_per_sec": val,
+        "what": "PyTorch (reference stack) UNetSpherical HEALPix-16 AR6 "
+                "batch16 train step, CPU of this host (no NVIDIA GPU "
+                "available); torch sparse.mm Chebyshev + dense GEMM",
+    }, indent=1))
+    return val
+
+
+def main():
+    value = bench_jax()
+    try:
+        base = bench_torch_baseline()
+    except Exception as e:  # torch baseline must never break the bench line
+        print(f"torch baseline failed: {e}", file=sys.stderr)
+        base = None
+    vs = value / base if base else 1.0
+    print(json.dumps({
+        "metric": "ar6_train_samples_per_sec_healpix16_b16",
+        "value": round(value, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

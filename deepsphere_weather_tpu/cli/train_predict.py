@@ -1,0 +1,231 @@
+"""Main train + predict + verify driver.
+
+End-to-end parity with the reference driver
+(reference: scripts_training/train_predict_state.py:136-632):
+config -> open zarr stores -> scalers -> train/val/test time split ->
+tensor_info -> model build -> area-weighted loss -> Adam -> AR scheduler +
+early stopping -> AutoregressiveTraining -> training plots ->
+AutoregressivePredictions (AR=20) -> rechunk -> deterministic verification
++ global summary -> skill plots.
+
+Usage:
+    python -m deepsphere_weather_tpu.cli.train_predict \
+        --config_file cfg.json --data_dir DATA --exp_dir EXP [--force]
+
+Data directory layout (written by the preprocessing/toy pipeline):
+    <data_dir>/Data/dynamic/time_chunked/dynamic.zarr
+    <data_dir>/Data/bc/time_chunked/bc.zarr
+    <data_dir>/Data/static.zarr
+    <data_dir>/Scalers/...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main(cfg_path, data_dir, exp_dir, force: bool = False,
+         ar_iterations_prediction: int = 20, seed_override=None,
+         verbose: bool = True):
+    import jax
+    import optax
+
+    from ..config import (
+        check_same_dict,
+        create_experiment_directories,
+        get_ar_settings,
+        get_dataloader_settings,
+        get_model_name,
+        get_model_settings,
+        get_training_settings,
+        read_config_file,
+        write_config_file,
+    )
+    from ..data import (
+        ARIndexer,
+        GlobalStandardScaler,
+        SphericalDataset,
+        StaticDataset,
+        get_ar_model_tensor_info,
+        load_scaler,
+    )
+    from ..engine import (
+        ARScheduler,
+        AreaWeights,
+        AutoregressivePredictions,
+        AutoregressiveTraining,
+        EarlyStopping,
+        rechunk_forecasts_for_verification,
+    )
+    from ..models import get_model
+    from ..sphere import build_sampling
+    from ..utils import Checkpointer
+    from ..verif import deterministic, global_summary
+    from ..plotting import plot_global_skills, plot_skill_maps
+
+    t_start = time.time()
+    cfg = read_config_file(cfg_path)
+    model_settings = get_model_settings(cfg)
+    training_settings = get_training_settings(cfg)
+    ar_settings = get_ar_settings(cfg)
+    dl_settings = get_dataloader_settings(cfg)
+    if seed_override is not None:
+        training_settings["seed_model_weights"] = seed_override
+
+    data_dir = Path(data_dir)
+
+    # --- open data --------------------------------------------------------
+    data_dynamic = SphericalDataset.open(
+        data_dir / "Data" / "dynamic" / "time_chunked" / "dynamic.zarr")
+    bc_path = data_dir / "Data" / "bc" / "time_chunked" / "bc.zarr"
+    data_bc = SphericalDataset.open(bc_path) if bc_path.exists() else None
+    static_path = data_dir / "Data" / "static.zarr"
+    data_static = (StaticDataset.open(static_path)
+                   if static_path.exists() else None)
+
+    # --- scaler -----------------------------------------------------------
+    scaler_path = data_dir / "Scalers" / "GlobalStandardScaler_dynamic.npz"
+    if scaler_path.exists():
+        scaler = load_scaler(scaler_path)
+    else:
+        scaler = GlobalStandardScaler().fit_dataset(data_dynamic)
+        scaler_path.parent.mkdir(parents=True, exist_ok=True)
+        scaler.save(scaler_path)
+
+    # --- time split (reference: 1980-2014 / 2015-16 / 2017-18,
+    #     train_predict_state.py:217-219; fractional split works for any
+    #     time range) ------------------------------------------------------
+    n = data_dynamic.n_time
+    i_train = int(n * 0.7)
+    i_val = int(n * 0.85)
+    train_dyn = data_dynamic.subset(0, i_train)
+    val_dyn = data_dynamic.subset(i_train, i_val)
+    test_dyn = data_dynamic.subset(i_val, n)
+    train_bc = data_bc.subset(0, i_train) if data_bc else None
+    val_bc = data_bc.subset(i_train, i_val) if data_bc else None
+
+    # --- tensor info + model ---------------------------------------------
+    tensor_info = get_ar_model_tensor_info(ar_settings, data_dynamic,
+                                           data_static=data_static,
+                                           data_bc=data_bc)
+    model_kwargs = {k: v for k, v in model_settings.items()
+                    if k != "architecture_name"}
+    model_kwargs["pool_method"] = str(model_kwargs["pool_method"]).lower()
+    model = get_model(model_settings["architecture_name"], tensor_info,
+                      **model_kwargs)
+    params = model.init(jax.random.key(
+        int(training_settings["seed_model_weights"])))
+
+    # --- experiment dir ---------------------------------------------------
+    model_name = get_model_name(cfg)
+    exp_path = create_experiment_directories(exp_dir, model_name, force=force)
+    write_config_file(cfg, exp_path / "config.json")
+    (exp_path / "tensor_info.json").write_text(
+        json.dumps(tensor_info, indent=1, default=str))
+
+    # --- loss / optimizer / schedulers ------------------------------------
+    samp = build_sampling(model_settings["sampling"],
+                          dict(model_settings["sampling_kwargs"]))
+    area_w = AreaWeights(samp)
+    optimizer = optax.adam(training_settings["learning_rate"], eps=1e-7)
+    ar_scheduler = ARScheduler(
+        method="LinearStep", factor=0.0005, fixed_ar_weights=[0]
+        if training_settings["ar_training_strategy"] == "RNN" else [],
+        initial_ar_absolute_weights=[1, 1],
+        max_ar_iterations=ar_settings["ar_iterations"])
+    early_stopping = EarlyStopping(
+        patience=500 // max(training_settings["scoring_interval"], 1),
+        minimum_iterations=4)
+
+    # --- training ---------------------------------------------------------
+    params, opt_state, info = AutoregressiveTraining(
+        model, params,
+        training_data_dynamic=train_dyn,
+        validation_data_dynamic=val_dyn,
+        training_data_bc=train_bc,
+        validation_data_bc=val_bc,
+        data_static=data_static,
+        scaler=scaler,
+        input_k=ar_settings["input_k"],
+        output_k=ar_settings["output_k"],
+        forecast_cycle=ar_settings["forecast_cycle"],
+        ar_iterations=ar_settings["ar_iterations"],
+        stack_most_recent_prediction=ar_settings["stack_most_recent_prediction"],
+        ar_training_strategy=training_settings["ar_training_strategy"],
+        area_weights=area_w,
+        optimizer=optimizer,
+        ar_scheduler=ar_scheduler,
+        early_stopping=early_stopping,
+        epochs=training_settings["epochs"],
+        training_batch_size=training_settings["training_batch_size"],
+        validation_batch_size=training_settings["validation_batch_size"],
+        scoring_interval=training_settings["scoring_interval"],
+        save_model_each_epoch=training_settings["save_model_each_epoch"],
+        exp_dir=exp_path,
+        num_workers=dl_settings["num_workers"],
+        prefetch_factor=dl_settings["prefetch_factor"],
+        shuffle=dl_settings["random_shuffling"],
+        shuffle_seed=int(training_settings["seed_random_shuffling"]),
+        verbose=verbose,
+    )
+    info.plots(exp_path)
+
+    # --- prediction on the test period (reference: AR=20 -> +120 h,
+    #     train_predict_state.py:484) --------------------------------------
+    forecast = AutoregressivePredictions(
+        model, params,
+        data_dynamic=test_dyn,
+        data_bc=data_bc.subset(i_val, n) if data_bc else None,
+        data_static=data_static,
+        scaler=scaler,
+        input_k=ar_settings["input_k"],
+        output_k=ar_settings["output_k"],
+        forecast_cycle=ar_settings["forecast_cycle"],
+        ar_iterations=ar_iterations_prediction,
+        batch_size=training_settings["training_batch_size"],
+        zarr_fpath=exp_path / "model_predictions" / "forecast_chunked"
+        / "test_forecasts.zarr",
+        verbose=verbose,
+    )
+    rechunk_forecasts_for_verification(
+        forecast,
+        exp_path / "model_predictions" / "space_chunked"
+        / "test_forecasts.zarr")
+
+    # --- verification -----------------------------------------------------
+    skill = deterministic(forecast, test_dyn)
+    skill.save(exp_path / "model_skills" / "deterministic_spatial_skill.npz")
+    gs = global_summary(skill, np.asarray(area_w))
+    gs.save(exp_path / "model_skills" / "deterministic_global_skill.npz")
+
+    # --- plots ------------------------------------------------------------
+    plot_global_skills(gs, exp_path / "figs" / "skills")
+    plot_skill_maps(skill, exp_path / "figs" / "skills")
+
+    if verbose:
+        rmse_last = gs["RMSE"][-1]
+        print(f"[{model_name}] done in {time.time() - t_start:.0f}s; "
+              f"final-leadtime RMSE per var: "
+              f"{dict(zip(tensor_info['feature_order']['dynamic'], np.round(rmse_last, 3)))}")
+    return exp_path, gs
+
+
+def cli():
+    p = argparse.ArgumentParser(description="Train + predict + verify")
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--exp_dir", required=True)
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--ar_iterations_prediction", type=int, default=20)
+    args = p.parse_args()
+    main(args.config_file, args.data_dir, args.exp_dir, force=args.force,
+         ar_iterations_prediction=args.ar_iterations_prediction)
+
+
+if __name__ == "__main__":
+    cli()

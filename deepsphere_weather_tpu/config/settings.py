@@ -1,0 +1,278 @@
+"""Config system: defaults, JSON I/O, strict validation, model naming.
+
+Parity with the reference's three-tier config machinery
+(reference: modules/utils_config.py:29-319, SURVEY.md §5.6):
+- Python default tables per section
+- JSON config files with sections model_settings / dataloader_settings /
+  training_settings / ar_settings (+ optional swag_settings), mandatory-key
+  enforcement and unknown-key rejection
+- model-name derivation from config
+  (e.g. RNN-AR6-UNetSpherical-Healpix_400km-Graph_knn-k20-MaxPooling,
+  utils_config.py:480-536)
+- experiment directory scaffolding (utils_config.py:539-581)
+- check_same_dict for train/predict tensor-layout guards
+  (predict_state.py:162)
+
+TPU-relevant deviations from the reference, all additive:
+- training_settings drops the CUDA-only knobs (benchmark_cudnn,
+  gpu_devices_ids, dataparallel_training) in favor of mesh settings
+  (n_data_parallel); unknown legacy keys are accepted with a warning so
+  reference config files load unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import warnings
+from pathlib import Path
+from typing import Dict, List, Optional
+
+__all__ = [
+    "get_default_settings", "get_default_model_settings",
+    "get_default_training_settings", "get_default_ar_settings",
+    "get_default_dataloader_settings", "get_default_swag_settings",
+    "read_config_file", "write_config_file",
+    "get_model_settings", "get_training_settings", "get_ar_settings",
+    "get_dataloader_settings", "get_swag_settings",
+    "check_same_dict", "get_model_name", "create_experiment_directories",
+]
+
+# Keys the reference uses that are CUDA/torch-specific; accepted + ignored.
+_LEGACY_KEYS = {
+    "training_settings": {"benchmark_cudnn", "gpu_training", "gpu_devices_ids",
+                          "dataparallel_training"},
+    "dataloader_settings": {"prefetch_in_gpu", "pin_memory",
+                            "asyncronous_gpu_transfer",
+                            "autotune_num_workers"},
+}
+
+
+def get_default_model_settings() -> Dict:
+    return {
+        "pretrained_model_name": None,
+        "model_name_prefix": None,
+        "model_name": None,
+        "model_name_suffix": None,
+        "architecture_name": "UNetSpherical",
+        # ConvBlock options
+        "kernel_size_conv": 3,
+        "bias": True,
+        "batch_norm": False,
+        "batch_norm_before_activation": False,
+        "activation": True,
+        "activation_fun": "relu",
+        # Pooling options
+        "pool_method": "Max",
+        "kernel_size_pooling": 4,
+        # Convolution type
+        "conv_type": "graph",
+        "graph_type": "knn",
+        "knn": 20,
+        "periodic_padding": True,
+        # sampling
+        "sampling_name": None,
+        "sampling": None,
+        "sampling_kwargs": None,
+        # architecture extras
+        "skip_connection": "stack",
+        "increment_learning": False,
+    }
+
+
+def get_default_training_settings() -> Dict:
+    return {
+        "epochs": 15,
+        "ar_training_strategy": "RNN",
+        "learning_rate": 0.001,
+        "training_batch_size": 16,
+        "validation_batch_size": 16,
+        "scoring_interval": 20,
+        "save_model_each_epoch": False,
+        "numeric_precision": "float32",
+        "deterministic_training": False,
+        "seed_model_weights": 100,
+        "seed_random_shuffling": 120,
+        # TPU mesh settings (replace the reference's GPU knobs)
+        "n_data_parallel": 1,
+    }
+
+
+def get_default_ar_settings() -> Dict:
+    return {
+        "input_k": [-3, -2, -1],
+        "output_k": [0],
+        "forecast_cycle": 1,
+        "ar_iterations": 6,
+        "stack_most_recent_prediction": True,
+    }
+
+
+def get_default_dataloader_settings() -> Dict:
+    return {
+        "random_shuffling": True,
+        "drop_last_batch": True,
+        "prefetch_factor": 2,
+        "num_workers": 8,
+    }
+
+
+def get_default_swag_settings() -> Dict:
+    return {
+        "swag": False,
+        "target_learning_rate": 0.007,
+        "no_cov_mat": False,
+        "max_num_models": 40,
+        "swag_freq": 10,
+        "swa_start": 0,
+        "sampling_scale": 0.1,
+        "nb_samples": 10,
+    }
+
+
+def get_default_settings() -> Dict:
+    return {
+        "model_settings": get_default_model_settings(),
+        "dataloader_settings": get_default_dataloader_settings(),
+        "training_settings": get_default_training_settings(),
+        "ar_settings": get_default_ar_settings(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# I/O
+# ---------------------------------------------------------------------------
+
+def read_config_file(fpath) -> Dict:
+    fpath = Path(fpath)
+    if not fpath.exists():
+        raise FileNotFoundError(f"config file not found: {fpath}")
+    cfg = json.loads(fpath.read_text())
+    if not isinstance(cfg, dict):
+        raise ValueError("config file must contain a JSON object")
+    return cfg
+
+
+def write_config_file(cfg: Dict, fpath):
+    fpath = Path(fpath)
+    fpath.parent.mkdir(parents=True, exist_ok=True)
+    fpath.write_text(json.dumps(cfg, indent=4))
+
+
+# ---------------------------------------------------------------------------
+# Section extraction with strict validation
+# ---------------------------------------------------------------------------
+
+def _get_section(cfg: Dict, section: str, defaults: Dict,
+                 mandatory: List[str]) -> Dict:
+    provided = dict(cfg.get(section, {}))
+    legacy = _LEGACY_KEYS.get(section, set())
+    dropped = {k for k in provided if k in legacy}
+    if dropped:
+        warnings.warn(
+            f"{section}: ignoring legacy GPU-specific keys {sorted(dropped)}")
+        for k in dropped:
+            provided.pop(k)
+    unknown = set(provided) - set(defaults)
+    if unknown:
+        raise ValueError(f"{section}: invalid keys {sorted(unknown)}")
+    out = dict(defaults)
+    out.update(provided)
+    missing = [k for k in mandatory if out.get(k) is None]
+    if missing:
+        raise ValueError(f"{section}: mandatory keys missing {missing}")
+    return out
+
+
+def get_model_settings(cfg: Dict) -> Dict:
+    return _get_section(cfg, "model_settings", get_default_model_settings(),
+                        mandatory=["architecture_name", "sampling",
+                                   "sampling_kwargs"])
+
+
+def get_training_settings(cfg: Dict) -> Dict:
+    return _get_section(cfg, "training_settings",
+                        get_default_training_settings(), mandatory=[])
+
+
+def get_ar_settings(cfg: Dict) -> Dict:
+    return _get_section(cfg, "ar_settings", get_default_ar_settings(),
+                        mandatory=["input_k", "output_k", "forecast_cycle",
+                                   "ar_iterations"])
+
+
+def get_dataloader_settings(cfg: Dict) -> Dict:
+    return _get_section(cfg, "dataloader_settings",
+                        get_default_dataloader_settings(), mandatory=[])
+
+
+def get_swag_settings(cfg: Dict) -> Dict:
+    # reference section name is SWAG_settings
+    section = "swag_settings" if "swag_settings" in cfg else "SWAG_settings"
+    tmp = {**cfg}
+    tmp["swag_settings"] = tmp.pop(section, {})
+    # reference key capitalization: SWAG
+    s = dict(tmp["swag_settings"])
+    if "SWAG" in s:
+        s["swag"] = s.pop("SWAG")
+    tmp["swag_settings"] = s
+    return _get_section(tmp, "swag_settings", get_default_swag_settings(),
+                        mandatory=[])
+
+
+def check_same_dict(d1: Dict, d2: Dict, name: str = "tensor_info"):
+    """Deep-equality guard (reference uses deepdiff, utils_config.py:322-328)."""
+    if json.dumps(d1, sort_keys=True, default=str) != json.dumps(
+            d2, sort_keys=True, default=str):
+        raise ValueError(
+            f"{name} mismatch between training and prediction configuration")
+
+
+# ---------------------------------------------------------------------------
+# Model naming + experiment dirs
+# ---------------------------------------------------------------------------
+
+def get_model_name(cfg: Dict) -> str:
+    """Derive the experiment name from config
+    (reference format, utils_config.py:480-536)."""
+    ms = get_model_settings(cfg)
+    ts = get_training_settings(cfg)
+    ars = get_ar_settings(cfg)
+    if ms.get("model_name"):
+        name = ms["model_name"]
+    else:
+        sampling_name = ms.get("sampling_name") or ms["sampling"]
+        pieces = [
+            f"{ts['ar_training_strategy']}-AR{ars['ar_iterations']}",
+            ms["architecture_name"],
+            str(sampling_name),
+        ]
+        if ms["conv_type"] == "graph":
+            pieces.append(f"Graph_{ms['graph_type']}")
+            pieces.append(f"k{ms['knn']}")
+        else:
+            pieces.append("Image")
+        pieces.append(f"{str(ms['pool_method']).capitalize()}Pooling")
+        name = "-".join(pieces)
+    prefix = ms.get("model_name_prefix")
+    suffix = ms.get("model_name_suffix")
+    if prefix:
+        name = f"{prefix}-{name}"
+    if suffix:
+        name = f"{name}-{suffix}"
+    return name
+
+
+def create_experiment_directories(exp_dir, model_name: str,
+                                  force: bool = False) -> Path:
+    """Scaffold the experiment directory contract
+    (reference layout, utils_config.py:539-581)."""
+    exp_dir = Path(exp_dir) / model_name
+    if exp_dir.exists() and not force:
+        raise FileExistsError(
+            f"experiment dir {exp_dir} exists; use force=True to overwrite")
+    for sub in ("model_weights", "figs/skills", "figs/training_info",
+                "model_predictions/space_chunked",
+                "model_predictions/forecast_chunked",
+                "model_skills", "training_info"):
+        (exp_dir / sub).mkdir(parents=True, exist_ok=True)
+    return exp_dir

@@ -2,6 +2,7 @@
 
 from .zarrstore import ZarrArray, ZarrGroup, create_group, open_group  # noqa: F401
 from .dataset import (  # noqa: F401
+    DatasetView,
     SphericalDataset,
     StaticDataset,
     save_dynamic,

@@ -89,6 +89,43 @@ class SphericalDataset:
     def read_all(self) -> np.ndarray:
         return self.read_stacked(np.arange(self.n_time))
 
+    def subset(self, lo: int, hi: int) -> "DatasetView":
+        """Contiguous time-sliced view (train/val/test splits)."""
+        return DatasetView(self, lo, hi)
+
+    def subset_between(self, start=None, end=None) -> "DatasetView":
+        idx = self.time_indices_between(start, end)
+        if len(idx) == 0:
+            raise ValueError(f"no timesteps in [{start}, {end})")
+        return DatasetView(self, int(idx[0]), int(idx[-1]) + 1)
+
+
+class DatasetView:
+    """Time-sliced view of a SphericalDataset (same read interface)."""
+
+    def __init__(self, ds: "SphericalDataset", lo: int, hi: int):
+        self._ds = ds
+        self._lo = lo
+        self.time = ds.time[lo:hi]
+        self.n_time = hi - lo
+        self.n_node = ds.n_node
+        self.feature_order = ds.feature_order
+        self.lat, self.lon = ds.lat, ds.lon
+
+    @property
+    def timestep(self):
+        return self._ds.timestep
+
+    @property
+    def n_feature(self) -> int:
+        return len(self.feature_order)
+
+    def read_stacked(self, t_index) -> np.ndarray:
+        return self._ds.read_stacked(np.asarray(t_index) + self._lo)
+
+    def read_all(self) -> np.ndarray:
+        return self.read_stacked(np.arange(self.n_time))
+
 
 class StaticDataset:
     """Time-invariant fields on a sampling, dims (node,)."""

@@ -1,0 +1,11 @@
+"""Plotting/reporting (reference: modules/my_plotting.py, xsphere plots)."""
+
+from .skills import (  # noqa: F401
+    plot_map,
+    plot_skill_maps,
+    plot_global_skill,
+    plot_global_skills,
+    plot_skills_distribution,
+    benchmark_global_skill,
+    benchmark_global_skills,
+)

@@ -1,0 +1,161 @@
+"""Config system + end-to-end CLI driver tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from deepsphere_weather_tpu.config import (
+    check_same_dict,
+    create_experiment_directories,
+    get_ar_settings,
+    get_default_settings,
+    get_model_name,
+    get_model_settings,
+    get_swag_settings,
+    get_training_settings,
+    read_config_file,
+    write_config_file,
+)
+
+
+def make_config(tmp_path, **model_overrides):
+    cfg = get_default_settings()
+    cfg["model_settings"].update({
+        "sampling_name": "Healpix_50km_toy",
+        "sampling": "healpix",
+        "sampling_kwargs": {"subdivisions": 4, "nest": True},
+        "knn": 8,
+        "increment_learning": True,
+        **model_overrides,
+    })
+    cfg["training_settings"].update({
+        "epochs": 1, "learning_rate": 2e-3, "training_batch_size": 8,
+        "validation_batch_size": 8, "scoring_interval": 5,
+    })
+    cfg["ar_settings"].update({
+        "input_k": [-3, -2, -1], "output_k": [0], "forecast_cycle": 1,
+        "ar_iterations": 2,
+    })
+    cfg["dataloader_settings"]["num_workers"] = 1
+    p = tmp_path / "config.json"
+    write_config_file(cfg, p)
+    return p, cfg
+
+
+class TestConfig:
+    def test_roundtrip_and_validation(self, tmp_path):
+        p, cfg = make_config(tmp_path)
+        cfg2 = read_config_file(p)
+        assert get_model_settings(cfg2)["knn"] == 8
+        assert get_ar_settings(cfg2)["ar_iterations"] == 2
+        # unknown keys rejected
+        bad = dict(cfg2)
+        bad["model_settings"] = {**bad["model_settings"], "bogus_key": 1}
+        with pytest.raises(ValueError, match="invalid keys"):
+            get_model_settings(bad)
+        # mandatory keys enforced
+        bad2 = {"model_settings": {"architecture_name": "UNetSpherical"}}
+        with pytest.raises(ValueError, match="mandatory"):
+            get_model_settings(bad2)
+
+    def test_legacy_gpu_keys_accepted_with_warning(self, tmp_path):
+        _, cfg = make_config(tmp_path)
+        cfg["training_settings"]["benchmark_cudnn"] = True
+        cfg["training_settings"]["gpu_training"] = True
+        with pytest.warns(UserWarning, match="legacy"):
+            ts = get_training_settings(cfg)
+        assert "benchmark_cudnn" not in ts
+
+    def test_reference_config_file_loads(self, tmp_path):
+        # a verbatim reference-schema config (reference:
+        # configs/UNetSpherical/Healpix_400km/MaxPool-Graph_knn.json)
+        ref_cfg = {
+            "model_settings": {
+                "kernel_size_conv": 3, "bias": True, "batch_norm": False,
+                "batch_norm_before_activation": False, "activation": True,
+                "activation_fun": "relu", "pool_method": "Max",
+                "kernel_size_pooling": 4, "conv_type": "graph",
+                "graph_type": "knn", "knn": 20, "periodic_padding": "True",
+                "sampling_name": "Healpix_400km", "sampling": "healpix",
+                "sampling_kwargs": {"subdivisions": 16, "nest": True},
+                "architecture_name": "UNetSpherical",
+            },
+            "dataloader_settings": {
+                "random_shuffling": True, "drop_last_batch": False,
+                "prefetch_in_gpu": False, "prefetch_factor": 2,
+                "pin_memory": False, "asyncronous_gpu_transfer": True,
+                "num_workers": 8, "autotune_num_workers": False,
+            },
+            "training_settings": {
+                "epochs": 15, "ar_training_strategy": "RNN",
+                "learning_rate": 0.007, "training_batch_size": 16,
+                "validation_batch_size": 16, "scoring_interval": 30,
+                "save_model_each_epoch": False,
+                "numeric_precision": "float32",
+                "deterministic_training": True, "seed_model_weights": 10,
+                "seed_random_shuffling": 15, "benchmark_cudnn": True,
+                "gpu_training": True, "gpu_devices_ids": [0],
+                "dataparallel_training": False,
+            },
+            "ar_settings": {
+                "input_k": [-18, -12, -6], "output_k": [0],
+                "forecast_cycle": 6, "ar_iterations": 6,
+                "stack_most_recent_prediction": True,
+            },
+        }
+        with pytest.warns(UserWarning):
+            ms = get_model_settings(ref_cfg)
+            ts = get_training_settings(ref_cfg)
+        assert ms["sampling_kwargs"]["subdivisions"] == 16
+        assert ts["learning_rate"] == 0.007
+        name = get_model_name(ref_cfg)
+        assert name == "RNN-AR6-UNetSpherical-Healpix_400km-Graph_knn-k20-MaxPooling"
+
+    def test_swag_settings_section(self):
+        cfg = {"SWAG_settings": {"SWAG": True, "nb_samples": 5}}
+        s = get_swag_settings(cfg)
+        assert s["swag"] is True and s["nb_samples"] == 5
+
+    def test_check_same_dict(self):
+        check_same_dict({"a": [1, 2]}, {"a": [1, 2]})
+        with pytest.raises(ValueError):
+            check_same_dict({"a": 1}, {"a": 2})
+
+    def test_experiment_dirs(self, tmp_path):
+        d = create_experiment_directories(tmp_path, "my-model")
+        assert (d / "model_weights").is_dir()
+        assert (d / "model_predictions" / "space_chunked").is_dir()
+        with pytest.raises(FileExistsError):
+            create_experiment_directories(tmp_path, "my-model")
+        create_experiment_directories(tmp_path, "my-model", force=True)
+
+
+class TestEndToEndDriver:
+    def test_train_predict_verify(self, tmp_path):
+        """The reference's main driver flow on toy data (SURVEY.md §4.5:
+        toy-data end-to-end train+predict+verify smoke test)."""
+        from deepsphere_weather_tpu.cli.train_predict import main
+        from deepsphere_weather_tpu.data import generate_toy_data
+
+        data_dir = tmp_path / "data"
+        generate_toy_data(data_dir,
+                          sampling_kwargs={"subdivisions": 4, "nest": True},
+                          n_timesteps=260, seed=3)
+        cfg_path, _ = make_config(tmp_path)
+        exp_path, gs = main(cfg_path, data_dir, tmp_path / "exp",
+                            force=True, ar_iterations_prediction=4,
+                            verbose=False)
+        # experiment artifacts exist
+        assert (exp_path / "config.json").exists()
+        assert (exp_path / "model_weights" / "model.npz").exists()
+        assert (exp_path / "model_skills"
+                / "deterministic_global_skill.npz").exists()
+        assert (exp_path / "figs" / "skills" / "global_skills.png").exists()
+        assert (exp_path / "figs" / "training_info"
+                / "loss_curves.png").exists()
+        pred_store = (exp_path / "model_predictions" / "forecast_chunked"
+                      / "test_forecasts.zarr")
+        assert (pred_store / ".zgroup").exists()
+        # skills finite
+        assert np.all(np.isfinite(gs["RMSE"]))
