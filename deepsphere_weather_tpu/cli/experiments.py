@@ -1,0 +1,152 @@
+"""Experiment sweep launchers
+(reference: scripts_training/01-06_exp_*.py subprocess sweeps).
+
+The reference mutates JSON configs and spawns `train_predict_state.py`
+subprocesses per run (reference: 01_exp_reproducibility.py:52-88,
+03_exp_samplings.py:39-57, 06_exp_DeepEnsemble.py:57-102). Here each
+sweep is a function looping over configs in-process (subprocess isolation
+is unnecessary — jit caches are per-configuration), covering:
+
+- reproducibility: seed regimes x repeats, with determinism as the oracle
+- samplings/poolings: grid over sampling or pool_method variants
+- deep_ensemble: N members with different weight seeds, member stores,
+  median verification (verify_DeepEnsemble.py parity)
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import read_config_file, write_config_file
+
+__all__ = ["run_reproducibility_experiment", "run_sweep",
+           "run_deep_ensemble"]
+
+
+def run_reproducibility_experiment(cfg_path, data_dir, exp_dir,
+                                   n_models: int = 2,
+                                   seed_regimes: Optional[List[Dict]] = None,
+                                   verbose: bool = False) -> Dict:
+    """Train repeats under seed regimes; returns final losses per run
+    (reference 01_exp_reproducibility.py:49-304: fixed/random weights x
+    fixed/random shuffling, determinism as the test oracle)."""
+    from .train_predict import main as train_main
+
+    cfg = read_config_file(cfg_path)
+    if seed_regimes is None:
+        seed_regimes = [
+            {"name": "fixed_weights_fixed_shuffle",
+             "seed_model_weights": 10, "seed_random_shuffling": 15},
+            {"name": "random_weights_fixed_shuffle",
+             "seed_model_weights": None, "seed_random_shuffling": 15},
+        ]
+    results = {}
+    tmp_dir = Path(exp_dir) / "_tmp_configs"
+    tmp_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for regime in seed_regimes:
+        finals = []
+        for i in range(n_models):
+            c = copy.deepcopy(cfg)
+            sw = regime["seed_model_weights"]
+            if sw is None:
+                sw = int(rng.integers(0, 2 ** 31))
+            c["training_settings"]["seed_model_weights"] = sw
+            c["training_settings"]["seed_random_shuffling"] = (
+                regime["seed_random_shuffling"])
+            c["model_settings"]["model_name_suffix"] = (
+                f"{regime['name']}-run{i}")
+            p = tmp_dir / f"{regime['name']}_run{i}.json"
+            write_config_file(c, p)
+            _, gs = train_main(p, data_dir, exp_dir, force=True,
+                               ar_iterations_prediction=2, verbose=verbose)
+            finals.append(float(gs["RMSE"][-1].mean()))
+        results[regime["name"]] = finals
+    return results
+
+
+def run_sweep(cfg_path, data_dir, exp_dir, sweep: Dict[str, List],
+              section: str = "model_settings",
+              verbose: bool = False) -> Dict:
+    """Generic config sweep: one training per value combination
+    (reference 03_exp_samplings.py / 03_exp_poolings.py /
+    04_exp_activation_funs.py pattern)."""
+    from itertools import product
+
+    from .train_predict import main as train_main
+
+    cfg = read_config_file(cfg_path)
+    keys = sorted(sweep)
+    results = {}
+    tmp_dir = Path(exp_dir) / "_tmp_configs"
+    tmp_dir.mkdir(parents=True, exist_ok=True)
+    for combo in product(*(sweep[k] for k in keys)):
+        c = copy.deepcopy(cfg)
+        label_parts = []
+        for k, v in zip(keys, combo):
+            c[section][k] = v
+            label_parts.append(f"{k}-{v}")
+        label = "_".join(label_parts)
+        c["model_settings"]["model_name_suffix"] = label
+        p = tmp_dir / f"sweep_{label}.json"
+        write_config_file(c, p)
+        _, gs = train_main(p, data_dir, exp_dir, force=True,
+                           ar_iterations_prediction=2, verbose=verbose)
+        results[label] = float(gs["RMSE"][-1].mean())
+    return results
+
+
+def run_deep_ensemble(cfg_path, data_dir, exp_dir, n_members: int = 5,
+                      ar_iterations_prediction: int = 4,
+                      verbose: bool = False) -> Dict:
+    """DeepEnsemble: train n members with different weight seeds, run
+    member predictions, verify the ensemble median
+    (reference 06_exp_DeepEnsemble.py:57-102 + verify_DeepEnsemble.py)."""
+    from ..engine import ForecastDataset
+    from ..prob import build_ensemble_store, ensemble_median
+    from ..verif import deterministic, global_summary
+    from ..engine.loss import AreaWeights
+    from ..sphere import build_sampling
+    from ..data import SphericalDataset
+    from .train_predict import main as train_main
+
+    cfg = read_config_file(cfg_path)
+    tmp_dir = Path(exp_dir) / "_tmp_configs"
+    tmp_dir.mkdir(parents=True, exist_ok=True)
+    member_forecasts = []
+    for m in range(n_members):
+        c = copy.deepcopy(cfg)
+        c["training_settings"]["seed_model_weights"] = 1000 + m
+        c["model_settings"]["model_name_suffix"] = f"member{m}"
+        p = tmp_dir / f"ensemble_member{m}.json"
+        write_config_file(c, p)
+        exp_path, _ = train_main(
+            p, data_dir, exp_dir, force=True,
+            ar_iterations_prediction=ar_iterations_prediction,
+            verbose=verbose)
+        member_forecasts.append(ForecastDataset.open(
+            exp_path / "model_predictions" / "forecast_chunked"
+            / "test_forecasts.zarr"))
+
+    ens_dir = Path(exp_dir) / "DeepEnsemble"
+    ens_dir.mkdir(parents=True, exist_ok=True)
+    ensemble = build_ensemble_store(member_forecasts,
+                                    ens_dir / "ensemble.zarr")
+    median = ensemble_median(ensemble, ens_dir / "median.zarr")
+
+    # verify median against the test split
+    data_dynamic = SphericalDataset.open(
+        Path(data_dir) / "Data" / "dynamic" / "time_chunked" / "dynamic.zarr")
+    n = data_dynamic.n_time
+    test_dyn = data_dynamic.subset(int(n * 0.85), n)
+    ms = cfg["model_settings"]
+    samp = build_sampling(ms["sampling"], dict(ms["sampling_kwargs"]))
+    skill = deterministic(median, test_dyn)
+    gs = global_summary(skill, np.asarray(AreaWeights(samp)))
+    gs.save(ens_dir / "median_global_skill.npz")
+    return {"ensemble": ensemble, "median": median, "global_skill": gs}

@@ -1,0 +1,146 @@
+"""SWAG fine-tuning + ensemble prediction driver
+(reference: scripts_swag/finetune_swag.py:82-640).
+
+Loads a pretrained experiment, wraps its parameters in a SWAG posterior,
+continues AR training with periodic moment collection
+(swag=True, swag_freq, swa_start — reference finetune_swag.py:354-401),
+then runs AutoregressiveSWAGPredictions and verifies the ensemble median.
+
+Usage:
+    python -m deepsphere_weather_tpu.cli.finetune_swag \
+        --model_dir EXP/<model-name> --data_dir DATA [--nb_samples 10] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
+         sampling_scale: float = 0.1, swag_freq: int = 2, swa_start: int = 0,
+         max_num_models: int = 20, ar_iterations_prediction: int = 10,
+         target_learning_rate: float = 0.007, verbose: bool = True):
+    import jax
+    import optax
+
+    from ..config import (get_ar_settings, get_model_settings,
+                          get_swag_settings, get_training_settings,
+                          read_config_file)
+    from ..data import (SphericalDataset, StaticDataset,
+                        get_ar_model_tensor_info, load_scaler)
+    from ..engine import AreaWeights, AutoregressiveTraining
+    from ..models import get_model
+    from ..prob import SWAG, AutoregressiveSWAGPredictions
+    from ..sphere import build_sampling
+    from ..utils import Checkpointer
+    from ..verif import deterministic, global_summary
+
+    model_dir = Path(model_dir)
+    data_dir = Path(data_dir)
+    cfg = read_config_file(model_dir / "config.json")
+    model_settings = get_model_settings(cfg)
+    training_settings = get_training_settings(cfg)
+    ar_settings = get_ar_settings(cfg)
+
+    data_dynamic = SphericalDataset.open(
+        data_dir / "Data" / "dynamic" / "time_chunked" / "dynamic.zarr")
+    bc_path = data_dir / "Data" / "bc" / "time_chunked" / "bc.zarr"
+    data_bc = SphericalDataset.open(bc_path) if bc_path.exists() else None
+    static_path = data_dir / "Data" / "static.zarr"
+    data_static = (StaticDataset.open(static_path)
+                   if static_path.exists() else None)
+    scaler_path = data_dir / "Scalers" / "GlobalStandardScaler_dynamic.npz"
+    scaler = load_scaler(scaler_path) if scaler_path.exists() else None
+
+    tensor_info = get_ar_model_tensor_info(ar_settings, data_dynamic,
+                                           data_static=data_static,
+                                           data_bc=data_bc)
+    model_kwargs = {k: v for k, v in model_settings.items()
+                    if k != "architecture_name"}
+    model_kwargs["pool_method"] = str(model_kwargs["pool_method"]).lower()
+    model = get_model(model_settings["architecture_name"], tensor_info,
+                      **model_kwargs)
+    template = model.init(jax.random.key(0))
+    params = Checkpointer(model_dir).load_model(template)
+
+    # --- SWAG posterior + initial collection (finetune_swag.py:226-231) ---
+    swag = SWAG(params, max_num_models=max_num_models)
+    swag.collect_model(params)
+
+    n = data_dynamic.n_time
+    i_train = int(n * 0.7)
+    i_val = int(n * 0.85)
+    samp = build_sampling(model_settings["sampling"],
+                          dict(model_settings["sampling_kwargs"]))
+    area_w = AreaWeights(samp)
+
+    params, _, info = AutoregressiveTraining(
+        model, params,
+        training_data_dynamic=data_dynamic.subset(0, i_train),
+        validation_data_dynamic=data_dynamic.subset(i_train, i_val),
+        training_data_bc=data_bc.subset(0, i_train) if data_bc else None,
+        validation_data_bc=data_bc.subset(i_train, i_val) if data_bc else None,
+        data_static=data_static, scaler=scaler,
+        input_k=ar_settings["input_k"], output_k=ar_settings["output_k"],
+        forecast_cycle=ar_settings["forecast_cycle"],
+        ar_iterations=ar_settings["ar_iterations"],
+        ar_training_strategy=training_settings["ar_training_strategy"],
+        area_weights=area_w,
+        optimizer=optax.adam(target_learning_rate, eps=1e-7),
+        epochs=epochs,
+        training_batch_size=training_settings["training_batch_size"],
+        validation_batch_size=training_settings["validation_batch_size"],
+        scoring_interval=training_settings["scoring_interval"],
+        swag=True, swag_model=swag, swag_freq=swag_freq, swa_start=swa_start,
+        exp_dir=model_dir, num_workers=2, verbose=verbose,
+    )
+    swag.save(model_dir / "model_weights" / "model_swag.npz")
+
+    # --- ensemble predictions on the test period --------------------------
+    test_dyn = data_dynamic.subset(i_val, n)
+    out = AutoregressiveSWAGPredictions(
+        model, swag,
+        rng=jax.random.key(0),
+        nb_samples=nb_samples, sampling_scale=sampling_scale,
+        out_dir=model_dir / "model_predictions" / "swag",
+        data_dynamic=test_dyn,
+        data_bc=data_bc.subset(i_val, n) if data_bc else None,
+        data_static=data_static, scaler=scaler,
+        input_k=ar_settings["input_k"], output_k=ar_settings["output_k"],
+        forecast_cycle=ar_settings["forecast_cycle"],
+        ar_iterations=ar_iterations_prediction,
+        batch_size=training_settings["training_batch_size"],
+    )
+    # --- verify the ensemble median (probabilistic verify stand-in) -------
+    skill = deterministic(out["median"], test_dyn)
+    gs = global_summary(skill, np.asarray(area_w))
+    gs.save(model_dir / "model_skills" / "swag_median_global_skill.npz")
+    if verbose:
+        print(f"SWAG ensemble ({nb_samples} members) verified; "
+              f"median RMSE at last leadtime: "
+              f"{np.round(gs['RMSE'][-1], 3)}")
+    return out, gs
+
+
+def cli():
+    p = argparse.ArgumentParser(description="SWAG fine-tune + ensemble predict")
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--nb_samples", type=int, default=5)
+    p.add_argument("--sampling_scale", type=float, default=0.1)
+    p.add_argument("--swag_freq", type=int, default=2)
+    p.add_argument("--swa_start", type=int, default=0)
+    p.add_argument("--max_num_models", type=int, default=20)
+    args = p.parse_args()
+    main(args.model_dir, args.data_dir, epochs=args.epochs,
+         nb_samples=args.nb_samples, sampling_scale=args.sampling_scale,
+         swag_freq=args.swag_freq, swa_start=args.swa_start,
+         max_num_models=args.max_num_models)
+
+
+if __name__ == "__main__":
+    cli()

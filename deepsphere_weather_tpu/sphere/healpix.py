@@ -167,6 +167,10 @@ def healpix_lonlat(subdivisions: int, nest: bool = True):
     lon in [0, 360), lat in [-90, 90].
     """
     nside = int(subdivisions)
+    if nside < 1:
+        raise ValueError(
+            f"HEALPix subdivisions must be >= 1, got {nside} (a 3-level UNet "
+            "needs the base sampling at subdivisions >= 4)")
     npix = nside2npix(nside)
     idx = np.arange(npix)
     if nest:
