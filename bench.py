@@ -53,7 +53,7 @@ def bench_jax(repeats: int = 20) -> float:
 
     from deepsphere_weather_tpu.data.ar import ARIndexer
     from deepsphere_weather_tpu.engine.loss import AreaWeights
-    from deepsphere_weather_tpu.engine.step import make_train_step
+    from deepsphere_weather_tpu.engine.step import make_context, make_train_step
     from deepsphere_weather_tpu.models import UNetSpherical
     from deepsphere_weather_tpu.sphere import build_sampling
 
@@ -61,38 +61,41 @@ def bench_jax(repeats: int = 20) -> float:
         tensor_info=_tensor_info(), sampling="healpix",
         sampling_kwargs={"subdivisions": SUBDIV, "nest": True},
         knn=KNN, pool_method="max", increment_learning=True)
-    params = model.init(jax.random.key(0))
+    params = jax.device_put(model.init(jax.random.key(0)))
     indexer = ARIndexer.build([-3, -2, -1], [0], 1, AR_ITERS)
     samp = build_sampling("healpix", {"subdivisions": SUBDIV, "nest": True})
     area_w = AreaWeights(samp)
     optimizer = optax.adam(1e-3, eps=1e-7)
-    opt_state = optimizer.init(params)
-    train_step = make_train_step(model, indexer, area_w, optimizer,
+    opt_state = jax.device_put(optimizer.init(params))
+    ctx = make_context(model, area_w)
+    train_step = make_train_step(model, indexer, optimizer,
                                  n_scan_iterations=N_SCAN,
                                  ar_training_strategy="RNN")
 
     rng = np.random.default_rng(0)
     W = indexer.window_size
-    batch = {
-        "dynamic": jnp.asarray(rng.standard_normal(
-            (BATCH, W, N_NODE, OUT_FEAT)).astype(np.float32)),
-        "bc": jnp.asarray(rng.standard_normal(
-            (BATCH, W, N_NODE, 1)).astype(np.float32)),
-        "static": jnp.asarray(rng.standard_normal(
-            (N_NODE, IN_FEAT - OUT_FEAT - 1)).astype(np.float32)),
-    }
+    batch = jax.device_put({
+        "dynamic": rng.standard_normal(
+            (BATCH, W, N_NODE, OUT_FEAT)).astype(np.float32),
+        "bc": rng.standard_normal(
+            (BATCH, W, N_NODE, 1)).astype(np.float32),
+        "static": rng.standard_normal(
+            (N_NODE, IN_FEAT - OUT_FEAT - 1)).astype(np.float32),
+    })
     w = jnp.ones(N_SCAN) / N_SCAN
 
-    # warmup / compile
+    # warmup / compile (scalar fetch forces full synchronization)
     for _ in range(3):
-        params, opt_state, total, _ = train_step(params, opt_state, batch, w)
-    jax.block_until_ready(total)
+        params, opt_state, total, _ = train_step(params, opt_state, batch, w,
+                                                 ctx)
+    _ = float(total)
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        params, opt_state, total, _ = train_step(params, opt_state, batch, w)
-        jax.block_until_ready(total)
+        params, opt_state, total, _ = train_step(params, opt_state, batch, w,
+                                                 ctx)
+        _ = float(total)
         times.append(time.perf_counter() - t0)
     med = sorted(times)[len(times) // 2]
     return BATCH / med

@@ -5,6 +5,7 @@ from .scheduler import ARScheduler, EarlyStopping  # noqa: F401
 from .step import (  # noqa: F401
     assemble_input,
     make_ar_loss_fn,
+    make_context,
     make_rollout_block,
     make_train_step,
     make_validation_fn,

@@ -160,8 +160,9 @@ def AutoregressivePredictions(
         c[...] = cval
 
     # --- rollout ----------------------------------------------------------
-    static = (jnp.asarray(data_static.read_stacked())
+    static = (jax.device_put(data_static.read_stacked())
               if data_static is not None else None)
+    geom = jax.device_put(model.geometry_pytree())
     rollout_fn, H = make_rollout_block(model, indexer, ar_blocks)
     min_k = min(indexer.input_k)
 
@@ -197,7 +198,7 @@ def AutoregressivePredictions(
                         t_in = np.clip(t_in, 0, data_bc.n_time - 1)
                         bc_np[b, j] = data_bc.read_stacked(t_in)
                 bc_block = jnp.asarray(bc_np)
-            hist, preds = rollout_fn(params, hist, bc_block, static)
+            hist, preds = rollout_fn(params, hist, bc_block, static, geom)
             preds = np.asarray(preds[:, :steps])     # [B, steps, n_out, V, F]
 
             # inverse scale + round + write

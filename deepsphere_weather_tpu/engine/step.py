@@ -58,13 +58,26 @@ def assemble_input(dyn_buf: jnp.ndarray, bc: Optional[jnp.ndarray],
     return jnp.concatenate(parts, axis=-1)
 
 
-def make_ar_loss_fn(model, indexer: ARIndexer, area_w: jnp.ndarray,
+def make_context(model, area_w: jnp.ndarray) -> Dict:
+    """Device-resident step context: model geometry + loss weights.
+
+    Passed as a jit ARGUMENT to every step. Closure-captured device
+    constants are re-uploaded on every executable invocation on tunneled
+    TPU runtimes (~50 MB/step at HEALPix-16 — measured 730 ms vs 35 ms),
+    so all large static arrays must flow through arguments.
+    """
+    return jax.device_put({"geom": model.geometry_pytree(),
+                           "area_w": jnp.asarray(area_w)})
+
+
+def make_ar_loss_fn(model, indexer: ARIndexer,
                     n_scan_iterations: int,
                     ar_training_strategy: str = "RNN") -> Callable:
-    """Build loss(params, batch, ar_weights) -> (total, per_iter_losses).
+    """Build loss(params, batch, ar_weights, ctx) -> (total, per_iter).
 
     `n_scan_iterations` is static (= current AR iterations + 1); the AR
-    weight vector is a traced [n_scan_iterations] array.
+    weight vector is a traced [n_scan_iterations] array; ctx comes from
+    make_context.
     """
     if ar_training_strategy not in ("RNN", "AR"):
         raise ValueError("ar_training_strategy must be 'RNN' or 'AR'")
@@ -72,14 +85,16 @@ def make_ar_loss_fn(model, indexer: ARIndexer, area_w: jnp.ndarray,
     out_pos = jnp.asarray(indexer.output_pos)
     stop_grad = ar_training_strategy == "AR"
 
-    def loss_fn(params, batch: Dict, ar_weights: jnp.ndarray):
+    def loss_fn(params, batch: Dict, ar_weights: jnp.ndarray, ctx: Dict):
         dyn = batch["dynamic"]
         bc = batch.get("bc")
         static = batch.get("static")
+        geom = ctx["geom"]
+        area_w = ctx["area_w"]
 
         def step(dyn_buf, i):
             x = assemble_input(dyn_buf, bc, static, in_pos[i])
-            y_pred = model.apply(params, x)              # [B, n_out, V, Fd]
+            y_pred = model.apply(params, x, geom=geom)   # [B, n_out, V, Fd]
             y_true = jnp.take(dyn, out_pos[i], axis=1)
             l = weighted_mse(y_pred, y_true, area_w)
             y_write = jax.lax.stop_gradient(y_pred) if stop_grad else y_pred
@@ -94,19 +109,19 @@ def make_ar_loss_fn(model, indexer: ARIndexer, area_w: jnp.ndarray,
     return loss_fn
 
 
-def make_train_step(model, indexer: ARIndexer, area_w: jnp.ndarray,
+def make_train_step(model, indexer: ARIndexer,
                     optimizer: optax.GradientTransformation,
                     n_scan_iterations: int,
                     ar_training_strategy: str = "RNN") -> Callable:
-    """Jitted train step: (params, opt_state, batch, ar_weights) ->
+    """Jitted train step: (params, opt_state, batch, ar_weights, ctx) ->
     (params, opt_state, total_loss, per_iter_losses)."""
-    loss_fn = make_ar_loss_fn(model, indexer, area_w, n_scan_iterations,
+    loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations,
                               ar_training_strategy)
 
     @functools.partial(jax.jit, donate_argnums=(1,))
-    def train_step(params, opt_state, batch, ar_weights):
+    def train_step(params, opt_state, batch, ar_weights, ctx):
         (total, per_iter), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch, ar_weights)
+            loss_fn, has_aux=True)(params, batch, ar_weights, ctx)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, total, per_iter
@@ -114,13 +129,13 @@ def make_train_step(model, indexer: ARIndexer, area_w: jnp.ndarray,
     return train_step
 
 
-def make_validation_fn(model, indexer: ARIndexer, area_w: jnp.ndarray,
+def make_validation_fn(model, indexer: ARIndexer,
                        n_scan_iterations: int) -> Callable:
-    loss_fn = make_ar_loss_fn(model, indexer, area_w, n_scan_iterations, "RNN")
+    loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations, "RNN")
 
     @jax.jit
-    def validate(params, batch, ar_weights):
-        return loss_fn(params, batch, ar_weights)
+    def validate(params, batch, ar_weights, ctx):
+        return loss_fn(params, batch, ar_weights, ctx)
 
     return validate
 
@@ -153,7 +168,7 @@ def make_rollout_block(model, indexer: ARIndexer,
     in_pos = jnp.asarray([k - min_k for k in indexer.input_k], dtype=jnp.int32)
     out_pos = jnp.asarray([k - min_k for k in indexer.output_k], dtype=jnp.int32)
 
-    def rollout(params, hist, bc_block, static):
+    def rollout(params, hist, bc_block, static, geom):
         def step(h, bc_i):
             x_dyn = jnp.take(h, in_pos, axis=1)          # [B, n_in, V, Fd]
             B, T, V, _ = x_dyn.shape
@@ -165,7 +180,7 @@ def make_rollout_block(model, indexer: ARIndexer,
                 parts.append(bc_i)                        # [B, n_in, V, Fb]
             parts.append(x_dyn)
             x = jnp.concatenate(parts, axis=-1)
-            y = model.apply(params, x)                    # [B, n_out, V, Fd]
+            y = model.apply(params, x, geom=geom)         # [B, n_out, V, Fd]
             h = h.at[:, out_pos].set(y)
             h = jnp.roll(h, -fc, axis=1)                  # advance one cycle
             return h, y

@@ -29,7 +29,7 @@ from ..data.loader import AutoregressiveDataLoader, AutoregressiveDataset
 from ..parallel.mesh import shard_batch
 from ..utils.checkpoint import Checkpointer
 from .scheduler import ARScheduler, EarlyStopping
-from .step import make_train_step, make_validation_fn
+from .step import make_context, make_train_step, make_validation_fn
 
 __all__ = ["ARTrainingInfo", "AutoregressiveTraining"]
 
@@ -180,6 +180,10 @@ def AutoregressiveTraining(
     info = ARTrainingInfo()
     ckpt = Checkpointer(exp_dir) if exp_dir is not None else None
 
+    # device-resident geometry + loss-weight context (uploaded ONCE;
+    # closure constants would re-upload per call on tunneled runtimes)
+    ctx = make_context(model, area_weights)
+
     # per-AR-stage compiled steps (cached across growth events)
     step_cache: Dict[int, tuple] = {}
 
@@ -187,9 +191,9 @@ def AutoregressiveTraining(
         if n_iters not in step_cache:
             n_scan = n_iters + 1
             step_cache[n_iters] = (
-                make_train_step(model, indexer, area_weights, optimizer,
+                make_train_step(model, indexer, optimizer,
                                 n_scan, ar_training_strategy),
-                make_validation_fn(model, indexer, area_weights, n_scan),
+                make_validation_fn(model, indexer, n_scan),
             )
         return step_cache[n_iters]
 
@@ -211,7 +215,7 @@ def AutoregressiveTraining(
             t0 = time.perf_counter()
             dev_batch = shard_batch(batch, mesh)
             params, opt_state, total, per_iter = train_step(
-                params, opt_state, dev_batch, w)
+                params, opt_state, dev_batch, w, ctx)
             total = float(total)
             dt = time.perf_counter() - t0
             update += 1
@@ -231,7 +235,7 @@ def AutoregressiveTraining(
                         shuffle=False, num_workers=num_workers)
                     tot, per, nb = 0.0, None, 0
                     for vb in vloader:
-                        vt, vp = val_fn(params, shard_batch(vb, mesh), w)
+                        vt, vp = val_fn(params, shard_batch(vb, mesh), w, ctx)
                         tot += float(vt)
                         per = np.asarray(vp) if per is None else per + np.asarray(vp)
                         nb += 1

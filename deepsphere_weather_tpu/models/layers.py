@@ -165,10 +165,16 @@ class ConvBlock:
         xn = (x - mean) * jax.lax.rsqrt(var + 1e-5)
         return xn * params["norm_scale"] + params["norm_bias"]
 
-    def apply(self, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    def apply(self, params: Dict, x: jnp.ndarray,
+              cheb_op: Optional[ChebOperator] = None) -> jnp.ndarray:
+        """cheb_op, when given, overrides the stored operator — the engine
+        passes geometry as a jit ARGUMENT (device-resident) because
+        closure-captured constants are re-uploaded per call on tunneled
+        TPU runtimes."""
         bias = params.get("bias")
         if self.conv_type == "graph":
-            x = cheb_conv(self.cheb_op, x, params["weight"], bias)
+            x = cheb_conv(cheb_op if cheb_op is not None else self.cheb_op,
+                          x, params["weight"], bias)
         else:
             x = equiangular_conv2d(x, params["weight"], bias,
                                    self.nlat, self.nlon, self.periodic_padding)
@@ -223,10 +229,11 @@ class ResBlock:
                                            dtype=jnp.float32)
         return params
 
-    def apply(self, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    def apply(self, params: Dict, x: jnp.ndarray,
+              cheb_op: Optional[ChebOperator] = None) -> jnp.ndarray:
         out = x
         for i, blk in enumerate(self.blocks):
-            out = blk.apply(params[f"convblock{i + 1}"], out)
+            out = blk.apply(params[f"convblock{i + 1}"], out, cheb_op=cheb_op)
         out = out * params["rezero_weight"]
         if self.needs_projection:
             res = jnp.dot(x, params["res_kernel"],

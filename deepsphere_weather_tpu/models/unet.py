@@ -135,8 +135,26 @@ class UNetSpherical:
         return params
 
     # ------------------------------------------------------------------
-    def encode(self, params: Dict, x: jnp.ndarray):
+    def geometry_pytree(self) -> Dict:
+        """Geometry as a pytree to pass as a jit ARGUMENT.
+
+        Closure-captured device constants are re-uploaded on every call on
+        tunneled TPU runtimes (~50 MB/step for HEALPix-16), so the engine
+        device_puts this pytree once and threads it through every jitted
+        step. `apply(params, x)` without `geom` still works (tests,
+        single-shot use) but pays the constant-upload cost.
+        """
+        return {
+            "cheb_ops": list(self.geometry.cheb_ops),
+            "pools": list(self.geometry.pools),
+            "unpools": list(self.geometry.unpools),
+        }
+
+    def encode(self, params: Dict, x: jnp.ndarray, geom: Optional[Dict] = None):
         """x: [B, T_in, V, F_in] -> encoder states."""
+        if geom is None:
+            geom = self.geometry_pytree()
+        ops, pools = geom["cheb_ops"], geom["pools"]
         B = x.shape[0]
         # last timestep's dynamic features, for increment learning
         x_last = x[:, -1:, :, -self.output_n_feature:]
@@ -144,22 +162,26 @@ class UNetSpherical:
         h = jnp.transpose(x, (0, 2, 1, 3)).reshape(
             B, self.input_n_node, self.input_channels)
 
-        x_enc1 = self.conv1.apply(params["conv1"], h)
-        x_enc2_ini, idx1 = self.geometry.pools[0](x_enc1)
-        x_enc2 = self.conv2.apply(params["conv2"], x_enc2_ini)
-        x_enc3_ini, idx2 = self.geometry.pools[1](x_enc2)
-        x_enc3 = self.conv3.apply(params["conv3"], x_enc3_ini)
+        x_enc1 = self.conv1.apply(params["conv1"], h, cheb_op=ops[0])
+        x_enc2_ini, idx1 = pools[0](x_enc1)
+        x_enc2 = self.conv2.apply(params["conv2"], x_enc2_ini, cheb_op=ops[1])
+        x_enc3_ini, idx2 = pools[1](x_enc2)
+        x_enc3 = self.conv3.apply(params["conv3"], x_enc3_ini, cheb_op=ops[2])
         return x_enc3, x_enc2, x_enc1, idx2, idx1, x_last
 
-    def decode(self, params: Dict, x_enc3, x_enc2, x_enc1, idx2, idx1, x_last):
-        h = self.geometry.unpools[1](x_enc3, idx2)
+    def decode(self, params: Dict, x_enc3, x_enc2, x_enc1, idx2, idx1, x_last,
+               geom: Optional[Dict] = None):
+        if geom is None:
+            geom = self.geometry_pytree()
+        ops, unpools = geom["cheb_ops"], geom["unpools"]
+        h = unpools[1](x_enc3, idx2)
         h = jnp.concatenate((h, x_enc2), axis=2)       # stack skip (reference :530)
-        h = self.uconv2.apply(params["uconv2"], h)
+        h = self.uconv2.apply(params["uconv2"], h, cheb_op=ops[1])
 
-        h = self.geometry.unpools[0](h, idx1)
+        h = unpools[0](h, idx1)
         h = jnp.concatenate((h, x_enc1), axis=2)
-        h = self.uconv1.apply(params["uconv1"], h)
-        h = self.uconv1_final.apply(params["uconv1_final"], h)
+        h = self.uconv1.apply(params["uconv1"], h, cheb_op=ops[0])
+        h = self.uconv1_final.apply(params["uconv1_final"], h, cheb_op=ops[0])
 
         B = h.shape[0]
         # [B, V, T*F] -> [B, T_out, V, F_out]
@@ -170,8 +192,12 @@ class UNetSpherical:
             h = h * params["res_increment"] + x_last
         return h
 
-    def apply(self, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    def apply(self, params: Dict, x: jnp.ndarray,
+              geom: Optional[Dict] = None) -> jnp.ndarray:
         """Forward pass: [B, T_in, V, F_in] -> [B, T_out, V, F_out]."""
-        return self.decode(params, *self.encode(params, x))
+        if geom is None:
+            geom = self.geometry_pytree()
+        enc = self.encode(params, x, geom=geom)
+        return self.decode(params, *enc, geom=geom)
 
     __call__ = apply

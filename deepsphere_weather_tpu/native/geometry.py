@@ -59,7 +59,7 @@ def conservative_weights(src, dst):
     from scipy import sparse
     from scipy.spatial import cKDTree
 
-    from ..sphere.remap import voronoi_cells
+    from ..sphere.remap import clean_polygon, voronoi_cells
 
     lib = _load()
     assert lib is not None
@@ -69,17 +69,20 @@ def conservative_weights(src, dst):
     src_area = sv_src.calculate_areas()
     dst_area = sv_dst.calculate_areas()
 
-    def flatten(sv):
-        polys = [np.asarray(sv.vertices[r], dtype=np.float64) for r in sv.regions]
+    def flatten(sv, centers):
+        # duplicate Voronoi vertices (degenerate generators) must be removed
+        # before clipping, exactly like the numpy path
+        polys = [clean_polygon(np.asarray(sv.vertices[r], dtype=np.float64), c)
+                 for r, c in zip(sv.regions, centers)]
         offsets = np.zeros(len(polys) + 1, dtype=np.int64)
         offsets[1:] = np.cumsum([len(p) for p in polys])
         flat = np.concatenate(polys, axis=0) if polys else np.zeros((0, 3))
         return np.ascontiguousarray(flat), offsets
 
-    src_flat, src_off = flatten(sv_src)
-    dst_flat, dst_off = flatten(sv_dst)
     src_centers = np.ascontiguousarray(src.coords_3d, dtype=np.float64)
     dst_centers = np.ascontiguousarray(dst.coords_3d, dtype=np.float64)
+    src_flat, src_off = flatten(sv_src, src_centers)
+    dst_flat, dst_off = flatten(sv_dst, dst_centers)
 
     # Candidate pairs via KDTree ball queries (same pruning as numpy path)
     def poly_radius(flat, off, centers):

@@ -94,6 +94,27 @@ jax.tree_util.register_pytree_node(
 # General (matrix) pooling — works for any sampling pair
 # ---------------------------------------------------------------------------
 
+def _register_pool_pytree(cls, array_fields, static_fields):
+    """Register a pool op class as a pytree so pooling ops (and their ELL
+    arrays) can be passed as jit ARGUMENTS instead of closure constants —
+    closure-captured device constants are re-uploaded on every call on
+    tunneled TPU runtimes, which dominates step time."""
+
+    def flatten(obj):
+        return (tuple(getattr(obj, f) for f in array_fields),
+                tuple(getattr(obj, f) for f in static_fields))
+
+    def unflatten(aux, children):
+        obj = cls.__new__(cls)
+        for f, v in zip(array_fields, children):
+            setattr(obj, f, v)
+        for f, v in zip(static_fields, aux):
+            setattr(obj, f, v)
+        return obj
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+
+
 class GeneralAvgPool:
     """Weighted-average pooling with a row-normalized remap matrix ('interp')."""
 
@@ -290,6 +311,22 @@ class EquiangularMaxUnpool:
         g = jnp.transpose(g, (0, 1, 3, 2, 4, 5)).reshape(
             B, self.nlat * self.c, self.nlon * self.c, C)
         return g.reshape(B, -1, C)
+
+
+_register_pool_pytree(GeneralAvgPool, ("mat",), ())
+_register_pool_pytree(GeneralAvgUnpool, ("mat",), ())
+_register_pool_pytree(GeneralMaxAreaPool, ("mat",), ())
+_register_pool_pytree(GeneralMaxAreaUnpool, ("mat",), ())
+_register_pool_pytree(GeneralMaxValPool, ("cols", "vals"), ("n_in",))
+_register_pool_pytree(GeneralMaxValUnpool, (), ("n_src",))
+_register_pool_pytree(HealpixAvgPool, (), ("k",))
+_register_pool_pytree(HealpixAvgUnpool, (), ("k",))
+_register_pool_pytree(HealpixMaxPool, (), ("k",))
+_register_pool_pytree(HealpixMaxUnpool, (), ("k",))
+_register_pool_pytree(EquiangularAvgPool, (), ("nlat", "nlon", "c"))
+_register_pool_pytree(EquiangularAvgUnpool, (), ("nlat", "nlon", "c"))
+_register_pool_pytree(EquiangularMaxPool, (), ("nlat", "nlon", "c"))
+_register_pool_pytree(EquiangularMaxUnpool, (), ("nlat", "nlon", "c"))
 
 
 # ---------------------------------------------------------------------------

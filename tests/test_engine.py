@@ -123,12 +123,14 @@ class TestARLoss:
                                                    num_workers=1)))
         batch = {k: jnp.asarray(v) for k, v in batch.items()
                  if k in ("dynamic", "bc", "static")}
-        loss_fn = make_ar_loss_fn(s["model"], ix, s["area_w"], 3, "RNN")
+        from deepsphere_weather_tpu.engine import make_context
+        ctx = make_context(s["model"], s["area_w"])
+        loss_fn = make_ar_loss_fn(s["model"], ix, 3, "RNN")
         w = jnp.asarray([1.0, 1.0, 1.0])
-        _, per0 = loss_fn(s["params"], batch, w)
+        _, per0 = loss_fn(s["params"], batch, w, ctx)
         # perturb params
         p2 = jax.tree_util.tree_map(lambda x: x + 0.01, s["params"])
-        _, per1 = loss_fn(p2, batch, w)
+        _, per1 = loss_fn(p2, batch, w, ctx)
         assert not np.allclose(np.asarray(per0), np.asarray(per1))
         # all iterations produce finite losses
         assert np.all(np.isfinite(np.asarray(per0)))
@@ -148,9 +150,11 @@ class TestARLoss:
         # weight only on the LAST iteration: with 'AR' strategy the gradient
         # contribution through earlier iterations' predictions is cut
         w = jnp.asarray([0.0, 0.0, 1.0])
+        from deepsphere_weather_tpu.engine import make_context
+        ctx = make_context(s["model"], s["area_w"])
         for strategy in ("RNN", "AR"):
-            loss_fn = make_ar_loss_fn(s["model"], ix, s["area_w"], 3, strategy)
-            g = jax.grad(lambda p: loss_fn(p, batch, w)[0])(s["params"])
+            loss_fn = make_ar_loss_fn(s["model"], ix, 3, strategy)
+            g = jax.grad(lambda p: loss_fn(p, batch, w, ctx)[0])(s["params"])
             leaves = jax.tree_util.tree_leaves(g)
             assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
 
