@@ -4,10 +4,18 @@ modules/utils_config.py:349-372 reflection-based instantiation)."""
 from typing import Dict
 
 from .unet import UNetSpherical  # noqa: F401
+from .variants import (  # noqa: F401
+    ConvNetSpherical,
+    EPDNetSpherical,
+    ResNetSpherical,
+)
 from .geometry import ModelGeometry, build_model_geometry  # noqa: F401
 
 ARCHITECTURES: Dict[str, type] = {
     "UNetSpherical": UNetSpherical,
+    "ResNetSpherical": ResNetSpherical,
+    "EPDNetSpherical": EPDNetSpherical,
+    "ConvNetSpherical": ConvNetSpherical,
 }
 
 

@@ -1,0 +1,178 @@
+"""Alternative architectures: ResNetSpherical, EPDNetSpherical,
+ConvNetSpherical.
+
+Parity with the reference's plug-in architecture family selected by
+`architecture_name` (reference: modules/my_models_graph_old.py:834-1624):
+
+- ResNetSpherical: 4 ResBlocks (each 4x128 convs back to input channels)
+  + 4 ConvBlocks at 128 features + final conv (ref :990-1092)
+- EPDNetSpherical: encode (2 convs to 128) -> process (4 ResBlocks at 128)
+  -> decode (1 conv) -> final conv (ref :1270-1368)
+- ConvNetSpherical: 6 stacked ConvBlocks at 128 features + final conv
+  (ref :1540-1608)
+
+All single-level (no pooling pyramid); same [B, T, V, F] contract and
+geometry-as-argument convention as UNetSpherical.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import build_model_geometry
+from .layers import ConvBlock, ResBlock
+
+__all__ = ["ResNetSpherical", "EPDNetSpherical", "ConvNetSpherical"]
+
+
+class _SingleLevelModel:
+    """Shared scaffolding for single-level spherical architectures."""
+
+    def __init__(self, tensor_info: Dict, sampling: str, sampling_kwargs: Dict,
+                 kernel_size_conv: int = 3, conv_type: str = "graph",
+                 graph_type: str = "knn", knn: int = 20,
+                 periodic_padding: bool = True, bias: bool = True,
+                 batch_norm: bool = False,
+                 batch_norm_before_activation: bool = False,
+                 activation: bool = True, activation_fun: str = "relu",
+                 dense_threshold: int = 8192, use_pallas: bool = False,
+                 **_ignored):
+        self.input_n_feature = tensor_info["input_n_feature"]
+        self.output_n_feature = tensor_info["output_n_feature"]
+        self.input_n_time = tensor_info["input_n_time"]
+        self.output_n_time = tensor_info["output_n_time"]
+        self.input_n_node = tensor_info["input_shape_info"]["dynamic"]["node"]
+        self.output_n_node = tensor_info["output_shape_info"]["dynamic"]["node"]
+        self.input_channels = self.input_n_feature * self.input_n_time
+        self.output_channels = self.output_n_feature * self.output_n_time
+        self.increment_learning = False
+
+        self.geometry = build_model_geometry(
+            sampling=sampling, sampling_kwargs={**sampling_kwargs},
+            depth=1, knn=knn, graph_type=graph_type, conv_type=conv_type,
+            pool_method="interp" if conv_type == "graph" else "avg",
+            dense_threshold=dense_threshold, use_pallas=use_pallas)
+
+        self.convblock_kwargs = dict(
+            kernel_size=kernel_size_conv, conv_type=self.geometry.conv_type,
+            bias=bias, batch_norm=batch_norm,
+            batch_norm_before_activation=batch_norm_before_activation,
+            activation=activation, activation_fun=activation_fun,
+            periodic_padding=periodic_padding)
+        if self.geometry.conv_type == "image":
+            kw = self.geometry.samplings[0].kwargs_dict
+            self.convblock_kwargs["nlat"] = kw["nlat"]
+            self.convblock_kwargs["nlon"] = kw["nlon"]
+        self._op = self.geometry.cheb_ops[0]
+
+    def geometry_pytree(self) -> Dict:
+        return {"cheb_ops": list(self.geometry.cheb_ops),
+                "pools": [], "unpools": []}
+
+    def _final_kwargs(self) -> Dict:
+        kw = dict(self.convblock_kwargs)
+        kw["batch_norm"] = False
+        kw["activation"] = False
+        return kw
+
+    def _reshape_in(self, x):
+        B = x.shape[0]
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(
+            B, self.input_n_node, self.input_channels)
+
+    def _reshape_out(self, h):
+        B = h.shape[0]
+        h = h.reshape(B, self.output_n_node, self.output_n_time,
+                      self.output_n_feature)
+        return jnp.transpose(h, (0, 2, 1, 3))
+
+    def init(self, rng) -> Dict:
+        keys = jax.random.split(rng, len(self._blocks))
+        return {name: blk.init(k)
+                for (name, blk), k in zip(self._blocks.items(), keys)}
+
+    def apply(self, params: Dict, x: jnp.ndarray,
+              geom: Optional[Dict] = None) -> jnp.ndarray:
+        if geom is None:
+            geom = self.geometry_pytree()
+        op = geom["cheb_ops"][0]
+        h = self._reshape_in(x)
+        for name in self._order:
+            h = self._blocks[name].apply(params[name], h, cheb_op=op)
+        return self._reshape_out(h)
+
+    __call__ = apply
+
+
+class ResNetSpherical(_SingleLevelModel):
+    """4 ResBlocks + 4 ConvBlocks + final (ref my_models_graph_old.py:834-1092)."""
+
+    def __init__(self, tensor_info, sampling, sampling_kwargs, **kwargs):
+        super().__init__(tensor_info, sampling, sampling_kwargs, **kwargs)
+        n_feat = 128
+        res_shape = [n_feat] * 4 + [self.input_channels]
+        blocks = {}
+        for i in range(1, 5):
+            blocks[f"resblock{i}"] = ResBlock(
+                self.input_channels, res_shape, self._op,
+                self.convblock_kwargs)
+        blocks["conv1"] = ConvBlock(self.input_channels, n_feat, self._op,
+                                    **self.convblock_kwargs)
+        for i in range(2, 5):
+            blocks[f"conv{i}"] = ConvBlock(n_feat, n_feat, self._op,
+                                           **self.convblock_kwargs)
+        blocks["conv_final"] = ConvBlock(n_feat, self.output_channels,
+                                         self._op, **self._final_kwargs())
+        self._blocks = blocks
+        self._order = ["resblock1", "resblock2", "resblock3", "resblock4",
+                       "conv1", "conv2", "conv3", "conv4", "conv_final"]
+
+
+class EPDNetSpherical(_SingleLevelModel):
+    """Encode-process-decode (ref my_models_graph_old.py:1111-1368)."""
+
+    def __init__(self, tensor_info, sampling, sampling_kwargs, **kwargs):
+        super().__init__(tensor_info, sampling, sampling_kwargs, **kwargs)
+        n_feat = 128
+        res_shape = [n_feat] * 3
+        blocks = {
+            "enc_conv1": ConvBlock(self.input_channels, n_feat, self._op,
+                                   **self.convblock_kwargs),
+            "enc_conv2": ConvBlock(n_feat, n_feat, self._op,
+                                   **self.convblock_kwargs),
+        }
+        for i in range(1, 5):
+            blocks[f"resblock{i}"] = ResBlock(n_feat, res_shape, self._op,
+                                              self.convblock_kwargs)
+        blocks["dec_conv1"] = ConvBlock(n_feat, n_feat, self._op,
+                                        **self.convblock_kwargs)
+        blocks["conv_final"] = ConvBlock(n_feat, self.output_channels,
+                                         self._op, **self._final_kwargs())
+        self._blocks = blocks
+        self._order = ["enc_conv1", "enc_conv2", "resblock1", "resblock2",
+                       "resblock3", "resblock4", "dec_conv1", "conv_final"]
+
+
+class ConvNetSpherical(_SingleLevelModel):
+    """6 stacked ConvBlocks + final (ref my_models_graph_old.py:1387-1608)."""
+
+    def __init__(self, tensor_info, sampling, sampling_kwargs, **kwargs):
+        super().__init__(tensor_info, sampling, sampling_kwargs, **kwargs)
+        n_feat = 128
+        blocks = {}
+        order: List[str] = []
+        tmp_in = self.input_channels
+        for i in range(1, 7):
+            name = f"conv{i}"
+            blocks[name] = ConvBlock(tmp_in, n_feat, self._op,
+                                     **self.convblock_kwargs)
+            order.append(name)
+            tmp_in = n_feat
+        blocks["conv_final"] = ConvBlock(n_feat, self.output_channels,
+                                         self._op, **self._final_kwargs())
+        order.append("conv_final")
+        self._blocks = blocks
+        self._order = order

@@ -122,3 +122,22 @@ class TestUNetSpherical:
         params = m.init(jax.random.key(6))
         y = m.apply(params, jnp.ones((2, 2, 192, 4)))
         assert y.shape == (2, 1, 192, 2)
+
+
+class TestArchitectureVariants:
+    @pytest.mark.parametrize("arch", ["ResNetSpherical", "EPDNetSpherical",
+                                      "ConvNetSpherical"])
+    def test_variant_forward_and_grad(self, arch):
+        m = get_model(
+            arch, make_tensor_info(192),
+            sampling="healpix",
+            sampling_kwargs={"subdivisions": 4, "nest": True},
+            knn=8)
+        params = m.init(jax.random.key(0))
+        geom = m.geometry_pytree()
+        x = jnp.ones((2, 2, 192, 4))
+        y = jax.jit(lambda p, g, x: m.apply(p, x, geom=g))(params, geom, x)
+        assert y.shape == (2, 1, 192, 2)
+        g = jax.grad(lambda p: jnp.sum(m.apply(p, x) ** 2))(params)
+        assert all(np.all(np.isfinite(np.asarray(l)))
+                   for l in jax.tree_util.tree_leaves(g))
