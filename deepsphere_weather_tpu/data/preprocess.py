@@ -1,0 +1,204 @@
+"""Preprocessing pipeline: raw-data ingest, remap to samplings, rechunking.
+
+Parity with the reference's offline pipeline (SURVEY.md §2 L5,
+modules/my_io.py, modules/my_remap.py, scripts/01-03c):
+
+- `open_netcdf4`: minimal netCDF4 reader via h5py (netCDF4 files are
+  HDF5; the xarray/netCDF4 stack is unavailable in this environment)
+- `reformat_pl` / `reformat_toa`: pressure-level unstacking into per-level
+  features (z@500 hPa -> 'z500') and TOA accumulation handling
+  (reference my_io.py:11-128)
+- `remap_to_sampling`: conservative remap of a regular lat/lon field onto
+  any framework sampling using the native (C++) polygon-overlap weights —
+  this replaces the reference's CDO subprocess remapping
+  (my_remap.py:198-337)
+- `zarrify_raw_data`: append-mode ingest into the canonical time_chunked
+  layout (reference scripts/03c:24-210, chunks {node: -1, time: 24*7})
+- `rechunk_to_space_chunked`: time_chunked -> space_chunked copy
+  (reference rechunk_Dataset usage, scripts/03c:216-275)
+- `check_no_missing_timesteps` (reference xforecasting.utils.io)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from scipy import sparse
+
+from ..sphere import Sampling, build_sampling, compute_interpolation_weights
+from ..sphere.cache import cached_arrays
+from .dataset import SphericalDataset, save_dynamic
+from .zarrstore import ZarrGroup, create_group
+
+__all__ = [
+    "open_netcdf4", "reformat_pl", "reformat_toa",
+    "remap_weights_for_grid", "remap_to_sampling",
+    "zarrify_raw_data", "rechunk_to_space_chunked",
+    "check_no_missing_timesteps",
+]
+
+
+def open_netcdf4(path) -> Dict[str, np.ndarray]:
+    """Read a netCDF4 (HDF5) file into {name: array} + dim metadata.
+
+    Returns dict with variables plus '__dims__' mapping var -> dim names.
+    """
+    import h5py
+
+    out: Dict[str, np.ndarray] = {}
+    dims: Dict[str, tuple] = {}
+    with h5py.File(path, "r") as f:
+        def visit(name, obj):
+            if isinstance(obj, h5py.Dataset):
+                out[name] = obj[...]
+                dl = obj.attrs.get("_Netcdf4Coordinates")
+                dn = obj.attrs.get("DIMENSION_LIST")
+                if dn is not None:
+                    try:
+                        dims[name] = tuple(
+                            f[ref[0]].name.strip("/") for ref in dn)
+                    except Exception:
+                        pass
+        f.visititems(visit)
+    out["__dims__"] = dims
+    return out
+
+
+def reformat_pl(data: Dict[str, np.ndarray], plev_name: str = "level",
+                var_levels: Optional[Dict[str, Sequence[int]]] = None
+                ) -> Dict[str, np.ndarray]:
+    """Unstack pressure levels into per-level features: z + 500 -> 'z500'
+    (reference my_io.py:11-81). Input arrays are [time, level, ...]."""
+    levels = np.asarray(data.get(plev_name, []), dtype=np.int64)
+    out = {}
+    for name, arr in data.items():
+        if name.startswith("__") or name == plev_name:
+            continue
+        arr = np.asarray(arr)
+        if arr.ndim >= 2 and len(levels) and arr.shape[1] == len(levels):
+            wanted = (var_levels or {}).get(name, levels)
+            for lv in wanted:
+                li = int(np.nonzero(levels == lv)[0][0])
+                # hPa naming convention: z500, t850 ...
+                out[f"{name}{int(lv)}"] = arr[:, li]
+        else:
+            out[name] = arr
+    return out
+
+
+def reformat_toa(tisr: np.ndarray, accumulation_hours: int = 1) -> np.ndarray:
+    """De-accumulate TOA incident solar radiation to W/m^2
+    (reference my_io.py:84-128: ERA5 tisr is J/m^2 accumulated)."""
+    return np.asarray(tisr, dtype=np.float64) / (accumulation_hours * 3600.0)
+
+
+# ---------------------------------------------------------------------------
+# Remapping (CDO replacement)
+# ---------------------------------------------------------------------------
+
+def remap_weights_for_grid(nlat: int, nlon: int, dst: Sampling,
+                           cache: bool = True) -> sparse.csr_matrix:
+    """Conservative weights from a regular lat/lon grid to a sampling.
+
+    The source grid is modeled as the framework's 'equiangular' sampling
+    (cell-centered); weights are fracarea-normalized rows (dst x src).
+    Cached on disk like the reference caches CDO weight files
+    (my_remap.py:198-337).
+    """
+    src = build_sampling("equiangular", {"nlat": nlat, "nlon": nlon})
+
+    def _build():
+        W, _, _ = compute_interpolation_weights(src, dst,
+                                                normalization="fracarea")
+        W = W.tocsr()
+        return {"data": W.data, "indices": W.indices, "indptr": W.indptr,
+                "shape": np.asarray(W.shape)}
+
+    key = f"remapw_{src.cache_key()}__{dst.cache_key()}"
+    arrs = cached_arrays(key, _build) if cache else _build()
+    return sparse.csr_matrix((arrs["data"], arrs["indices"], arrs["indptr"]),
+                             shape=tuple(arrs["shape"]))
+
+
+def remap_to_sampling(field: np.ndarray, dst: Sampling,
+                      weights: Optional[sparse.csr_matrix] = None
+                      ) -> np.ndarray:
+    """Remap [time, nlat, nlon] (or [nlat, nlon]) onto a sampling's nodes."""
+    field = np.asarray(field)
+    single = field.ndim == 2
+    if single:
+        field = field[None]
+    T, nlat, nlon = field.shape
+    if weights is None:
+        weights = remap_weights_for_grid(nlat, nlon, dst)
+    flat = field.reshape(T, nlat * nlon)
+    out = np.asarray((weights @ flat.T).T, dtype=np.float32)
+    return out[0] if single else out
+
+
+# ---------------------------------------------------------------------------
+# Ingest + rechunk
+# ---------------------------------------------------------------------------
+
+def zarrify_raw_data(out_path, batches, time_chunk: int = 24 * 7,
+                     lat=None, lon=None) -> SphericalDataset:
+    """Append-mode ingest: iterate over (variables_dict, time_array) batches
+    and write the canonical time_chunked store (reference scripts/03c:91-163).
+    """
+    out_path = Path(out_path)
+    first = True
+    for variables, time in batches:
+        time = np.asarray(time, dtype="datetime64[ns]")
+        if first:
+            save_dynamic(out_path, variables, time=time, lat=lat, lon=lon,
+                         time_chunk=time_chunk, overwrite=True)
+            first = False
+        else:
+            g = ZarrGroup(out_path)
+            for name, arr in variables.items():
+                g[name].append(np.asarray(arr, dtype=np.float32), axis=0)
+            g["time"].append(time.view(np.int64), axis=0)
+    ds = SphericalDataset(ZarrGroup(out_path))
+    check_no_missing_timesteps(ds.time)
+    return ds
+
+
+def rechunk_to_space_chunked(src_path, dst_path,
+                             node_chunk: int = 1) -> SphericalDataset:
+    """time_chunked {time: C, node: -1} -> space_chunked {time: -1, node: c}
+    copy for per-node access patterns (reference scripts/03c:216-275)."""
+    src = SphericalDataset(ZarrGroup(src_path))
+    g = create_group(dst_path, overwrite=True,
+                     attrs={"feature_order": src.feature_order})
+    T, V = src.n_time, src.n_node
+    for name in src.feature_order:
+        arr = g.create_array(name, shape=(T, V),
+                             chunks=(T, max(node_chunk, 1)),
+                             dtype=np.float32, compressor="zlib")
+        arr[...] = src.variables[name][...]
+    t = g.create_array("time", shape=(T,), chunks=(T,), dtype=np.int64,
+                       compressor=None)
+    t[...] = np.asarray(src.time, dtype="datetime64[ns]").view(np.int64)
+    for cname in ("lat", "lon"):
+        val = getattr(src, cname)
+        if val is not None:
+            c = g.create_array(cname, shape=(V,), chunks=(V,),
+                               dtype=np.float64, compressor=None)
+            c[...] = val
+    return SphericalDataset(ZarrGroup(dst_path))
+
+
+def check_no_missing_timesteps(time: np.ndarray):
+    """Raise if the time axis has gaps (reference
+    xforecasting.utils.io.check_no_missing_timesteps, scripts/03c:100)."""
+    time = np.asarray(time, dtype="datetime64[ns]")
+    if len(time) < 2:
+        return
+    dt = np.diff(time)
+    if not np.all(dt == dt[0]):
+        bad = np.nonzero(dt != dt[0])[0]
+        raise ValueError(
+            f"missing/irregular timesteps after indices {bad[:5]} "
+            f"(expected step {dt[0]})")

@@ -145,6 +145,13 @@ def cheb_conv(op: ChebOperator, x: jnp.ndarray, weight: jnp.ndarray,
     bias : [Fout] or None
 
     Returns [B, V, Fout].
+
+    Implementation note: everything is expressed as einsums over the native
+    [B, V, F] layout — no explicit permute/reshape. Forcing the
+    [V, Fin*B] layout (as a literal translation of the reference's
+    torch.sparse.mm pipeline would) makes XLA materialize 4+ HBM-round-trip
+    transposes per conv, which dominates step time at these sizes; with
+    einsums XLA folds the contractions into MXU-native loops directly.
     """
     B, V, Fin = x.shape
     Fin_w, K, Fout = weight.shape
@@ -152,19 +159,37 @@ def cheb_conv(op: ChebOperator, x: jnp.ndarray, weight: jnp.ndarray,
         raise ValueError(
             f"input features {Fin} do not match weight in_channels {Fin_w}"
         )
-    # [B, V, Fin] -> [V, Fin*B] so the recurrence is a [V,V]@[V,M] MXU matmul
-    x0 = jnp.transpose(x, (1, 2, 0)).reshape(V, Fin * B)
+
     if op.dense is not None:
-        xk = cheb_basis_dense(op.dense, x0, K)          # [K, V, Fin*B]
+        def mv(h):  # [B, V, F] -> [B, V, F]
+            return jnp.einsum("uv,bvf->buf", op.dense, h,
+                              preferred_element_type=h.dtype)
     else:
-        xk = cheb_basis_ell(op.ell_cols, op.ell_vals, x0, K,
-                            use_pallas=op.use_pallas)
-    # [K, V, Fin, B] -> [B, V, Fin, K] -> [B*V, Fin*K]
-    xk = xk.reshape(K, V, Fin, B)
-    xk = jnp.transpose(xk, (3, 1, 2, 0)).reshape(B * V, Fin * K)
-    out = jnp.dot(xk, weight.reshape(Fin * K, Fout),
-                  preferred_element_type=x.dtype)
-    out = out.reshape(B, V, Fout)
+        if op.use_pallas:
+            from .pallas_spmm import ell_spmm as _spmm
+        else:
+            _spmm = ell_matvec
+
+        def mv(h):
+            B_, V_, F_ = h.shape
+            flat = jnp.transpose(h, (1, 0, 2)).reshape(V_, B_ * F_)
+            out = _spmm(op.ell_cols, op.ell_vals, flat)
+            return jnp.transpose(out.reshape(V_, B_, F_), (1, 0, 2))
+
+    # Chebyshev recurrence in [B, V, F]; mix each basis term immediately
+    # (out accumulates Fout channels -> no [K, ...] stack materialized)
+    x0 = x
+    out = jnp.einsum("bvf,fo->bvo", x0, weight[:, 0],
+                     preferred_element_type=x.dtype)
+    if K > 1:
+        x1 = mv(x0)
+        out = out + jnp.einsum("bvf,fo->bvo", x1, weight[:, 1],
+                               preferred_element_type=x.dtype)
+    for k in range(2, K):
+        x2 = 2.0 * mv(x1) - x0
+        out = out + jnp.einsum("bvf,fo->bvo", x2, weight[:, k],
+                               preferred_element_type=x.dtype)
+        x0, x1 = x1, x2
     if bias is not None:
         out = out + bias
     return out

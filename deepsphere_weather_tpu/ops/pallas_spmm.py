@@ -73,7 +73,7 @@ def bcsr_from_scipy(mat, block_size: int = _BS):
 
 
 def _spmm_kernel(cols_ref, a_ref, x_ref, o_ref):
-    b = pl.program_id(1)
+    b = pl.program_id(2)
 
     @pl.when(b == 0)
     def _():
@@ -84,22 +84,27 @@ def _spmm_kernel(cols_ref, a_ref, x_ref, o_ref):
 
 def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
                  m_tile: int = 256, interpret: bool = False) -> jnp.ndarray:
-    """y = A @ x with A in padded BCSR; x: [n_pad, M] (M multiple of m_tile)."""
+    """y = A @ x with A in padded BCSR; x: [n_pad, M] (M multiple of m_tile).
+
+    Grid order (row_block, m_tile, nz_slot): the accumulation dimension is
+    INNERMOST so every revisit of an output block is consecutive — the
+    Pallas output-revisiting contract for accumulate-in-VMEM patterns.
+    """
     n_rb, max_nb, bs, _ = vals.shape
     n_pad, M = x.shape
     n_mt = M // m_tile
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_rb, max_nb, n_mt),
+        grid=(n_rb, n_mt, max_nb),
         in_specs=[
             # the (i, b) nonzero block of A
-            pl.BlockSpec((1, 1, bs, bs), lambda i, b, m, cols_ref: (i, b, 0, 0)),
+            pl.BlockSpec((1, 1, bs, bs), lambda i, m, b, cols_ref: (i, b, 0, 0)),
             # the x block steered by the scalar-prefetched block-column index
             pl.BlockSpec((bs, m_tile),
-                         lambda i, b, m, cols_ref: (cols_ref[i, b], m)),
+                         lambda i, m, b, cols_ref: (cols_ref[i, b], m)),
         ],
-        out_specs=pl.BlockSpec((bs, m_tile), lambda i, b, m, cols_ref: (i, m)),
+        out_specs=pl.BlockSpec((bs, m_tile), lambda i, m, b, cols_ref: (i, m)),
     )
     kernel = pl.pallas_call(
         _spmm_kernel,

@@ -9,3 +9,12 @@ from .skills import (  # noqa: F401
     benchmark_global_skill,
     benchmark_global_skills,
 )
+from .hovmoller import (  # noqa: F401
+    create_hovmoller_plots,
+    hovmoller_data,
+    plot_hovmoller,
+)
+from .animation import (  # noqa: F401
+    create_gif_forecast_error,
+    create_gif_forecast_evolution,
+)

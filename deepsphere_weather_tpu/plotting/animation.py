@@ -1,0 +1,128 @@
+"""Forecast evolution / error animations (reference
+create_gif_forecast_error & co, my_plotting.py:887-1380).
+
+The reference renders matplotlib frames and shells out to ffmpeg for
+mp4/GIF. ffmpeg is not present in this environment, so animations are
+written as GIF via matplotlib's PillowWriter, with an automatic ffmpeg
+fallback when the binary exists (same subprocess contract as the
+reference, my_plotting.py:1058-1067).
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+from .skills import _lon180, _style_for  # noqa: E402
+
+__all__ = ["create_gif_forecast_error", "create_gif_forecast_evolution"]
+
+
+def _render_frames(frame_fn, n_frames, out_path, fps: int = 4):
+    """Render frames with frame_fn(i, fig) and encode GIF (or mp4 if ffmpeg)."""
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    tmp_dir = out_path.parent / (out_path.stem + "_frames")
+    tmp_dir.mkdir(exist_ok=True)
+    paths = []
+    for i in range(n_frames):
+        fig = frame_fn(i)
+        p = tmp_dir / f"frame_{i:04d}.png"
+        fig.savefig(p, dpi=90)
+        plt.close(fig)
+        paths.append(p)
+
+    if shutil.which("ffmpeg"):
+        subprocess.run(
+            ["ffmpeg", "-y", "-framerate", str(fps), "-i",
+             str(tmp_dir / "frame_%04d.png"), "-loop", "0", str(out_path)],
+            check=True, capture_output=True)
+    else:
+        from PIL import Image
+
+        frames = [Image.open(p) for p in paths]
+        frames[0].save(out_path, save_all=True, append_images=frames[1:],
+                       duration=int(1000 / fps), loop=0)
+    for p in paths:
+        p.unlink()
+    tmp_dir.rmdir()
+    return out_path
+
+
+def create_gif_forecast_error(forecast, obs_dataset, out_path,
+                              frt_index: int = 0, variable: Optional[str] = None,
+                              fps: int = 4):
+    """Animated (prediction, observation, error) triptych over leadtime
+    for one forecast reference time (reference my_plotting.py:887-1074)."""
+    var = variable or forecast.feature_order[0]
+    f = forecast.feature_order.index(var)
+    lat, lon = forecast.lat, _lon180(forecast.lon)
+    L = forecast.n_leadtime
+
+    preds, obs = [], []
+    for lt in range(L):
+        preds.append(forecast.read_leadtime(lt)[frt_index, :, f])
+        valid = forecast.valid_time(lt)[frt_index]
+        ti = np.searchsorted(obs_dataset.time, valid)
+        ti = min(ti, obs_dataset.n_time - 1)
+        obs.append(obs_dataset.read_stacked([ti])[0, :, f])
+    preds, obs = np.stack(preds), np.stack(obs)
+    err = preds - obs
+    vmin, vmax = np.percentile(obs, 1), np.percentile(obs, 99)
+    emax = np.percentile(np.abs(err), 98) or 1.0
+
+    def frame(i):
+        fig, axes = plt.subplots(1, 3, figsize=(14, 3.2))
+        for ax, vals, title, cm, v0, v1 in (
+            (axes[0], preds[i], f"{var} forecast", "viridis", vmin, vmax),
+            (axes[1], obs[i], f"{var} observed", "viridis", vmin, vmax),
+            (axes[2], err[i], "error", "RdBu_r", -emax, emax),
+        ):
+            sc = ax.scatter(lon, lat, c=vals, s=4, marker="s", cmap=cm,
+                            vmin=v0, vmax=v1, linewidths=0)
+            ax.set_xlim(-180, 180)
+            ax.set_ylim(-90, 90)
+            ax.set_xticks([])
+            ax.set_yticks([])
+            ax.set_title(f"{title} +{forecast.leadtime_hours[i]:.0f}h",
+                         fontsize=9)
+            plt.colorbar(sc, ax=ax, shrink=0.75)
+        fig.tight_layout()
+        return fig
+
+    return _render_frames(frame, L, out_path, fps=fps)
+
+
+def create_gif_forecast_evolution(forecast, out_path, frt_index: int = 0,
+                                  variable: Optional[str] = None,
+                                  fps: int = 4):
+    """Animated forecast field evolution (reference my_plotting.py:1271)."""
+    var = variable or forecast.feature_order[0]
+    f = forecast.feature_order.index(var)
+    lat, lon = forecast.lat, _lon180(forecast.lon)
+    L = forecast.n_leadtime
+    fields = np.stack([forecast.read_leadtime(lt)[frt_index, :, f]
+                       for lt in range(L)])
+    vmin, vmax = np.percentile(fields, 1), np.percentile(fields, 99)
+
+    def frame(i):
+        fig, ax = plt.subplots(figsize=(7, 3.6))
+        sc = ax.scatter(lon, lat, c=fields[i], s=5, marker="s",
+                        cmap="viridis", vmin=vmin, vmax=vmax, linewidths=0)
+        ax.set_xlim(-180, 180)
+        ax.set_ylim(-90, 90)
+        ax.set_xticks([])
+        ax.set_yticks([])
+        ax.set_title(f"{var} +{forecast.leadtime_hours[i]:.0f}h", fontsize=10)
+        plt.colorbar(sc, ax=ax, shrink=0.8)
+        fig.tight_layout()
+        return fig
+
+    return _render_frames(frame, L, out_path, fps=fps)

@@ -1,0 +1,134 @@
+"""Profiling & scalability harness.
+
+Parity with the reference's observability tooling (SURVEY.md §5.1):
+- `summarize_model`: parameter/shape report (reference torchinfo.summary
+  usage, train_predict_state.py:283-294)
+- `profile_step`: per-step timing via device-synchronized medians, plus
+  optional jax.profiler trace dump (reference torch.autograd.profiler,
+  dev/dev_model_profiler.py:336-351)
+- `scalability_sweep`: forward+backward wall time vs #nodes x knn
+  (reference scripts_figs/scalability_plot.py:68-216; O24->O320 Gauss
+  grids on the reference's GPU, any sampling family here)
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+__all__ = ["summarize_model", "profile_step", "scalability_sweep"]
+
+
+def summarize_model(model, params) -> str:
+    """Parameter-count summary per top-level block."""
+    import jax
+
+    lines = [f"{type(model).__name__}"]
+    total = 0
+    for name, sub in params.items():
+        leaves = jax.tree_util.tree_leaves(sub)
+        n = sum(int(np.prod(l.shape)) for l in leaves)
+        total += n
+        shapes = (f"{len(leaves)} tensors" if len(leaves) > 1
+                  else str(leaves[0].shape))
+        lines.append(f"  {name:<22} {n:>12,}  ({shapes})")
+    lines.append(f"  {'TOTAL':<22} {total:>12,} parameters")
+    return "\n".join(lines)
+
+
+def profile_step(fn, *args, n: int = 10, warmup: int = 2,
+                 trace_dir: Optional[str] = None) -> Dict:
+    """Median/percentile timing of a jitted step; optional profiler trace."""
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.tree_util.tree_map(
+            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+            else x, out)
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.tree_util.tree_map(
+            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+            else x, out)
+        times.append(time.perf_counter() - t0)
+    if trace_dir is not None:
+        with jax.profiler.trace(str(trace_dir)):
+            out = fn(*args)
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready()
+                if hasattr(x, "block_until_ready") else x, out)
+    times = sorted(times)
+    return {"median_s": times[len(times) // 2],
+            "p10_s": times[int(len(times) * 0.1)],
+            "p90_s": times[int(len(times) * 0.9)],
+            "n": n}
+
+
+def scalability_sweep(samplings: Optional[List[Dict]] = None,
+                      knn_list=(8, 20, 40),
+                      batch_size: int = 1,
+                      out_json: Optional[str] = None) -> List[Dict]:
+    """Forward+backward wall time vs #nodes x knn for UNetSpherical
+    (reference scalability harness, scripts_figs/scalability_plot.py)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import UNetSpherical
+
+    if samplings is None:
+        samplings = [
+            {"sampling": "healpix", "sampling_kwargs": {"subdivisions": s,
+                                                        "nest": True}}
+            for s in (8, 16, 32)
+        ]
+    results = []
+    for spec in samplings:
+        for knn in knn_list:
+            n_node = None
+            tensor_info = {
+                "input_n_feature": 7, "output_n_feature": 2,
+                "input_n_time": 3, "output_n_time": 1,
+                "input_shape_info": {"dynamic": {"node": 0}},
+                "output_shape_info": {"dynamic": {"node": 0}},
+                "dim_order": {"dynamic": ["sample", "time", "node",
+                                          "feature"]},
+            }
+            # build a sampling first to get node count
+            from ..sphere import build_sampling
+            samp = build_sampling(spec["sampling"], spec["sampling_kwargs"])
+            n_node = samp.n_nodes
+            tensor_info["input_shape_info"]["dynamic"]["node"] = n_node
+            tensor_info["output_shape_info"]["dynamic"]["node"] = n_node
+            model = UNetSpherical(tensor_info=tensor_info, knn=knn,
+                                  pool_method="max", **spec)
+            params = jax.device_put(model.init(jax.random.key(0)))
+            geom = jax.device_put(model.geometry_pytree())
+            x = jax.device_put(np.random.default_rng(0).standard_normal(
+                (batch_size, 3, n_node, 7)).astype(np.float32))
+
+            def loss(p, g, x):
+                return jnp.sum(model.apply(p, x, geom=g) ** 2)
+
+            fwd = jax.jit(lambda p, g, x: model.apply(p, x, geom=g))
+            bwd = jax.jit(jax.grad(loss))
+            t_fwd = profile_step(fwd, params, geom, x, n=5)
+            t_bwd = profile_step(bwd, params, geom, x, n=5)
+            results.append({
+                "sampling": spec["sampling"],
+                "sampling_kwargs": spec["sampling_kwargs"],
+                "n_nodes": n_node, "knn": knn, "batch_size": batch_size,
+                "forward_ms": t_fwd["median_s"] * 1e3,
+                "forward_backward_ms": t_bwd["median_s"] * 1e3,
+            })
+            print(results[-1], flush=True)
+    if out_json:
+        Path(out_json).write_text(json.dumps(results, indent=1))
+    return results

@@ -1,0 +1,120 @@
+"""Preprocessing + extended plotting tests."""
+
+import numpy as np
+import pytest
+
+from deepsphere_weather_tpu.data import generate_toy_data
+from deepsphere_weather_tpu.data.preprocess import (
+    check_no_missing_timesteps,
+    reformat_pl,
+    reformat_toa,
+    remap_to_sampling,
+    rechunk_to_space_chunked,
+    zarrify_raw_data,
+)
+from deepsphere_weather_tpu.sphere import build_sampling
+
+
+class TestReformat:
+    def test_reformat_pl_unstacks_levels(self):
+        data = {
+            "z": np.random.default_rng(0).random((4, 2, 10)),
+            "t": np.random.default_rng(1).random((4, 2, 10)),
+            "level": np.array([500, 850]),
+            "sp": np.random.default_rng(2).random((4, 10)),  # no level dim
+        }
+        out = reformat_pl(data, plev_name="level",
+                          var_levels={"z": [500], "t": [850]})
+        assert set(out) == {"z500", "t850", "sp"}
+        np.testing.assert_array_equal(out["z500"], data["z"][:, 0])
+        np.testing.assert_array_equal(out["t850"], data["t"][:, 1])
+
+    def test_reformat_toa_deaccumulates(self):
+        tisr_j = np.array([3600.0, 7200.0])
+        np.testing.assert_allclose(reformat_toa(tisr_j, 1), [1.0, 2.0])
+
+
+class TestRemap:
+    def test_constant_field_preserved(self):
+        dst = build_sampling("healpix", {"subdivisions": 4, "nest": True})
+        field = np.ones((3, 8, 16), dtype=np.float32)
+        out = remap_to_sampling(field, dst)
+        assert out.shape == (3, 192)
+        np.testing.assert_allclose(out, 1.0, rtol=1e-5)
+
+    def test_smooth_field_accuracy(self):
+        # remapping sin(lat) from a fine lat/lon grid should be accurate
+        dst = build_sampling("healpix", {"subdivisions": 4, "nest": True})
+        nlat, nlon = 32, 64
+        lat_1d = 90.0 - (np.arange(nlat) + 0.5) * (180.0 / nlat)
+        field = np.sin(np.deg2rad(lat_1d))[:, None] * np.ones((1, nlon))
+        out = remap_to_sampling(field.astype(np.float32), dst)
+        expected = np.sin(np.deg2rad(dst.lat))
+        assert np.abs(out - expected).max() < 0.05
+
+
+class TestIngest:
+    def test_zarrify_append_and_rechunk(self, tmp_path):
+        rng = np.random.default_rng(0)
+        t0 = np.datetime64("2010-01-01")
+        batches = []
+        for i in range(3):
+            time = t0 + np.arange(i * 4, (i + 1) * 4) * np.timedelta64(6, "h")
+            batches.append((
+                {"z500": rng.random((4, 12)).astype(np.float32)}, time))
+        samp = build_sampling("healpix", {"subdivisions": 1, "nest": True})
+        ds = zarrify_raw_data(tmp_path / "d.zarr", batches,
+                              lat=samp.lat, lon=samp.lon, time_chunk=4)
+        assert ds.n_time == 12 and ds.n_node == 12
+        ds2 = rechunk_to_space_chunked(tmp_path / "d.zarr",
+                                       tmp_path / "s.zarr", node_chunk=1)
+        np.testing.assert_array_equal(ds2.read_all(), ds.read_all())
+        assert ds2.variables["z500"].chunks == (12, 1)
+
+    def test_missing_timesteps_detected(self):
+        t = np.array(["2010-01-01", "2010-01-02", "2010-01-04"],
+                     dtype="datetime64[ns]")
+        with pytest.raises(ValueError, match="missing"):
+            check_no_missing_timesteps(t)
+
+
+class TestHovmollerAndAnimation:
+    def test_hovmoller_plot(self, tmp_path):
+        dyn, _, _ = generate_toy_data(
+            tmp_path / "d", sampling_kwargs={"subdivisions": 4, "nest": True},
+            n_timesteps=40, seed=9)
+        from deepsphere_weather_tpu.plotting import create_hovmoller_plots
+
+        out = create_hovmoller_plots(dyn, tmp_path / "figs")
+        assert (out / "hovmoller_t850_lat.png").exists()
+
+    def test_forecast_animation(self, tmp_path):
+        import jax
+
+        from deepsphere_weather_tpu.engine import AutoregressivePredictions
+        from deepsphere_weather_tpu.models import UNetSpherical
+        from deepsphere_weather_tpu.plotting import create_gif_forecast_error
+
+        dyn, bc, static = generate_toy_data(
+            tmp_path / "d", sampling_kwargs={"subdivisions": 4, "nest": True},
+            n_timesteps=40, seed=10)
+        ti = {
+            "input_n_feature": 7, "output_n_feature": 2,
+            "input_n_time": 2, "output_n_time": 1,
+            "input_shape_info": {"dynamic": {"node": 192}},
+            "output_shape_info": {"dynamic": {"node": 192}},
+            "dim_order": {"dynamic": ["sample", "time", "node", "feature"]},
+        }
+        model = UNetSpherical(tensor_info=ti, sampling="healpix",
+                              sampling_kwargs={"subdivisions": 4, "nest": True},
+                              knn=4, pool_method="max",
+                              increment_learning=True)
+        params = model.init(jax.random.key(0))
+        fc = AutoregressivePredictions(
+            model, params, data_dynamic=dyn, data_bc=bc, data_static=static,
+            input_k=[-2, -1], output_k=[0], forecast_cycle=1, ar_iterations=3,
+            forecast_reference_times=dyn.time[[10]], batch_size=1,
+            zarr_fpath=tmp_path / "f.zarr")
+        gif = create_gif_forecast_error(fc, dyn, tmp_path / "err.gif",
+                                        variable="z500")
+        assert gif.exists() and gif.stat().st_size > 1000
