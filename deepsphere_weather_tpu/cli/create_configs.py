@@ -1,0 +1,73 @@
+"""Config-file generator (reference: scripts/07_create_configs.py:78-110,
+scripts_training/00_create_configs.py).
+
+Generates the configs/ grid:
+  configs/UNetSpherical/<SamplingName>/<Pool>Pool-Graph_<graphtype>.json
+for the sampling x pool-method x graph-type combinations the reference
+ships (7 samplings x 6 pool methods x {knn, voronoi}; 'mesh' in the
+reference maps to the cotangent/voronoi Laplacian here).
+"""
+
+from __future__ import annotations
+
+import copy
+from pathlib import Path
+
+from ..config import get_default_settings, write_config_file
+
+# Sampling grid (reference scripts/01_define_spherical_samplings.py:21-31)
+SAMPLINGS_400KM = {
+    "Healpix_400km": ("healpix", {"subdivisions": 16, "nest": True}),
+    "Equiangular_400km": ("equiangular", {"nlat": 36, "nlon": 72}),
+    "Equiangular_400km_tropics": ("equiangular", {"nlat": 46, "nlon": 92}),
+    "Icosahedral_400km": ("icosahedral", {"subdivisions": 16}),
+    "O24": ("gauss", {"nlat": 48, "nlon": "ecmwf-octahedral"}),
+    "Cubed_400km": ("cubed", {"subdivisions": 24}),
+    "Healpix_100km": ("healpix", {"subdivisions": 64, "nest": True}),
+}
+
+POOL_METHODS = ["Max", "Avg", "Interp", "MaxArea", "MaxVal"]
+GRAPH_TYPES = ["knn", "voronoi"]
+
+
+def create_configs(out_dir="configs", architecture: str = "UNetSpherical",
+                   samplings=None) -> int:
+    out_dir = Path(out_dir)
+    base = get_default_settings()
+    base["ar_settings"].update({
+        "input_k": [-18, -12, -6], "output_k": [0],
+        "forecast_cycle": 6, "ar_iterations": 6,
+    })
+    base["training_settings"].update({
+        "epochs": 15, "learning_rate": 0.007, "training_batch_size": 16,
+        "validation_batch_size": 16, "scoring_interval": 30,
+        "deterministic_training": True, "seed_model_weights": 10,
+        "seed_random_shuffling": 15,
+    })
+    n = 0
+    for name, (sampling, kwargs) in (samplings or SAMPLINGS_400KM).items():
+        for pool in POOL_METHODS:
+            # hierarchical max/avg only exist for healpix/equiangular
+            if pool in ("Max", "Avg") and sampling not in ("healpix",
+                                                           "equiangular"):
+                continue
+            for gt in GRAPH_TYPES:
+                cfg = copy.deepcopy(base)
+                cfg["model_settings"].update({
+                    "architecture_name": architecture,
+                    "sampling_name": name,
+                    "sampling": sampling,
+                    "sampling_kwargs": kwargs,
+                    "pool_method": pool,
+                    "graph_type": gt,
+                    "knn": 20,
+                })
+                p = out_dir / architecture / name / f"{pool}Pool-Graph_{gt}.json"
+                write_config_file(cfg, p)
+                n += 1
+    return n
+
+
+if __name__ == "__main__":
+    n = create_configs()
+    print(f"wrote {n} config files under configs/")

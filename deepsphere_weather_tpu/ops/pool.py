@@ -180,13 +180,13 @@ class GeneralMaxValPool:
         weighted = gathered * self.vals[None, :, :, None]
         mask = (self.vals > 0)[None, :, :, None]
         weighted = jnp.where(mask, weighted, -jnp.inf)
+        pooled = jnp.max(weighted, axis=2)   # max, not take_along_axis(argmax)
         j = jnp.argmax(weighted, axis=2)                          # [B, D, C]
-        pooled = jnp.take_along_axis(weighted, j[:, :, None, :], axis=2)[:, :, 0, :]
-        src_idx = jnp.take_along_axis(
-            jnp.broadcast_to(self.cols[None, :, :, None],
-                             (x.shape[0],) + self.cols.shape + (x.shape[-1],)),
-            j[:, :, None, :], axis=2,
-        )[:, :, 0, :]                                             # [B, D, C]
+        # chosen source node per (batch, dst, channel): one-hot contraction
+        # over the narrow W axis beats a gather kernel on TPU
+        onehot = jax.nn.one_hot(j, self.cols.shape[1], axis=2,
+                                dtype=jnp.int32)                  # [B, D, W, C]
+        src_idx = jnp.einsum("bdwc,dw->bdc", onehot, self.cols)
         return pooled, src_idx
 
 
@@ -233,8 +233,11 @@ class HealpixMaxPool:
     def __call__(self, x):
         B, V, C = x.shape
         g = x.reshape(B, V // self.k, self.k, C)
-        idx = jnp.argmax(g, axis=2)                 # [B, V/k, C]
-        pooled = jnp.take_along_axis(g, idx[:, :, None, :], axis=2)[:, :, 0, :]
+        # max + argmax, NOT take_along_axis(argmax): the gather kernel for
+        # take_along_axis dominated the whole forward pass on TPU (profiled
+        # at ~90% of step time); max is a plain VPU reduction.
+        pooled = jnp.max(g, axis=2)
+        idx = jnp.argmax(g, axis=2)                 # [B, V/k, C] for unpool
         return pooled, idx
 
 
@@ -292,8 +295,8 @@ class EquiangularMaxPool:
         g = g.reshape(B, H // self.c, self.c, W // self.c, self.c, C)
         g = jnp.transpose(g, (0, 1, 3, 2, 4, 5)).reshape(
             B, H // self.c, W // self.c, self.c * self.c, C)
+        pooled = jnp.max(g, axis=3)        # see HealpixMaxPool: avoid gather
         idx = jnp.argmax(g, axis=3)
-        pooled = jnp.take_along_axis(g, idx[:, :, :, None, :], axis=3)[:, :, :, 0, :]
         return pooled.reshape(B, -1, C), idx.reshape(B, -1, C)
 
 
