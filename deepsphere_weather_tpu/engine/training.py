@@ -208,22 +208,31 @@ def AutoregressiveTraining(
             shuffle_seed=shuffle_seed, num_workers=num_workers,
             prefetch_factor=prefetch_factor)
         info.epoch_boundaries.append(update)
+        t_interval = time.perf_counter()
+        steps_in_interval = 0
         for batch in loader:
             n_iters = ar_scheduler.current_ar_iterations
             train_step, _ = get_steps(n_iters)
             w = jax.numpy.asarray(ar_scheduler.padded_weights(n_iters + 1))
-            t0 = time.perf_counter()
             dev_batch = shard_batch(batch, mesh)
+            # No host sync here: steps are enqueued back-to-back so the
+            # device pipeline hides dispatch latency; the loss scalar is
+            # fetched only at scoring intervals (a per-step sync costs a
+            # full tunnel RTT, ~40% of step time at HEALPix-16).
             params, opt_state, total, per_iter = train_step(
                 params, opt_state, dev_batch, w, ctx)
-            total = float(total)
-            dt = time.perf_counter() - t0
             update += 1
-            info.iterations.append(update)
-            info.training_total_loss.append(total)
-            info.samples_per_sec.append(training_batch_size / dt)
+            steps_in_interval += 1
 
             if update % scoring_interval == 0:
+                total = float(total)   # single sync per interval
+                dt = time.perf_counter() - t_interval
+                info.iterations.append(update)
+                info.training_total_loss.append(total)
+                info.samples_per_sec.append(
+                    training_batch_size * steps_in_interval / dt)
+                t_interval = time.perf_counter()
+                steps_in_interval = 0
                 ar_scheduler.step()
                 # --- validation -------------------------------------------
                 val_loss = total

@@ -188,10 +188,11 @@ class TestTrainingLoop:
             num_workers=1,
             verbose=False,
         )
-        assert len(info.training_total_loss) > 10
-        first5 = np.mean(info.training_total_loss[:5])
-        last5 = np.mean(info.training_total_loss[-5:])
-        assert last5 < first5  # learning happened
+        # losses are recorded once per scoring interval (host sync policy);
+        # single-batch training losses are noisy -> compare the (multi-batch
+        # averaged) validation losses
+        assert len(info.training_total_loss) >= 3
+        assert info.validation_total_loss[-1] < info.validation_total_loss[0]
         assert (tmp_path / "model_weights" / "model.npz").exists()
         # reload roundtrip
         from deepsphere_weather_tpu.utils import Checkpointer
