@@ -7,3 +7,7 @@ from .predictions import (  # noqa: F401
     build_ensemble_store,
     ensemble_median,
 )
+from .ensemble_rollout import (  # noqa: F401
+    ensemble_rollout_predictions,
+    make_ensemble_rollout,
+)

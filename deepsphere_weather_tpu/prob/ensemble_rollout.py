@@ -1,0 +1,104 @@
+"""Member-parallel ensemble rollout — the TPU ensemble-parallelism path.
+
+The reference evaluates SWAG/DeepEnsemble members SEQUENTIALLY
+(reference: modules/swag_predictions.py:59-91, SURVEY.md §2.14). On TPU,
+member params stack into a leading pytree axis and the whole block
+rollout vmaps over it — one jitted executable rolls every member at once,
+and on a multi-chip ('data','member') mesh the member axis shards across
+chips (batch-of-members data parallelism with zero communication).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.ar import ARIndexer
+from ..engine.step import make_rollout_block
+
+__all__ = ["make_ensemble_rollout", "ensemble_rollout_predictions"]
+
+
+def make_ensemble_rollout(model, indexer: ARIndexer, block_size: int,
+                          mesh=None):
+    """Build a vmapped (member-stacked) block rollout function.
+
+    Returns (fn, history_size) with
+    fn(member_params, hist, bc_block, static, geom) ->
+       (new_hist, preds [M, B, block, n_out, V, F])
+    where member_params and hist have a leading member axis. With `mesh`,
+    the member axis is sharded over the mesh's 'member' dimension.
+    """
+    rollout_fn, H = make_rollout_block(model, indexer, block_size)
+
+    vmapped = jax.vmap(rollout_fn, in_axes=(0, 0, None, None, None))
+    fn = jax.jit(vmapped)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        member_sh = NamedSharding(mesh, P("member"))
+        rep = NamedSharding(mesh, P())
+
+        def sharded(member_params, hist, bc_block, static, geom):
+            member_params = jax.device_put(member_params, member_sh)
+            hist = jax.device_put(hist, member_sh)
+            return fn(member_params, hist,
+                      jax.device_put(bc_block, rep)
+                      if bc_block is not None else None,
+                      jax.device_put(static, rep)
+                      if static is not None else None,
+                      jax.device_put(geom, rep))
+
+        return sharded, H
+    return fn, H
+
+
+def ensemble_rollout_predictions(model, member_params, *,
+                                 data_dynamic, indexer: ARIndexer,
+                                 n_steps: int,
+                                 data_bc=None, data_static=None, scaler=None,
+                                 t0s: np.ndarray, batch_size: int = 8,
+                                 mesh=None) -> np.ndarray:
+    """All-member rollout -> predictions [M, n_frt, n_steps, n_out, V, F]
+    (host memory; caller streams to stores). Used for moderate horizons
+    where the whole rollout fits one block."""
+    n_members = jax.tree_util.tree_leaves(member_params)[0].shape[0]
+    fn, H = make_ensemble_rollout(model, indexer, n_steps, mesh=mesh)
+    geom = jax.device_put(model.geometry_pytree())
+    static = (jax.device_put(data_static.read_stacked())
+              if data_static is not None else None)
+    V = data_dynamic.n_node
+    F = data_dynamic.n_feature
+    min_k = min(indexer.input_k)
+    outs = []
+    for lo in range(0, len(t0s), batch_size):
+        sel = t0s[lo: lo + batch_size]
+        B = len(sel)
+        hist = np.zeros((B, H, V, F), dtype=np.float32)
+        for b, t0 in enumerate(sel):
+            t_hist = np.arange(t0 + min_k, t0 + min(indexer.output_k))
+            vals = data_dynamic.read_stacked(t_hist)
+            if scaler is not None:
+                vals = scaler.transform(
+                    vals, time=data_dynamic.time[t_hist]).astype(np.float32)
+            hist[b, : len(t_hist)] = vals
+        hist_m = jnp.broadcast_to(jnp.asarray(hist)[None],
+                                  (n_members,) + hist.shape)
+        bc_block = None
+        if data_bc is not None:
+            bc_np = np.zeros((B, n_steps, len(indexer.input_k), V,
+                              data_bc.n_feature), dtype=np.float32)
+            for b, t0 in enumerate(sel):
+                for i in range(n_steps):
+                    t_in = np.clip(
+                        t0 + i * indexer.forecast_cycle
+                        + np.asarray(indexer.input_k), 0, data_bc.n_time - 1)
+                    bc_np[b, i] = data_bc.read_stacked(t_in)
+            bc_block = jnp.asarray(bc_np)
+        _, preds = fn(member_params, hist_m, bc_block, static, geom)
+        outs.append(np.asarray(preds))
+    return np.concatenate(outs, axis=1)
