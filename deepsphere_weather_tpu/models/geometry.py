@@ -75,11 +75,16 @@ def build_model_geometry(
     pool_method: str = "max",
     kernel_size_pooling: int = 4,
     dense_threshold: int = 8192,
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
 ) -> ModelGeometry:
     sampling = check_sampling(sampling)
     conv_type = check_conv_type(conv_type, sampling)
     pool_method = check_pool_method(pool_method)
+    if use_pallas is None:
+        # Pallas kernels compile only on TPU; CPU (tests, virtual meshes)
+        # falls back to the XLA gather ELL path for large graphs
+        import jax
+        use_pallas = jax.default_backend() == "tpu"
 
     coarsening = int(np.sqrt(kernel_size_pooling))
     kwargs_list = [dict(sampling_kwargs)]
@@ -93,18 +98,20 @@ def build_model_geometry(
         if conv_type == "graph":
             samp, L = _cached_graph_laplacian(sampling, kw, knn, graph_type)
             samplings.append(samp)
-            mode = "dense" if samp.n_nodes <= dense_threshold else "ell"
-            if mode == "dense":
-                import jax.numpy as jnp
+            import jax.numpy as jnp
+            if samp.n_nodes <= dense_threshold:
                 op = ChebOperator(dense=jnp.asarray(L.todense(),
                                                     dtype=jnp.float32))
+            elif use_pallas:
+                # Pallas 128x128 BCSR SpMM (2.6% block density at HEALPix-64)
+                from ..ops.pallas_spmm import BlockSparseOperator
+                op = ChebOperator(bcsr=BlockSparseOperator.from_scipy(
+                    L, symmetric=(graph_type == "knn")))
             else:
                 from ..sphere.graph import laplacian_to_ell
-                import jax.numpy as jnp
                 cols, vals = laplacian_to_ell(L)
                 op = ChebOperator(ell_cols=jnp.asarray(cols),
-                                  ell_vals=jnp.asarray(vals),
-                                  use_pallas=use_pallas)
+                                  ell_vals=jnp.asarray(vals))
             cheb_ops.append(op)
         else:
             samplings.append(build_sampling(sampling, kw))

@@ -63,7 +63,7 @@ class UNetSpherical:
         increment_learning: bool = False,
         # TPU options
         dense_threshold: int = 8192,
-        use_pallas: bool = False,
+        use_pallas=None,
         geometry: Optional[ModelGeometry] = None,
     ):
         self.input_n_feature = tensor_info["input_n_feature"]

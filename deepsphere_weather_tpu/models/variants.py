@@ -38,7 +38,7 @@ class _SingleLevelModel:
                  batch_norm: bool = False,
                  batch_norm_before_activation: bool = False,
                  activation: bool = True, activation_fun: str = "relu",
-                 dense_threshold: int = 8192, use_pallas: bool = False,
+                 dense_threshold: int = 8192, use_pallas=None,
                  **_ignored):
         self.input_n_feature = tensor_info["input_n_feature"]
         self.output_n_feature = tensor_info["output_n_feature"]

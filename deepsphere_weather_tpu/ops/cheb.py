@@ -38,57 +38,69 @@ __all__ = ["cheb_basis_dense", "cheb_basis_ell", "cheb_conv", "ell_matvec",
 class ChebOperator:
     """Prepared Laplacian operator for Chebyshev convolutions.
 
-    Wraps either a dense [V, V] array or an ELL (cols, vals) pair and
-    exposes `matvec(X)` over X of shape [V, M]. Construct once per UNet
-    level at model build time (see sphere/graph.py).
+    Wraps one of:
+    - a dense [V, V] array (best <= ~8k nodes: the MXU eats [V,V] matmuls)
+    - an ELL (cols, vals) pair (XLA gather path)
+    - a Pallas BCSR BlockSparseOperator (12k+ nodes: 128x128 block density
+      is ~9% at HEALPix-32 and ~2.6% at HEALPix-64)
+    and exposes `matvec(X)` over X of shape [V, M]. Construct once per UNet
+    level at model build time (see models/geometry.py).
     """
 
     def __init__(self, dense: Optional[jnp.ndarray] = None,
                  ell_cols: Optional[jnp.ndarray] = None,
                  ell_vals: Optional[jnp.ndarray] = None,
+                 bcsr=None,
                  use_pallas: bool = False):
-        if (dense is None) == (ell_cols is None):
-            raise ValueError("provide exactly one of dense / ell arrays")
+        if sum(x is not None for x in (dense, ell_cols, bcsr)) != 1:
+            raise ValueError("provide exactly one of dense / ell / bcsr")
         self.dense = dense
         self.ell_cols = ell_cols
         self.ell_vals = ell_vals
+        self.bcsr = bcsr
         self.use_pallas = use_pallas
 
     @classmethod
     def from_graph(cls, graph, mode: str = "auto", dense_threshold: int = 8192,
-                   use_pallas: bool = False, dtype=jnp.float32):
+                   use_pallas: bool = True, dtype=jnp.float32):
         n = graph.n_nodes
         if mode == "auto":
-            mode = "dense" if n <= dense_threshold else "ell"
+            mode = "dense" if n <= dense_threshold else (
+                "bcsr" if use_pallas else "ell")
         if mode == "dense":
             return cls(dense=jnp.asarray(graph.laplacian_dense(), dtype=dtype))
+        if mode == "bcsr":
+            from .pallas_spmm import BlockSparseOperator
+            return cls(bcsr=BlockSparseOperator.from_scipy(graph.L,
+                                                           symmetric=True))
         cols, vals = graph.laplacian_ell()
-        return cls(ell_cols=jnp.asarray(cols), ell_vals=jnp.asarray(vals, dtype=dtype),
-                   use_pallas=use_pallas)
+        return cls(ell_cols=jnp.asarray(cols),
+                   ell_vals=jnp.asarray(vals, dtype=dtype))
 
     @property
     def n_nodes(self) -> int:
         if self.dense is not None:
             return self.dense.shape[0]
+        if self.bcsr is not None:
+            return self.bcsr.n
         return self.ell_cols.shape[0]
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         """L @ x for x of shape [V, M]."""
         if self.dense is not None:
             return jnp.dot(self.dense, x, preferred_element_type=x.dtype)
-        if self.use_pallas:
-            from .pallas_spmm import ell_spmm
-            return ell_spmm(self.ell_cols, self.ell_vals, x)
+        if self.bcsr is not None:
+            return self.bcsr.matvec(x)
         return ell_matvec(self.ell_cols, self.ell_vals, x)
 
     def tree_flatten(self):
-        return ((self.dense, self.ell_cols, self.ell_vals), self.use_pallas)
+        return ((self.dense, self.ell_cols, self.ell_vals, self.bcsr),
+                self.use_pallas)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        dense, cols, vals = children
         obj = cls.__new__(cls)
-        obj.dense, obj.ell_cols, obj.ell_vals = dense, cols, vals
+        obj.dense, obj.ell_cols, obj.ell_vals, obj.bcsr = children
         obj.use_pallas = aux
         return obj
 
@@ -165,15 +177,10 @@ def cheb_conv(op: ChebOperator, x: jnp.ndarray, weight: jnp.ndarray,
             return jnp.einsum("uv,bvf->buf", op.dense, h,
                               preferred_element_type=h.dtype)
     else:
-        if op.use_pallas:
-            from .pallas_spmm import ell_spmm as _spmm
-        else:
-            _spmm = ell_matvec
-
-        def mv(h):
+        def mv(h):  # ELL or Pallas BCSR over [V, B*F]
             B_, V_, F_ = h.shape
             flat = jnp.transpose(h, (1, 0, 2)).reshape(V_, B_ * F_)
-            out = _spmm(op.ell_cols, op.ell_vals, flat)
+            out = op.matvec(flat)
             return jnp.transpose(out.reshape(V_, B_, F_), (1, 0, 2))
 
     # Chebyshev recurrence in [B, V, F]; mix each basis term immediately

@@ -9,3 +9,9 @@ from .deterministic import (  # noqa: F401
     longitudinal_summary,
 )
 from .benchmarks import climatology_skills, persistence_skills  # noqa: F401
+from .probabilistic import (  # noqa: F401
+    crps_ensemble,
+    ensemble_spread_skill,
+    probabilistic,
+    rank_histogram,
+)

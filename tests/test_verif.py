@@ -1,0 +1,74 @@
+"""Verification metric tests: deterministic golden values + CRPS properties."""
+
+import numpy as np
+import pytest
+
+from deepsphere_weather_tpu.verif import (
+    crps_ensemble,
+    deterministic_metrics,
+    ensemble_spread_skill,
+    rank_histogram,
+)
+
+
+class TestDeterministicMetrics:
+    def test_perfect_forecast(self):
+        obs = np.random.default_rng(0).standard_normal((50, 7))
+        m = deterministic_metrics(obs, obs, axis=0)
+        np.testing.assert_allclose(m["BIAS"], 0, atol=1e-12)
+        np.testing.assert_allclose(m["RMSE"], 0, atol=1e-12)
+        np.testing.assert_allclose(m["pearson_R2"], 1, atol=1e-10)
+        np.testing.assert_allclose(m["rSD"], 1, atol=1e-10)
+        np.testing.assert_allclose(m["KGE"], 1, atol=1e-8)
+        np.testing.assert_allclose(m["NSE"], 1, atol=1e-10)
+
+    def test_constant_bias(self):
+        rng = np.random.default_rng(1)
+        obs = rng.standard_normal((100, 3)) + 10
+        pred = obs + 2.0
+        m = deterministic_metrics(pred, obs, axis=0)
+        np.testing.assert_allclose(m["BIAS"], 2.0, atol=1e-10)
+        np.testing.assert_allclose(m["MAE"], 2.0, atol=1e-10)
+        np.testing.assert_allclose(m["RMSE"], 2.0, atol=1e-10)
+        np.testing.assert_allclose(m["percBIAS"], 20.0, rtol=0.05)
+        np.testing.assert_allclose(m["pearson_R2"], 1.0, atol=1e-8)
+
+
+class TestCRPS:
+    def test_deterministic_limit_is_mae(self):
+        # a 1-member "ensemble" with fair=False: CRPS == |x - y|
+        obs = np.array([1.0, 2.0, 3.0])
+        mem = np.array([[1.5, 2.0, 2.0]])
+        np.testing.assert_allclose(crps_ensemble(mem, obs, fair=False),
+                                   [0.5, 0.0, 1.0])
+
+    def test_matches_bruteforce_kernel(self):
+        rng = np.random.default_rng(2)
+        M = 7
+        mem = rng.standard_normal((M, 20))
+        obs = rng.standard_normal(20)
+        got = crps_ensemble(mem, obs, fair=False)
+        # brute force: E|X-y| - 0.5 E|X-X'|
+        t1 = np.abs(mem - obs[None]).mean(0)
+        t2 = np.abs(mem[:, None] - mem[None, :]).mean((0, 1))
+        np.testing.assert_allclose(got, t1 - 0.5 * t2, rtol=1e-10)
+
+    def test_sharp_accurate_beats_diffuse(self):
+        rng = np.random.default_rng(3)
+        obs = np.zeros(500)
+        sharp = rng.normal(0, 0.1, (10, 500))
+        diffuse = rng.normal(0, 2.0, (10, 500))
+        assert crps_ensemble(sharp, obs).mean() < crps_ensemble(
+            diffuse, obs).mean()
+
+    def test_spread_skill_and_rank(self):
+        rng = np.random.default_rng(4)
+        # perfectly calibrated: obs drawn from the same distribution
+        mem = rng.normal(0, 1, (20, 200, 5))
+        obs = rng.normal(0, 1, (200, 5))
+        ss = ensemble_spread_skill(mem, obs)
+        assert 0.8 < np.nanmean(ss["spread_skill_ratio"]) < 1.25
+        rh = rank_histogram(mem, obs)
+        assert rh.shape == (21,)
+        # roughly flat histogram
+        assert rh.max() < 2.5 * rh.min() + 10
