@@ -18,3 +18,4 @@ from .animation import (  # noqa: F401
     create_gif_forecast_error,
     create_gif_forecast_evolution,
 )
+from .mesh import plot_mesh, plot_polygons, voronoi_patches  # noqa: F401
