@@ -3,9 +3,13 @@ scripts_training/00_create_configs.py).
 
 Generates the configs/ grid:
   configs/UNetSpherical/<SamplingName>/<Pool>Pool-Graph_<graphtype>.json
-for the sampling x pool-method x graph-type combinations the reference
-ships (7 samplings x 6 pool methods x {knn, voronoi}; 'mesh' in the
-reference maps to the cotangent/voronoi Laplacian here).
+for the full sampling x pool-method x graph-type grid the reference ships
+(7 samplings x 6 pool methods x {knn, mesh, voronoi}). Unlike the
+reference — whose code raises on 'mesh' graphs (models.py:52) and on
+'learn' pooling (layers.py:1107) despite shipping those configs — every
+generated config here is runnable: 'mesh' is the symmetric mass-normalized
+cotangent Laplacian and 'Learn' pooling is trainable softmax pooling on
+the conservative-remap sparsity.
 """
 
 from __future__ import annotations
@@ -26,8 +30,8 @@ SAMPLINGS_400KM = {
     "Healpix_100km": ("healpix", {"subdivisions": 64, "nest": True}),
 }
 
-POOL_METHODS = ["Max", "Avg", "Interp", "MaxArea", "MaxVal"]
-GRAPH_TYPES = ["knn", "voronoi"]
+POOL_METHODS = ["Max", "Avg", "Interp", "MaxArea", "MaxVal", "Learn"]
+GRAPH_TYPES = ["knn", "mesh", "voronoi"]
 
 
 def create_configs(out_dir="configs", architecture: str = "UNetSpherical",

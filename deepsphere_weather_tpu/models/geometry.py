@@ -106,7 +106,7 @@ def build_model_geometry(
                 # Pallas 128x128 BCSR SpMM (2.6% block density at HEALPix-64)
                 from ..ops.pallas_spmm import BlockSparseOperator
                 op = ChebOperator(bcsr=BlockSparseOperator.from_scipy(
-                    L, symmetric=(graph_type == "knn")))
+                    L, symmetric=(graph_type in ("knn", "mesh"))))
             else:
                 from ..sphere.graph import laplacian_to_ell
                 cols, vals = laplacian_to_ell(L)

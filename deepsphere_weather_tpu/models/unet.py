@@ -132,6 +132,15 @@ class UNetSpherical:
                   for (name, blk), k in zip(self._blocks.items(), keys)}
         if self.increment_learning:
             params["res_increment"] = jnp.zeros((1,), dtype=jnp.float32)
+        # learned pooling: trainable logits over the remap sparsity
+        # (reference leaves this NotImplemented, modules/layers.py:1107-1133)
+        from ..ops.pool import GeneralLearnPool, GeneralLearnUnpool
+        for lvl, (p, u) in enumerate(zip(self.geometry.pools,
+                                         self.geometry.unpools)):
+            if isinstance(p, GeneralLearnPool):
+                params[f"pool{lvl}"] = p.init()
+            if isinstance(u, GeneralLearnUnpool):
+                params[f"unpool{lvl}"] = u.init()
         return params
 
     # ------------------------------------------------------------------
@@ -163,9 +172,11 @@ class UNetSpherical:
             B, self.input_n_node, self.input_channels)
 
         x_enc1 = self.conv1.apply(params["conv1"], h, cheb_op=ops[0])
-        x_enc2_ini, idx1 = pools[0](x_enc1)
+        x_enc2_ini, idx1 = (pools[0](x_enc1, w=params["pool0"])
+                            if "pool0" in params else pools[0](x_enc1))
         x_enc2 = self.conv2.apply(params["conv2"], x_enc2_ini, cheb_op=ops[1])
-        x_enc3_ini, idx2 = pools[1](x_enc2)
+        x_enc3_ini, idx2 = (pools[1](x_enc2, w=params["pool1"])
+                            if "pool1" in params else pools[1](x_enc2))
         x_enc3 = self.conv3.apply(params["conv3"], x_enc3_ini, cheb_op=ops[2])
         return x_enc3, x_enc2, x_enc1, idx2, idx1, x_last
 
@@ -174,11 +185,13 @@ class UNetSpherical:
         if geom is None:
             geom = self.geometry_pytree()
         ops, unpools = geom["cheb_ops"], geom["unpools"]
-        h = unpools[1](x_enc3, idx2)
+        h = (unpools[1](x_enc3, idx2, w=params["unpool1"])
+             if "unpool1" in params else unpools[1](x_enc3, idx2))
         h = jnp.concatenate((h, x_enc2), axis=2)       # stack skip (reference :530)
         h = self.uconv2.apply(params["uconv2"], h, cheb_op=ops[1])
 
-        h = unpools[0](h, idx1)
+        h = (unpools[0](h, idx1, w=params["unpool0"])
+             if "unpool0" in params else unpools[0](h, idx1))
         h = jnp.concatenate((h, x_enc1), axis=2)
         h = self.uconv1.apply(params["uconv1"], h, cheb_op=ops[0])
         h = self.uconv1_final.apply(params["uconv1_final"], h, cheb_op=ops[0])

@@ -34,6 +34,7 @@ __all__ = [
     "GeneralAvgPool", "GeneralAvgUnpool",
     "GeneralMaxAreaPool", "GeneralMaxAreaUnpool",
     "GeneralMaxValPool", "GeneralMaxValUnpool",
+    "GeneralLearnPool", "GeneralLearnUnpool",
     "HealpixAvgPool", "HealpixAvgUnpool", "HealpixMaxPool", "HealpixMaxUnpool",
     "EquiangularAvgPool", "EquiangularAvgUnpool",
     "EquiangularMaxPool", "EquiangularMaxUnpool",
@@ -204,6 +205,64 @@ class GeneralMaxValUnpool:
         return out.at[b, idx, c].add(x)
 
 
+def _ell_logits(mat) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    cols, vals = sparse_to_ell(mat)
+    mask = vals > 0
+    logits = np.where(mask, np.log(np.maximum(vals, 1e-20)), -1e9)
+    return cols, mask, logits.astype(np.float32)
+
+
+class GeneralLearnPool:
+    """LEARNED sparse pooling on the conservative-remap sparsity pattern.
+
+    The reference leaves pool_method='learn' as NotImplementedError with a
+    SparseLinear sketch (reference: modules/layers.py:1107-1133); here it
+    is implemented for real: trainable logits over each destination row's
+    fixed support, softmax-normalized so pooling stays a convex combination
+    of source nodes (conservativity of the mean is preserved for any
+    learned state). Logits initialize to the conservative 'interp' weights
+    (softmax(log w) == w for row-normalized w), so training starts exactly
+    at interp pooling. The logits live in the MODEL params pytree — call
+    with `w=params[...]`; calling without `w` uses the frozen init.
+    """
+
+    def __init__(self, pool_matrix):
+        cols, mask, logits = _ell_logits(pool_matrix)
+        self.cols = jnp.asarray(cols)
+        self.mask = jnp.asarray(mask)
+        self.init_logits = jnp.asarray(logits)
+
+    def init(self) -> jnp.ndarray:
+        return self.init_logits
+
+    def __call__(self, x, w=None) -> Tuple[jnp.ndarray, None]:
+        logits = self.init_logits if w is None else w
+        logits = jnp.where(self.mask, logits, -1e9)
+        p = jax.nn.softmax(logits, axis=1)                        # [D, W]
+        gathered = jnp.take(x, self.cols, axis=1)                 # [B, D, W, C]
+        return jnp.einsum("bdwc,dw->bdc", gathered, p), None
+
+
+class GeneralLearnUnpool:
+    """Learned sparse unpooling over the transposed (unpool) sparsity."""
+
+    def __init__(self, unpool_matrix):
+        cols, mask, logits = _ell_logits(unpool_matrix)
+        self.cols = jnp.asarray(cols)
+        self.mask = jnp.asarray(mask)
+        self.init_logits = jnp.asarray(logits)
+
+    def init(self) -> jnp.ndarray:
+        return self.init_logits
+
+    def __call__(self, x, idx=None, w=None) -> jnp.ndarray:
+        logits = self.init_logits if w is None else w
+        logits = jnp.where(self.mask, logits, -1e9)
+        p = jax.nn.softmax(logits, axis=1)
+        gathered = jnp.take(x, self.cols, axis=1)
+        return jnp.einsum("bdwc,dw->bdc", gathered, p)
+
+
 # ---------------------------------------------------------------------------
 # Hierarchical HEALPix pooling (nested ordering -> reshape)
 # ---------------------------------------------------------------------------
@@ -322,6 +381,8 @@ _register_pool_pytree(GeneralMaxAreaPool, ("mat",), ())
 _register_pool_pytree(GeneralMaxAreaUnpool, ("mat",), ())
 _register_pool_pytree(GeneralMaxValPool, ("cols", "vals"), ("n_in",))
 _register_pool_pytree(GeneralMaxValUnpool, (), ("n_src",))
+_register_pool_pytree(GeneralLearnPool, ("cols", "mask", "init_logits"), ())
+_register_pool_pytree(GeneralLearnUnpool, ("cols", "mask", "init_logits"), ())
 _register_pool_pytree(HealpixAvgPool, (), ("k",))
 _register_pool_pytree(HealpixAvgUnpool, (), ("k",))
 _register_pool_pytree(HealpixMaxPool, (), ("k",))
@@ -364,7 +425,7 @@ def build_pool_unpool(pool_method: str, src_sampling, dst_sampling,
             f"hierarchical pooling '{method}' requires healpix/equiangular, got {name}"
         )
 
-    if method in ("interp", "maxarea", "maxval"):
+    if method in ("interp", "maxarea", "maxval", "learn"):
         from ..sphere.cache import cached_arrays
         from ..sphere.remap import build_pooling_matrices
 
@@ -385,14 +446,11 @@ def build_pool_unpool(pool_method: str, src_sampling, dst_sampling,
             return GeneralAvgPool(pool_ell), GeneralAvgUnpool(unpool_ell)
         if method == "maxarea":
             return GeneralMaxAreaPool(pool_ell), GeneralMaxAreaUnpool(unpool_ell)
+        if method == "learn":
+            return GeneralLearnPool(pool_ell), GeneralLearnUnpool(unpool_ell)
         return (GeneralMaxValPool(pool_ell),
                 GeneralMaxValUnpool(src_sampling.n_nodes))
 
-    if method == "learn":
-        raise NotImplementedError(
-            "pool_method='learn' is not implemented (matches reference, "
-            "modules/layers.py:1107-1133)"
-        )
     raise ValueError(f"unknown pool_method {pool_method!r}")
 
 

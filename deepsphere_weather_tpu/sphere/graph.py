@@ -212,8 +212,13 @@ def build_graph(name: str, sampling_kwargs: Dict, k: int = 20,
     """Build sampling + knn graph + prepared (rescaled) Laplacian.
 
     graph_type='knn' uses the normalized knn-graph Laplacian;
-    graph_type='voronoi' uses the cotangent Laplacian (reference:
-    modules/models.py:49-60). Either way the operator is rescaled to [-1, 1].
+    graph_type='voronoi' uses the mass-lumped cotangent Laplacian M^-1 L
+    (reference: modules/models.py:49-60); graph_type='mesh' uses the
+    SYMMETRIC mass-normalized cotangent Laplacian M^-1/2 L M^-1/2 of the
+    same spherical triangulation (the reference ships Graph_mesh configs
+    but its code raises on them, models.py:52 — here it is a real,
+    spectrally well-behaved operator). Either way the operator is
+    rescaled to [-1, 1].
     """
     if sampling is None:
         sampling = build_sampling(name, sampling_kwargs)
@@ -223,7 +228,11 @@ def build_graph(name: str, sampling_kwargs: Dict, k: int = 20,
         L0 = normalized_laplacian(W)
     elif graph_type == "voronoi":
         L0 = compute_cotan_laplacian(coords)
+    elif graph_type == "mesh":
+        Lc, M = compute_cotan_laplacian(coords, return_mass=True)
+        m_isqrt = sparse.diags(1.0 / np.sqrt(M.diagonal()))
+        L0 = m_isqrt @ Lc @ m_isqrt
     else:
-        raise ValueError("graph_type must be 'knn' or 'voronoi'")
+        raise ValueError("graph_type must be 'knn', 'mesh' or 'voronoi'")
     L = prepare_laplacian(L0)
     return SphereGraph(sampling=sampling, k=k, W=W, L=L)

@@ -123,6 +123,50 @@ class TestUNetSpherical:
         y = m.apply(params, jnp.ones((2, 2, 192, 4)))
         assert y.shape == (2, 1, 192, 2)
 
+    def test_learn_pooling_variant(self):
+        # 'learn' pooling is a real implementation here (the reference
+        # raises NotImplementedError, modules/layers.py:1107-1133):
+        # trainable softmax logits on the remap sparsity, initialized so
+        # the forward pass matches 'interp' pooling exactly.
+        kw = dict(
+            tensor_info=make_tensor_info(192),
+            sampling="healpix",
+            sampling_kwargs={"subdivisions": 4, "nest": True},
+            knn=8,
+        )
+        m = UNetSpherical(pool_method="learn", **kw)
+        params = m.init(jax.random.key(7))
+        for name in ("pool0", "pool1", "unpool0", "unpool1"):
+            assert name in params
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 2, 192, 4)),
+            jnp.float32)
+        y = m.apply(params, x)
+        assert y.shape == (2, 1, 192, 2)
+
+        m_interp = UNetSpherical(pool_method="interp", **kw)
+        y_interp = m_interp.apply(m_interp.init(jax.random.key(7)), x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_interp),
+                                   atol=1e-5)
+
+        # gradients flow into the pooling logits
+        g = jax.grad(lambda p: jnp.mean(m.apply(p, x) ** 2))(params)
+        assert float(jnp.abs(g["pool0"]).sum()) > 0
+
+    def test_mesh_graph_type_variant(self):
+        m = UNetSpherical(
+            tensor_info=make_tensor_info(192),
+            sampling="healpix",
+            sampling_kwargs={"subdivisions": 4, "nest": True},
+            knn=8,
+            graph_type="mesh",
+            pool_method="max",
+        )
+        params = m.init(jax.random.key(8))
+        y = m.apply(params, jnp.ones((1, 2, 192, 4)))
+        assert y.shape == (1, 1, 192, 2)
+        assert bool(jnp.all(jnp.isfinite(y)))
+
 
 class TestArchitectureVariants:
     @pytest.mark.parametrize("arch", ["ResNetSpherical", "EPDNetSpherical",

@@ -105,6 +105,16 @@ class TestGraph:
                   return_eigenvectors=False)
         assert abs(ev[0]) <= 1.05
 
+    def test_mesh_laplacian_symmetric_rescaled(self):
+        # graph_type='mesh': M^-1/2 L M^-1/2 — symmetric, spectrum in [-1, 1]
+        g = build_graph("icosahedral", {"subdivisions": 3}, k=8,
+                        graph_type="mesh")
+        asym = abs(g.L - g.L.T)
+        assert asym.nnz == 0 or abs(asym).max() < 1e-6
+        ev_max = eigsh(g.L, k=1, which="LA", return_eigenvectors=False)[0]
+        ev_min = eigsh(g.L, k=1, which="SA", return_eigenvectors=False)[0]
+        assert -1.05 <= ev_min and ev_max <= 1.01
+
     def test_ell_export_matches_dense(self):
         g = build_graph("healpix", {"subdivisions": 2, "nest": True}, k=8)
         cols, vals = laplacian_to_ell(g.L)
