@@ -6,6 +6,7 @@ from typing import Dict
 from .unet import UNetSpherical  # noqa: F401
 from .variants import (  # noqa: F401
     ConvNetSpherical,
+    DownscalingNetSpherical,
     EPDNetSpherical,
     ResNetSpherical,
 )
@@ -16,6 +17,7 @@ ARCHITECTURES: Dict[str, type] = {
     "ResNetSpherical": ResNetSpherical,
     "EPDNetSpherical": EPDNetSpherical,
     "ConvNetSpherical": ConvNetSpherical,
+    "DownscalingNetSpherical": DownscalingNetSpherical,
 }
 
 
@@ -30,5 +32,14 @@ def get_model(architecture_name: str, tensor_info: Dict, **model_kwargs):
             f"available: {sorted(ARCHITECTURES)}")
     cls = ARCHITECTURES[architecture_name]
     sig = inspect.signature(cls.__init__)
-    accepted = {k: v for k, v in model_kwargs.items() if k in sig.parameters}
+    has_var_kw = any(p.kind is inspect.Parameter.VAR_KEYWORD
+                     for p in sig.parameters.values())
+    if has_var_kw:
+        # classes with **kwargs see every setting (they ignore what they
+        # don't use); filtering by named params would silently drop e.g.
+        # `knn` for the variant architectures
+        accepted = dict(model_kwargs)
+    else:
+        accepted = {k: v for k, v in model_kwargs.items()
+                    if k in sig.parameters}
     return cls(tensor_info=tensor_info, **accepted)

@@ -1,5 +1,5 @@
 """Alternative architectures: ResNetSpherical, EPDNetSpherical,
-ConvNetSpherical.
+ConvNetSpherical, DownscalingNetSpherical.
 
 Parity with the reference's plug-in architecture family selected by
 `architecture_name` (reference: modules/my_models_graph_old.py:834-1624):
@@ -10,9 +10,14 @@ Parity with the reference's plug-in architecture family selected by
   -> decode (1 conv) -> final conv (ref :1270-1368)
 - ConvNetSpherical: 6 stacked ConvBlocks at 128 features + final conv
   (ref :1540-1608)
+- DownscalingNetSpherical: realizes the reference's DownscalingNet ABC
+  (modules/models.py:134-145, decode-only forward; the concrete model was
+  left as a TODO at my_models_graph_old.py:18): coarse-sampling input ->
+  convs on the coarse graph -> conservative-interp unpool to the fine
+  sampling -> ResBlock + final conv on the fine graph.
 
-All single-level (no pooling pyramid); same [B, T, V, F] contract and
-geometry-as-argument convention as UNetSpherical.
+All share the [B, T, V, F] contract and geometry-as-argument convention
+of UNetSpherical.
 """
 
 from __future__ import annotations
@@ -25,7 +30,8 @@ import jax.numpy as jnp
 from .geometry import build_model_geometry
 from .layers import ConvBlock, ResBlock
 
-__all__ = ["ResNetSpherical", "EPDNetSpherical", "ConvNetSpherical"]
+__all__ = ["ResNetSpherical", "EPDNetSpherical", "ConvNetSpherical",
+           "DownscalingNetSpherical"]
 
 
 class _SingleLevelModel:
@@ -154,6 +160,121 @@ class EPDNetSpherical(_SingleLevelModel):
         self._blocks = blocks
         self._order = ["enc_conv1", "enc_conv2", "resblock1", "resblock2",
                        "resblock3", "resblock4", "dec_conv1", "conv_final"]
+
+
+class DownscalingNetSpherical:
+    """Decode-only downscaler: coarse-sampling input -> fine-sampling output.
+
+    Realizes the reference's DownscalingNet ABC (modules/models.py:134-145):
+    forward(x) = decode(x). `sampling_kwargs` describes the FINE (output)
+    sampling; the coarse (input) sampling is its `kernel_size_pooling`-fold
+    coarsening, matching the UNet pyramid rule (utils_models.py:91-102).
+    tensor_info's input node count must equal the coarse sampling size.
+    """
+
+    def __init__(self, tensor_info: Dict, sampling: str, sampling_kwargs: Dict,
+                 kernel_size_conv: int = 3, conv_type: str = "graph",
+                 graph_type: str = "knn", knn: int = 20,
+                 periodic_padding: bool = True, bias: bool = True,
+                 batch_norm: bool = False,
+                 batch_norm_before_activation: bool = False,
+                 activation: bool = True, activation_fun: str = "relu",
+                 kernel_size_pooling: int = 4,
+                 dense_threshold: int = 8192, use_pallas=None,
+                 **_ignored):
+        self.input_n_feature = tensor_info["input_n_feature"]
+        self.output_n_feature = tensor_info["output_n_feature"]
+        self.input_n_time = tensor_info["input_n_time"]
+        self.output_n_time = tensor_info["output_n_time"]
+        self.input_n_node = tensor_info["input_shape_info"]["dynamic"]["node"]
+        self.output_n_node = tensor_info["output_shape_info"]["dynamic"]["node"]
+        self.input_channels = self.input_n_feature * self.input_n_time
+        self.output_channels = self.output_n_feature * self.output_n_time
+        self.increment_learning = False
+
+        # depth=2 pyramid over the FINE sampling: level 0 = fine (output),
+        # level 1 = coarse (input); unpools[0] interpolates coarse -> fine.
+        self.geometry = build_model_geometry(
+            sampling=sampling, sampling_kwargs={**sampling_kwargs},
+            depth=2, knn=knn, graph_type=graph_type, conv_type=conv_type,
+            pool_method="interp" if conv_type == "graph" else "avg",
+            kernel_size_pooling=kernel_size_pooling,
+            dense_threshold=dense_threshold, use_pallas=use_pallas)
+        assert self.geometry.n_nodes[1] == self.input_n_node, (
+            f"coarse sampling nodes {self.geometry.n_nodes[1]} != "
+            f"tensor_info input node {self.input_n_node}")
+        assert self.geometry.n_nodes[0] == self.output_n_node, (
+            f"fine sampling nodes {self.geometry.n_nodes[0]} != "
+            f"tensor_info output node {self.output_n_node}")
+
+        ck = dict(kernel_size=kernel_size_conv,
+                  conv_type=self.geometry.conv_type, bias=bias,
+                  batch_norm=batch_norm,
+                  batch_norm_before_activation=batch_norm_before_activation,
+                  activation=activation, activation_fun=activation_fun,
+                  periodic_padding=periodic_padding)
+
+        def level_kwargs(level):
+            kw = dict(ck)
+            if self.geometry.conv_type == "image":
+                skw = self.geometry.samplings[level].kwargs_dict
+                kw["nlat"], kw["nlon"] = skw["nlat"], skw["nlon"]
+            return kw
+
+        n_feat = 128
+        final_kw = level_kwargs(0)
+        final_kw["batch_norm"] = False
+        final_kw["activation"] = False
+        self._blocks = {
+            "conv_coarse1": ConvBlock(self.input_channels, n_feat,
+                                      self.geometry.cheb_ops[1],
+                                      **level_kwargs(1)),
+            "conv_coarse2": ConvBlock(n_feat, n_feat,
+                                      self.geometry.cheb_ops[1],
+                                      **level_kwargs(1)),
+            "res_fine": ResBlock(n_feat, (n_feat, n_feat),
+                                 self.geometry.cheb_ops[0], level_kwargs(0)),
+            "conv_final": ConvBlock(n_feat, self.output_channels,
+                                    self.geometry.cheb_ops[0], **final_kw),
+        }
+
+    def geometry_pytree(self) -> Dict:
+        return {"cheb_ops": list(self.geometry.cheb_ops),
+                "pools": list(self.geometry.pools),
+                "unpools": list(self.geometry.unpools)}
+
+    def init(self, rng) -> Dict:
+        keys = jax.random.split(rng, len(self._blocks))
+        return {name: blk.init(k)
+                for (name, blk), k in zip(self._blocks.items(), keys)}
+
+    def decode(self, params: Dict, x: jnp.ndarray,
+               geom: Optional[Dict] = None) -> jnp.ndarray:
+        if geom is None:
+            geom = self.geometry_pytree()
+        ops, unpools = geom["cheb_ops"], geom["unpools"]
+        B = x.shape[0]
+        h = jnp.transpose(x, (0, 2, 1, 3)).reshape(
+            B, self.input_n_node, self.input_channels)
+        h = self._blocks["conv_coarse1"].apply(params["conv_coarse1"], h,
+                                               cheb_op=ops[1])
+        h = self._blocks["conv_coarse2"].apply(params["conv_coarse2"], h,
+                                               cheb_op=ops[1])
+        h = unpools[0](h, None)
+        h = self._blocks["res_fine"].apply(params["res_fine"], h,
+                                           cheb_op=ops[0])
+        h = self._blocks["conv_final"].apply(params["conv_final"], h,
+                                             cheb_op=ops[0])
+        h = h.reshape(B, self.output_n_node, self.output_n_time,
+                      self.output_n_feature)
+        return jnp.transpose(h, (0, 2, 1, 3))
+
+    def apply(self, params: Dict, x: jnp.ndarray,
+              geom: Optional[Dict] = None) -> jnp.ndarray:
+        """forward = decode (reference models.py:141-145)."""
+        return self.decode(params, x, geom=geom)
+
+    __call__ = apply
 
 
 class ConvNetSpherical(_SingleLevelModel):

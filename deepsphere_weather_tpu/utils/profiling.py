@@ -19,7 +19,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-__all__ = ["summarize_model", "profile_step", "scalability_sweep"]
+__all__ = ["summarize_model", "profile_model", "profile_step",
+           "scalability_sweep"]
 
 
 def summarize_model(model, params) -> str:
@@ -37,6 +38,53 @@ def summarize_model(model, params) -> str:
         lines.append(f"  {name:<22} {n:>12,}  ({shapes})")
     lines.append(f"  {'TOTAL':<22} {total:>12,} parameters")
     return "\n".join(lines)
+
+
+def profile_model(model, params=None, batch_size: int = 1, n: int = 10,
+                  trace_dir: Optional[str] = None, seed: int = 0) -> Dict:
+    """Compile-time cost + runtime profile of a model forward pass.
+
+    TPU-native equivalent of the reference's `profile_model`
+    (torch.autograd.profiler wrapper, dev/dev_model_profiler.py:336-351):
+    reports XLA's static cost analysis (FLOPs, HBM bytes accessed) and
+    memory analysis of the compiled executable alongside measured
+    device-synchronized step times; `trace_dir` additionally dumps a
+    jax.profiler trace for per-op inspection in TensorBoard/Perfetto.
+    """
+    import jax
+
+    if params is None:
+        params = model.init(jax.random.key(seed))
+    params = jax.device_put(params)
+    geom = jax.device_put(model.geometry_pytree())
+    x = jax.device_put(np.random.default_rng(seed).standard_normal(
+        (batch_size, model.input_n_time, model.input_n_node,
+         model.input_n_feature)).astype(np.float32))
+
+    fn = jax.jit(lambda p, g, x: model.apply(p, x, geom=g))
+    compiled = fn.lower(params, geom, x).compile()
+    out: Dict = {"batch_size": batch_size}
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        out["flops"] = float(cost.get("flops", float("nan")))
+        out["bytes_accessed"] = float(cost.get("bytes accessed",
+                                                float("nan")))
+    except Exception:  # cost analysis is backend-dependent
+        pass
+    try:
+        mem = compiled.memory_analysis()
+        out["peak_memory_bytes"] = int(
+            getattr(mem, "temp_size_in_bytes", 0)
+            + getattr(mem, "argument_size_in_bytes", 0)
+            + getattr(mem, "output_size_in_bytes", 0))
+    except Exception:
+        pass
+    out.update(profile_step(fn, params, geom, x, n=n, trace_dir=trace_dir))
+    if "flops" in out and out["median_s"] > 0:
+        out["tflops_per_s"] = out["flops"] / out["median_s"] / 1e12
+    return out
 
 
 def profile_step(fn, *args, n: int = 10, warmup: int = 2,

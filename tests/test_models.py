@@ -185,3 +185,42 @@ class TestArchitectureVariants:
         g = jax.grad(lambda p: jnp.sum(m.apply(p, x) ** 2))(params)
         assert all(np.all(np.isfinite(np.asarray(l)))
                    for l in jax.tree_util.tree_leaves(g))
+
+    def test_downscaling_net(self):
+        # coarse (192-node healpix-4) input -> fine (768-node healpix-8)
+        # output; realizes the reference DownscalingNet ABC
+        # (modules/models.py:134-145)
+        ti = make_tensor_info(192)
+        ti["output_shape_info"]["dynamic"]["node"] = 768
+        m = get_model(
+            "DownscalingNetSpherical", ti,
+            sampling="healpix",
+            sampling_kwargs={"subdivisions": 8, "nest": True},
+            knn=8)
+        params = m.init(jax.random.key(1))
+        geom = m.geometry_pytree()
+        x = jnp.ones((2, 2, 192, 4))
+        y = jax.jit(lambda p, g, x: m.apply(p, x, geom=g))(params, geom, x)
+        assert y.shape == (2, 1, 768, 2)
+        # forward == decode (decode-only ABC contract)
+        np.testing.assert_array_equal(np.asarray(y),
+                                      np.asarray(m.decode(params, x)))
+        g = jax.grad(lambda p: jnp.sum(m.apply(p, x) ** 2))(params)
+        assert all(np.all(np.isfinite(np.asarray(l)))
+                   for l in jax.tree_util.tree_leaves(g))
+
+
+class TestProfiling:
+    def test_profile_model(self):
+        from deepsphere_weather_tpu.utils import profile_model, summarize_model
+
+        m = UNetSpherical(
+            tensor_info=make_tensor_info(192),
+            sampling="healpix",
+            sampling_kwargs={"subdivisions": 4, "nest": True},
+            knn=8, pool_method="max")
+        out = profile_model(m, batch_size=2, n=3)
+        assert out["median_s"] > 0
+        assert "peak_memory_bytes" in out or "flops" in out
+        s = summarize_model(m, m.init(jax.random.key(0)))
+        assert "TOTAL" in s
