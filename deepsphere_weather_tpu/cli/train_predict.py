@@ -169,6 +169,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         exp_dir=exp_path,
         num_workers=dl_settings["num_workers"],
         prefetch_factor=dl_settings["prefetch_factor"],
+        autotune_num_workers=dl_settings.get("autotune_num_workers", False),
         shuffle=dl_settings["random_shuffling"],
         shuffle_seed=int(training_settings["seed_random_shuffling"]),
         verbose=verbose,

@@ -42,8 +42,7 @@ _LEGACY_KEYS = {
     "training_settings": {"benchmark_cudnn", "gpu_training", "gpu_devices_ids",
                           "dataparallel_training"},
     "dataloader_settings": {"prefetch_in_gpu", "pin_memory",
-                            "asyncronous_gpu_transfer",
-                            "autotune_num_workers"},
+                            "asyncronous_gpu_transfer"},
 }
 
 
@@ -113,6 +112,7 @@ def get_default_dataloader_settings() -> Dict:
         "drop_last_batch": True,
         "prefetch_factor": 2,
         "num_workers": 8,
+        "autotune_num_workers": False,
     }
 
 

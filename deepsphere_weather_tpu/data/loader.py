@@ -109,7 +109,8 @@ class AutoregressiveDataLoader:
     def __init__(self, dataset: AutoregressiveDataset, batch_size: int = 16,
                  shuffle: bool = True, shuffle_seed: int = 69,
                  drop_last_batch: bool = True, num_workers: int = 4,
-                 prefetch_factor: int = 2):
+                 prefetch_factor: int = 2,
+                 autotune_num_workers: bool = False):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
@@ -118,6 +119,32 @@ class AutoregressiveDataLoader:
         self.num_workers = max(int(num_workers), 1)
         self.prefetch_factor = max(int(prefetch_factor), 1)
         self._epoch = 0
+        if autotune_num_workers:
+            self.num_workers = self._autotune_num_workers()
+
+    def _autotune_num_workers(self, candidates=(1, 2, 4, 8),
+                              n_batches: int = 4) -> int:
+        """Pick the thread count with the best measured batch-assembly
+        throughput (reference flag: utils_config.py:100, plumbed at
+        train_predict_state.py:413)."""
+        import time
+
+        batches = self._batch_indices()[:n_batches]
+        if not batches:
+            return self.num_workers
+        best, best_t = self.num_workers, float("inf")
+        for nw in candidates:
+            t0 = time.perf_counter()
+            if nw <= 1:
+                for idx in batches:
+                    self._assemble(idx)
+            else:
+                with ThreadPoolExecutor(max_workers=nw) as pool:
+                    list(pool.map(self._assemble, batches))
+            dt = time.perf_counter() - t0
+            if dt < best_t:
+                best, best_t = nw, dt
+        return best
 
     def __len__(self) -> int:
         n = len(self.dataset)

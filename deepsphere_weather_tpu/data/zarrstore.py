@@ -29,7 +29,8 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["ZarrArray", "ZarrGroup", "open_group", "create_group"]
+__all__ = ["ZarrArray", "ZarrGroup", "open_group", "create_group",
+           "memory_size", "disk_size", "profile_zarr_io"]
 
 
 def _dtype_to_str(dt: np.dtype) -> str:
@@ -270,3 +271,59 @@ def open_group(path) -> ZarrGroup:
 
 def create_group(path, attrs=None, overwrite=False) -> ZarrGroup:
     return ZarrGroup.create(path, attrs=attrs, overwrite=overwrite)
+
+
+# ---------------------------------------------------------------------------
+# Storage introspection / benchmarking
+# (parity with xforecasting.utils.zarr: profile_zarr_io + memory-size
+#  helpers, used by the reference's chunk-optimization study,
+#  scripts/03b_optimize_zarr_chunks.py:17-27)
+# ---------------------------------------------------------------------------
+
+def memory_size(obj) -> int:
+    """Uncompressed in-memory size in bytes of a ZarrArray or ZarrGroup."""
+    if isinstance(obj, ZarrGroup):
+        return sum(memory_size(obj[n]) for n in obj.array_names())
+    return int(np.prod(obj.shape)) * np.dtype(obj.dtype).itemsize
+
+
+def disk_size(path) -> int:
+    """On-disk (compressed) size in bytes of a store directory."""
+    p = Path(path)
+    return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+
+
+def profile_zarr_io(path, n: int = 3) -> Dict:
+    """Benchmark read throughput of a store under the two access patterns
+    the AR pipeline cares about: full time-slices (training windows) and
+    full node-series (verification / scaler fits)."""
+    import time
+
+    g = open_group(path)
+    names = [nm for nm in g.array_names() if g[nm].ndim == 2]
+    if not names:
+        raise ValueError(f"no 2-D arrays in store {path}")
+    out: Dict = {"store": str(path),
+                 "memory_size_bytes": memory_size(g),
+                 "disk_size_bytes": disk_size(path),
+                 "arrays": names}
+    out["compression_ratio"] = (out["memory_size_bytes"]
+                                / max(out["disk_size_bytes"], 1))
+
+    def _time(fn) -> float:
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            nbytes = fn()
+            ts.append(time.perf_counter() - t0)
+        return nbytes / (sorted(ts)[len(ts) // 2] + 1e-12) / 1e6  # MB/s
+
+    arr = g[names[0]]
+    T, V = arr.shape
+    t_slice = min(64, T)
+    out["read_time_slice_MBps"] = _time(
+        lambda: arr[:t_slice, :].nbytes)
+    out["read_node_series_MBps"] = _time(
+        lambda: arr[:, : max(V // 16, 1)].nbytes)
+    out["read_full_MBps"] = _time(lambda: arr[...].nbytes)
+    return out

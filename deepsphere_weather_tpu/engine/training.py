@@ -140,6 +140,7 @@ def AutoregressiveTraining(
     mesh=None,
     num_workers: int = 4,
     prefetch_factor: int = 2,
+    autotune_num_workers: bool = False,
     shuffle: bool = True,
     shuffle_seed: int = 69,
     # SWAG hooks (reference finetune_swag.py:354-401)
@@ -206,7 +207,10 @@ def AutoregressiveTraining(
         loader = AutoregressiveDataLoader(
             train_ds, batch_size=training_batch_size, shuffle=shuffle,
             shuffle_seed=shuffle_seed, num_workers=num_workers,
-            prefetch_factor=prefetch_factor)
+            prefetch_factor=prefetch_factor,
+            autotune_num_workers=autotune_num_workers and epoch == 0)
+        if autotune_num_workers and epoch == 0:
+            num_workers = loader.num_workers  # reuse tuned value onwards
         info.epoch_boundaries.append(update)
         t_interval = time.perf_counter()
         steps_in_interval = 0

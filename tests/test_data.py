@@ -213,6 +213,29 @@ class TestLoader:
         for a, b in zip(b1, b2):
             np.testing.assert_array_equal(a, b)
 
+    def test_autotune_num_workers(self, toy):
+        dyn, _, _ = toy
+        ix = ARIndexer.build([-1], [0], 1, 1)
+        ds = AutoregressiveDataset(dyn, ix)
+        loader = AutoregressiveDataLoader(ds, batch_size=8, shuffle=False,
+                                          num_workers=4,
+                                          autotune_num_workers=True)
+        assert loader.num_workers in (1, 2, 4, 8)
+        batch = next(iter(loader))
+        assert batch["dynamic"].shape[0] == 8
+
+    def test_profile_zarr_io(self, toy):
+        from deepsphere_weather_tpu.data.zarrstore import (
+            disk_size, memory_size, profile_zarr_io)
+
+        dyn, _, _ = toy
+        path = dyn.group.path
+        out = profile_zarr_io(path, n=2)
+        assert out["read_full_MBps"] > 0
+        assert out["memory_size_bytes"] >= out["disk_size_bytes"] * 0 \
+            and out["memory_size_bytes"] > 0
+        assert disk_size(path) > 0 and memory_size(dyn.group) > 0
+
     def test_update_ar_iterations(self, toy):
         dyn, _, _ = toy
         ix = ARIndexer.build([-1], [0], 1, 5)
