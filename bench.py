@@ -60,7 +60,10 @@ def bench_jax(repeats: int = 20) -> float:
     model = UNetSpherical(
         tensor_info=_tensor_info(), sampling="healpix",
         sampling_kwargs={"subdivisions": SUBDIV, "nest": True},
-        knn=KNN, pool_method="max", increment_learning=True)
+        knn=KNN, pool_method="max", increment_learning=True,
+        # bf16 compute / fp32 params+loss is the TPU-native production
+        # configuration (numeric_precision config key)
+        numeric_precision="bfloat16")
     params = jax.device_put(model.init(jax.random.key(0)))
     indexer = ARIndexer.build([-3, -2, -1], [0], 1, AR_ITERS)
     samp = build_sampling("healpix", {"subdivisions": SUBDIV, "nest": True})

@@ -116,6 +116,8 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     model_kwargs = {k: v for k, v in model_settings.items()
                     if k != "architecture_name"}
     model_kwargs["pool_method"] = str(model_kwargs["pool_method"]).lower()
+    model_kwargs["numeric_precision"] = training_settings.get(
+        "numeric_precision", "float32")
     model = get_model(model_settings["architecture_name"], tensor_info,
                       **model_kwargs)
     params = model.init(jax.random.key(

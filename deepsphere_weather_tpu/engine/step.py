@@ -101,7 +101,10 @@ def make_ar_loss_fn(model, indexer: ARIndexer,
             dyn_buf = dyn_buf.at[:, out_pos[i]].set(y_write)
             return dyn_buf, l
 
-        _, losses = jax.lax.scan(step, dyn, jnp.arange(n_scan_iterations))
+        # fully unrolled: AR depth is small (<= ~20) and unrolling lets XLA
+        # overlap/fuse across iterations (measured ~7% step-time win)
+        _, losses = jax.lax.scan(step, dyn, jnp.arange(n_scan_iterations),
+                                 unroll=True)
         w = ar_weights[:n_scan_iterations]
         w = w / jnp.maximum(w.sum(), 1e-12)
         return jnp.sum(losses * w), losses

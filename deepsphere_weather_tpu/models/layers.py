@@ -160,10 +160,13 @@ class ConvBlock:
         return params
 
     def _apply_norm(self, params, x):
-        mean = x.mean(axis=-1, keepdims=True)
-        var = x.var(axis=-1, keepdims=True)
-        xn = (x - mean) * jax.lax.rsqrt(var + 1e-5)
-        return xn * params["norm_scale"] + params["norm_bias"]
+        # normalization statistics in fp32 regardless of compute dtype
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=-1, keepdims=True)
+        var = x32.var(axis=-1, keepdims=True)
+        xn = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (xn * params["norm_scale"]
+                + params["norm_bias"]).astype(x.dtype)
 
     def apply(self, params: Dict, x: jnp.ndarray,
               cheb_op: Optional[ChebOperator] = None) -> jnp.ndarray:
@@ -234,10 +237,11 @@ class ResBlock:
         out = x
         for i, blk in enumerate(self.blocks):
             out = blk.apply(params[f"convblock{i + 1}"], out, cheb_op=cheb_op)
-        out = out * params["rezero_weight"]
+        out = out * params["rezero_weight"].astype(out.dtype)
         if self.needs_projection:
-            res = jnp.dot(x, params["res_kernel"],
-                          preferred_element_type=x.dtype) + params["res_bias"]
+            res = (jnp.dot(x, params["res_kernel"].astype(x.dtype),
+                           preferred_element_type=jnp.float32).astype(x.dtype)
+                   + params["res_bias"].astype(x.dtype))
         else:
             res = x
         return out + res

@@ -62,6 +62,7 @@ class UNetSpherical:
         skip_connection: str = "stack",
         increment_learning: bool = False,
         # TPU options
+        numeric_precision: str = "float32",
         dense_threshold: int = 8192,
         use_pallas=None,
         geometry: Optional[ModelGeometry] = None,
@@ -75,6 +76,13 @@ class UNetSpherical:
         self.input_channels = self.input_n_feature * self.input_n_time
         self.output_channels = self.output_n_feature * self.output_n_time
         self.increment_learning = increment_learning
+        # mixed precision: params/loss stay fp32, the network computes in
+        # compute_dtype (bf16 is the TPU-native MXU dtype; 'float16' maps
+        # to bf16 — TPUs have no fp16 units)
+        self.compute_dtype = {
+            "float32": jnp.float32, "float64": jnp.float32,
+            "bfloat16": jnp.bfloat16, "float16": jnp.bfloat16,
+        }[str(numeric_precision)]
 
         if geometry is None:
             geometry = build_model_geometry(
@@ -169,7 +177,8 @@ class UNetSpherical:
         x_last = x[:, -1:, :, -self.output_n_feature:]
         # [B, T, V, F] -> [B, V, T*F]  (time-major flatten, reference :504-511)
         h = jnp.transpose(x, (0, 2, 1, 3)).reshape(
-            B, self.input_n_node, self.input_channels)
+            B, self.input_n_node, self.input_channels).astype(
+                self.compute_dtype)
 
         x_enc1 = self.conv1.apply(params["conv1"], h, cheb_op=ops[0])
         x_enc2_ini, idx1 = (pools[0](x_enc1, w=params["pool0"])
@@ -197,7 +206,9 @@ class UNetSpherical:
         h = self.uconv1_final.apply(params["uconv1_final"], h, cheb_op=ops[0])
 
         B = h.shape[0]
-        # [B, V, T*F] -> [B, T_out, V, F_out]
+        # [B, V, T*F] -> [B, T_out, V, F_out]; back to fp32 at the model
+        # boundary (loss / AR feedback stay full precision)
+        h = h.astype(jnp.float32)
         h = h.reshape(B, self.output_n_node, self.output_n_time,
                       self.output_n_feature)
         h = jnp.transpose(h, (0, 2, 1, 3))

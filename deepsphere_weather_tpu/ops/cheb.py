@@ -171,32 +171,59 @@ def cheb_conv(op: ChebOperator, x: jnp.ndarray, weight: jnp.ndarray,
         raise ValueError(
             f"input features {Fin} do not match weight in_channels {Fin_w}"
         )
+    # mixed precision: compute in x.dtype (bf16 under
+    # numeric_precision='bfloat16'), accumulate channel mixes in fp32 on
+    # the MXU, emit in x.dtype
+    cdt = x.dtype
+    weight = weight.astype(cdt)
 
     if op.dense is not None:
+        dense = op.dense.astype(cdt)
+
         def mv(h):  # [B, V, F] -> [B, V, F]
-            return jnp.einsum("uv,bvf->buf", op.dense, h,
-                              preferred_element_type=h.dtype)
+            return jnp.einsum("uv,bvf->buf", dense, h,
+                              preferred_element_type=cdt)
     else:
         def mv(h):  # ELL or Pallas BCSR over [V, B*F]
             B_, V_, F_ = h.shape
             flat = jnp.transpose(h, (1, 0, 2)).reshape(V_, B_ * F_)
             out = op.matvec(flat)
-            return jnp.transpose(out.reshape(V_, B_, F_), (1, 0, 2))
+            return jnp.transpose(out.reshape(V_, B_, F_),
+                                 (1, 0, 2)).astype(cdt)
 
-    # Chebyshev recurrence in [B, V, F]; mix each basis term immediately
-    # (out accumulates Fout channels -> no [K, ...] stack materialized)
-    x0 = x
-    out = jnp.einsum("bvf,fo->bvo", x0, weight[:, 0],
-                     preferred_element_type=x.dtype)
-    if K > 1:
-        x1 = mv(x0)
-        out = out + jnp.einsum("bvf,fo->bvo", x1, weight[:, 1],
-                               preferred_element_type=x.dtype)
-    for k in range(2, K):
-        x2 = 2.0 * mv(x1) - x0
-        out = out + jnp.einsum("bvf,fo->bvo", x2, weight[:, k],
-                               preferred_element_type=x.dtype)
-        x0, x1 = x1, x2
+    if Fout < Fin and K > 1:
+        # OUTPUT-side evaluation via Clenshaw's algorithm: project channels
+        # first (z_k = x @ W_k), then run the K-1 Laplacian matvecs on the
+        # NARROW Fout-wide tensors:
+        #   b_k = z_k + 2 L b_{k+1} - b_{k+2},  out = z_0 + L b_1 - b_2.
+        # Identical result to the T_k(L) recurrence (|spec(L)| <= 1 makes
+        # Clenshaw stable) at the same matvec count but width Fout instead
+        # of Fin — the matvecs dominate conv cost (2 V^2 B F for dense L),
+        # so always run them on the narrow side.
+        z = jnp.einsum("bvf,fko->kbvo", x, weight,
+                       preferred_element_type=jnp.float32).astype(cdt)
+        b1 = z[K - 1]
+        b2 = jnp.zeros_like(b1)
+        for k in range(K - 2, 0, -1):
+            b1, b2 = z[k] + 2.0 * mv(b1) - b2, b1
+        out = z[0] + mv(b1) - b2
+    else:
+        # INPUT-side: Chebyshev recurrence in [B, V, Fin]; mix each basis
+        # term immediately (no [K, ...] stack materialized)
+        x0 = x
+        out = jnp.einsum("bvf,fo->bvo", x0, weight[:, 0],
+                         preferred_element_type=jnp.float32)
+        if K > 1:
+            x1 = mv(x0)
+            out = out + jnp.einsum("bvf,fo->bvo", x1, weight[:, 1],
+                                   preferred_element_type=jnp.float32)
+        for k in range(2, K):
+            x2 = 2.0 * mv(x1) - x0
+            out = out + jnp.einsum("bvf,fo->bvo", x2, weight[:, k],
+                                   preferred_element_type=jnp.float32)
+            x0, x1 = x1, x2
+        out = out.astype(cdt)
+    out = out.astype(cdt)
     if bias is not None:
-        out = out + bias
+        out = out + bias.astype(cdt)
     return out

@@ -49,12 +49,12 @@ def equiangular_conv2d(x: jnp.ndarray, kernel: jnp.ndarray,
         )
         pad_w = (0, 0)
     out = lax.conv_general_dilated(
-        g, kernel,
+        g, kernel.astype(x.dtype),
         window_strides=(1, 1),
         padding=(pad_h, pad_w),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype,
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
     if bias is not None:
-        out = out + bias
+        out = out + bias.astype(x.dtype)
     return equiangular_2d_to_1d(out)

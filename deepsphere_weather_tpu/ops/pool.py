@@ -71,9 +71,10 @@ class EllMatrix:
         return cls(cols, vals, mat.shape[1])
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: [B, n_in, C] -> [B, n_out, C]."""
+        """x: [B, n_in, C] -> [B, n_out, C] (dtype-preserving: weights are
+        cast to the activation dtype so bf16 activations stay bf16)."""
         gathered = jnp.take(x, self.cols, axis=1)           # [B, n_out, W, C]
-        return jnp.einsum("ow,bowc->boc", self.vals, gathered)
+        return jnp.einsum("ow,bowc->boc", self.vals.astype(x.dtype), gathered)
 
     def tree_flatten(self):
         return ((self.cols, self.vals), self.n_in)
@@ -178,7 +179,7 @@ class GeneralMaxValPool:
 
     def __call__(self, x):
         gathered = jnp.take(x, self.cols, axis=1)                 # [B, D, W, C]
-        weighted = gathered * self.vals[None, :, :, None]
+        weighted = gathered * self.vals[None, :, :, None].astype(x.dtype)
         mask = (self.vals > 0)[None, :, :, None]
         weighted = jnp.where(mask, weighted, -jnp.inf)
         pooled = jnp.max(weighted, axis=2)   # max, not take_along_axis(argmax)
@@ -238,7 +239,7 @@ class GeneralLearnPool:
     def __call__(self, x, w=None) -> Tuple[jnp.ndarray, None]:
         logits = self.init_logits if w is None else w
         logits = jnp.where(self.mask, logits, -1e9)
-        p = jax.nn.softmax(logits, axis=1)                        # [D, W]
+        p = jax.nn.softmax(logits, axis=1).astype(x.dtype)        # [D, W]
         gathered = jnp.take(x, self.cols, axis=1)                 # [B, D, W, C]
         return jnp.einsum("bdwc,dw->bdc", gathered, p), None
 
@@ -258,7 +259,7 @@ class GeneralLearnUnpool:
     def __call__(self, x, idx=None, w=None) -> jnp.ndarray:
         logits = self.init_logits if w is None else w
         logits = jnp.where(self.mask, logits, -1e9)
-        p = jax.nn.softmax(logits, axis=1)
+        p = jax.nn.softmax(logits, axis=1).astype(x.dtype)
         gathered = jnp.take(x, self.cols, axis=1)
         return jnp.einsum("bdwc,dw->bdc", gathered, p)
 

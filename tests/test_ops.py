@@ -55,6 +55,31 @@ class TestChebConv:
         out_e = cheb_conv(ell_op, jnp.asarray(x), jnp.asarray(w))
         np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_e), atol=2e-4)
 
+    def test_clenshaw_output_side_matches_numpy(self, graph):
+        # Fout < Fin triggers the Clenshaw output-side evaluation (matvecs
+        # on the narrow channel side); must equal the explicit T_k(L) basis
+        rng = np.random.default_rng(7)
+        for Fin, Fout, K in [(8, 3, 3), (16, 1, 4), (6, 2, 2)]:
+            B, V = 2, graph.n_nodes
+            x = rng.standard_normal((B, V, Fin)).astype(np.float32)
+            w = rng.standard_normal((Fin, K, Fout)).astype(np.float32) * 0.1
+            expected = _numpy_cheb_conv(graph.L.toarray(), x, w)
+            op = ChebOperator.from_graph(graph, mode="dense")
+            out = cheb_conv(op, jnp.asarray(x), jnp.asarray(w))
+            np.testing.assert_allclose(np.asarray(out), expected, atol=2e-4)
+
+    def test_bfloat16_compute_close_to_fp32(self, graph):
+        rng = np.random.default_rng(8)
+        B, V, Fin, K, Fout = 2, graph.n_nodes, 6, 3, 4
+        x = rng.standard_normal((B, V, Fin)).astype(np.float32)
+        w = rng.standard_normal((Fin, K, Fout)).astype(np.float32) * 0.1
+        op = ChebOperator.from_graph(graph, mode="dense")
+        out32 = cheb_conv(op, jnp.asarray(x), jnp.asarray(w))
+        out16 = cheb_conv(op, jnp.asarray(x, jnp.bfloat16), jnp.asarray(w))
+        assert out16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out16, np.float32),
+                                   np.asarray(out32), atol=0.15, rtol=0.1)
+
     def test_bias_and_k1(self, graph):
         rng = np.random.default_rng(2)
         x = rng.standard_normal((2, graph.n_nodes, 3)).astype(np.float32)
