@@ -40,11 +40,105 @@ def _dtype_to_str(dt: np.dtype) -> str:
     return dt.str
 
 
+class _FsPath:
+    """pathlib-like adapter over an fsspec filesystem.
+
+    Gives the store transparent remote-object-storage support
+    (s3:// gs:// memory:// http:// ...) — parity with the reference's
+    zarr-on-S3 workflow (reference: tutorials/s3_storage.ipynb, which uses
+    s3fs/fsspec mappers). Only the Path operations the store uses are
+    implemented.
+    """
+
+    def __init__(self, fs, path: str):
+        self.fs = fs
+        self._p = str(path).rstrip("/")
+
+    @classmethod
+    def from_url(cls, url: str) -> "_FsPath":
+        try:
+            import fsspec
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                f"opening {url!r} requires fsspec (pip install fsspec "
+                f"[+ s3fs/gcsfs for the protocol])") from e
+
+        fs, _, (path, *_rest) = fsspec.get_fs_token_paths(url)
+        return cls(fs, path)
+
+    def __truediv__(self, other) -> "_FsPath":
+        return _FsPath(self.fs, f"{self._p}/{other}")
+
+    def __str__(self) -> str:
+        return f"{self.fs.protocol if isinstance(self.fs.protocol, str) else self.fs.protocol[0]}://{self._p}"
+
+    @property
+    def name(self) -> str:
+        return self._p.rsplit("/", 1)[-1]
+
+    def exists(self) -> bool:
+        return self.fs.exists(self._p)
+
+    def is_dir(self) -> bool:
+        return self.fs.isdir(self._p)
+
+    def is_file(self) -> bool:
+        return self.fs.isfile(self._p)
+
+    def read_text(self) -> str:
+        return self.fs.cat_file(self._p).decode()
+
+    def read_bytes(self) -> bytes:
+        return self.fs.cat_file(self._p)
+
+    def write_text(self, s: str):
+        self.fs.pipe_file(self._p, s.encode())
+
+    def write_bytes(self, b: bytes):
+        self.fs.pipe_file(self._p, bytes(b))
+
+    def mkdir(self, parents: bool = False, exist_ok: bool = False):
+        self.fs.makedirs(self._p, exist_ok=True)
+
+    def iterdir(self):
+        return [_FsPath(self.fs, p)
+                for p in self.fs.ls(self._p, detail=False)]
+
+    def rglob(self, pattern: str):
+        return [_FsPath(self.fs, p) for p in self.fs.find(self._p)]
+
+    def stat(self):
+        import types
+
+        info = self.fs.info(self._p)
+        return types.SimpleNamespace(st_size=info.get("size", 0) or 0)
+
+    def rmtree(self):
+        self.fs.rm(self._p, recursive=True)
+
+
+def _as_path(path):
+    """Local paths stay pathlib; URLs with a protocol become fsspec-backed."""
+    if isinstance(path, (_FsPath, Path)):
+        return path
+    s = str(path)
+    if "://" in s and not s.startswith("file://"):
+        return _FsPath.from_url(s)
+    return Path(s.removeprefix("file://"))
+
+
+def _rmtree(path):
+    if isinstance(path, _FsPath):
+        path.rmtree()
+    else:
+        shutil.rmtree(path)
+
+
 class ZarrArray:
     """A chunked n-D array in zarr v2 directory layout."""
 
-    def __init__(self, path: Path):
-        self.path = Path(path)
+    def __init__(self, path):
+        self.path = _as_path(path)
         meta = json.loads((self.path / ".zarray").read_text())
         self.shape = tuple(meta["shape"])
         self.chunks = tuple(meta["chunks"])
@@ -67,11 +161,11 @@ class ZarrArray:
                dtype, compressor: Optional[str] = "zlib",
                fill_value=0, attrs: Optional[Dict] = None,
                overwrite: bool = False) -> "ZarrArray":
-        path = Path(path)
+        path = _as_path(path)
         if path.exists():
             if not overwrite:
                 raise FileExistsError(path)
-            shutil.rmtree(path)
+            _rmtree(path)
         path.mkdir(parents=True)
         dt = np.dtype(dtype)
         meta = {
@@ -225,7 +319,7 @@ class ZarrGroup:
     """A zarr v2 group: a directory of named arrays + attributes."""
 
     def __init__(self, path):
-        self.path = Path(path)
+        self.path = _as_path(path)
         if not (self.path / ".zgroup").exists():
             raise FileNotFoundError(f"not a zarr group: {path}")
         self.attrs = {}
@@ -236,9 +330,9 @@ class ZarrGroup:
     @classmethod
     def create(cls, path, attrs: Optional[Dict] = None,
                overwrite: bool = False) -> "ZarrGroup":
-        path = Path(path)
+        path = _as_path(path)
         if path.exists() and overwrite:
-            shutil.rmtree(path)
+            _rmtree(path)
         path.mkdir(parents=True, exist_ok=True)
         (path / ".zgroup").write_text(json.dumps({"zarr_format": 2}, indent=1))
         if attrs:
@@ -289,7 +383,7 @@ def memory_size(obj) -> int:
 
 def disk_size(path) -> int:
     """On-disk (compressed) size in bytes of a store directory."""
-    p = Path(path)
+    p = _as_path(path)
     return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
 
 

@@ -224,6 +224,23 @@ class TestLoader:
         batch = next(iter(loader))
         assert batch["dynamic"].shape[0] == 8
 
+    def test_remote_store_fsspec(self):
+        # memory:// exercises the same fsspec path as s3:// / gs://
+        # (reference parity: tutorials/s3_storage.ipynb zarr-on-S3 workflow)
+        pytest.importorskip("fsspec")
+        from deepsphere_weather_tpu.data.zarrstore import (
+            create_group, open_group)
+
+        g = create_group("memory://bkt/remote.zarr", overwrite=True)
+        a = g.create_array("x", shape=(20, 7), chunks=(8, 7),
+                           dtype=np.float32, compressor="zlib")
+        data = np.arange(140, dtype=np.float32).reshape(20, 7)
+        a[...] = data
+        g2 = open_group("memory://bkt/remote.zarr")
+        np.testing.assert_array_equal(g2["x"][3:15, 2:5], data[3:15, 2:5])
+        g2["x"].append(np.zeros((4, 7), np.float32))
+        assert open_group("memory://bkt/remote.zarr")["x"].shape == (24, 7)
+
     def test_profile_zarr_io(self, toy):
         from deepsphere_weather_tpu.data.zarrstore import (
             disk_size, memory_size, profile_zarr_io)
