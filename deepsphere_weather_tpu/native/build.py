@@ -16,6 +16,19 @@ def build(verbose: bool = True) -> Path:
     if verbose:
         print(" ".join(cmd))
     subprocess.run(cmd, check=True)
+    build_chunkio(verbose=verbose)
+    return out
+
+
+def build_chunkio(verbose: bool = True) -> Path:
+    here = Path(__file__).parent
+    src = here / "chunkio.cpp"
+    out = here / "libdsw_chunkio.so"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           str(src), "-o", str(out), "-lz", "-lpthread"]
+    if verbose:
+        print(" ".join(cmd))
+    subprocess.run(cmd, check=True)
     return out
 
 

@@ -1,0 +1,107 @@
+// Parallel chunk reader/decompressor for the zarr-v2 store.
+//
+// Native equivalent of the reference's C++-backed data loading (the torch
+// DataLoader worker machinery, SURVEY.md §2.14 "host data loading"): reads
+// N chunk files and zlib-inflates them into a caller-provided contiguous
+// buffer using a thread pool — one syscall + inflate per chunk with zero
+// Python-interpreter involvement. Missing chunk files are left untouched
+// (caller pre-fills the buffer with fill_value).
+//
+// Build: python -m deepsphere_weather_tpu.native.build  (produces
+// libdsw_chunkio.so next to this file; linked against system zlib).
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+// Inflate `src` (zlib stream) into exactly `dst_len` bytes at `dst`.
+// Returns 0 on success.
+int inflate_exact(const unsigned char* src, size_t src_len,
+                  unsigned char* dst, size_t dst_len) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit(&zs) != Z_OK) return -1;
+  zs.next_in = const_cast<unsigned char*>(src);
+  zs.avail_in = static_cast<uInt>(src_len);
+  zs.next_out = dst;
+  zs.avail_out = static_cast<uInt>(dst_len);
+  int rc = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  return (rc == Z_STREAM_END && zs.total_out == dst_len) ? 0 : -2;
+}
+
+int read_one(const char* path, unsigned char* out, int64_t chunk_bytes,
+             int compressed, std::vector<unsigned char>& scratch) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return 1;  // missing chunk: caller pre-filled with fill_value
+  std::fseek(f, 0, SEEK_END);
+  long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  int rc = 0;
+  if (!compressed) {
+    if (fsize != chunk_bytes) {
+      rc = -3;
+    } else if (std::fread(out, 1, (size_t)fsize, f) != (size_t)fsize) {
+      rc = -4;
+    }
+  } else {
+    scratch.resize((size_t)fsize);
+    if (std::fread(scratch.data(), 1, (size_t)fsize, f) != (size_t)fsize) {
+      rc = -4;
+    } else {
+      rc = inflate_exact(scratch.data(), (size_t)fsize, out,
+                         (size_t)chunk_bytes);
+    }
+  }
+  std::fclose(f);
+  return rc < 0 ? rc : 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// paths: n NUL-terminated strings, concatenated with '\0' separators is
+// awkward over ctypes — instead we take an array of char pointers.
+// out: n * chunk_bytes buffer. Returns 0 on success, first error code
+// otherwise. Missing files are not an error.
+int64_t dsw_read_chunks(const char** paths, int64_t n, int64_t chunk_bytes,
+                        int32_t compressed, unsigned char* out,
+                        int32_t n_threads) {
+  if (n <= 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = (int32_t)n;
+  std::atomic<int64_t> next(0);
+  std::atomic<int64_t> err(0);
+  auto worker = [&]() {
+    std::vector<unsigned char> scratch;
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) break;
+      int rc = read_one(paths[i], out + i * chunk_bytes, chunk_bytes,
+                        compressed, scratch);
+      if (rc < 0) {
+        int64_t expect = 0;
+        err.compare_exchange_strong(expect, (int64_t)rc);
+      }
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int32_t t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return err.load();
+}
+
+}  // extern "C"

@@ -1,0 +1,83 @@
+"""ctypes binding for the parallel chunk reader (libdsw_chunkio.so).
+
+Native data-loading core (the reference's loader is torch's C++ DataLoader
+machinery): reads + zlib-inflates many zarr chunk files concurrently into
+one contiguous numpy buffer. `read_chunks` returns False when the library
+is not built — callers fall back to the pure-Python path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> Path:
+    return Path(__file__).parent / "libdsw_chunkio.so"
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _lib_path()
+    if not path.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(path))
+        lib.dsw_read_chunks.restype = ctypes.c_longlong
+        lib.dsw_read_chunks.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),  # paths
+            ctypes.c_longlong,                # n
+            ctypes.c_longlong,                # chunk_bytes
+            ctypes.c_int32,                   # compressed
+            ctypes.POINTER(ctypes.c_ubyte),   # out
+            ctypes.c_int32,                   # n_threads
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_chunks(paths: List[str], out: np.ndarray, compressed: bool,
+                n_threads: Optional[int] = None) -> bool:
+    """Fill out[i] (shape [n, *chunk_shape], C-contiguous, pre-filled with
+    the fill value) from chunk files. Returns False if the native library
+    is unavailable (caller must use the Python path)."""
+    lib = _load()
+    if lib is None:
+        return False
+    n = len(paths)
+    if n == 0:
+        return True
+    assert out.flags["C_CONTIGUOUS"] and out.shape[0] == n
+    chunk_bytes = out.nbytes // n
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if n_threads is None:
+        import os
+
+        # thread pool sized to actual CPU affinity — oversubscription on
+        # small hosts is slower than single-threaded inflate
+        try:
+            n_cpu = len(os.sched_getaffinity(0))
+        except AttributeError:  # non-Linux
+            n_cpu = os.cpu_count() or 1
+        n_threads = max(1, min(n_cpu, n, 16))
+    rc = lib.dsw_read_chunks(
+        arr, n, chunk_bytes, 1 if compressed else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), int(n_threads))
+    if rc < 0:
+        raise IOError(f"native chunk read failed with code {rc}")
+    return True

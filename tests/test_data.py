@@ -224,6 +224,33 @@ class TestLoader:
         batch = next(iter(loader))
         assert batch["dynamic"].shape[0] == 8
 
+    def test_native_chunk_reader_matches_python(self, tmp_path):
+        # libdsw_chunkio.so (if built) must read exactly what the pure
+        # Python chunk path reads, including missing-chunk fill values
+        from deepsphere_weather_tpu.data.zarrstore import (
+            create_group, open_group)
+        from deepsphere_weather_tpu.native import chunkio
+
+        g = create_group(tmp_path / "n.zarr", overwrite=True)
+        a = g.create_array("x", shape=(50, 33), chunks=(8, 33),
+                           dtype=np.float32, compressor="zlib",
+                           fill_value=3.5)
+        data = np.random.default_rng(3).standard_normal(
+            (50, 33)).astype(np.float32)
+        a[0:24] = data[0:24]           # chunks 3.. missing -> fill value
+        arr = open_group(tmp_path / "n.zarr")["x"]
+        got = arr[...]
+        assert (got[0:24] == data[0:24]).all()
+        assert (got[24:] == 3.5).all()
+        if chunkio.available():
+            # force the python path and compare
+            import deepsphere_weather_tpu.native.chunkio as ck
+            lib, ck._LIB = ck._LIB, None
+            try:
+                np.testing.assert_array_equal(arr[...], got)
+            finally:
+                ck._LIB = lib
+
     def test_remote_store_fsspec(self):
         # memory:// exercises the same fsspec path as s3:// / gs://
         # (reference parity: tutorials/s3_storage.ipynb zarr-on-S3 workflow)
