@@ -79,7 +79,10 @@ def _spmm_kernel(cols_ref, a_ref, x_ref, o_ref):
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    o_ref[:] += jnp.dot(a_ref[0, 0], x_ref[:], preferred_element_type=o_ref.dtype)
+    # MXU accumulation must be 32-bit; bf16 inputs are upcast in VMEM
+    o_ref[:] += jnp.dot(a_ref[0, 0].astype(jnp.float32),
+                        x_ref[:].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
 
 
 def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
@@ -109,7 +112,9 @@ def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
     kernel = pl.pallas_call(
         _spmm_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, M), x.dtype),
+        # fp32 accumulator regardless of activation dtype (MXU contract);
+        # callers cast back to their compute dtype
+        out_shape=jax.ShapeDtypeStruct((n_pad, M), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_rb * max_nb * n_mt * bs * bs * m_tile,
@@ -149,19 +154,16 @@ class BlockSparseOperator:
         return cls(vals, cols, mat.shape[0], n_pad, m_tile=m_tile,
                    interpret=interpret, vals_t=vals_t, cols_t=cols_t)
 
-    def _matvec_padded(self, x_pad, transpose=False):
-        if transpose and self.vals_t is not None:
-            return _bcsr_matmul(self.vals_t, self.cols_t, x_pad,
-                                self.m_tile, self.interpret)
-        return _bcsr_matmul(self.vals, self.cols, x_pad,
-                            self.m_tile, self.interpret)
-
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         n, m = x.shape
         m_pad = ((m + self.m_tile - 1) // self.m_tile) * self.m_tile
-        x_pad = jnp.pad(x, ((0, self.n_pad - n), (0, m_pad - m)))
-        fwd = _make_matvec(self)
-        return fwd(x_pad)[: n, : m]
+        # fp32 primal keeps the custom-VJP cotangent dtype consistent with
+        # the kernel's 32-bit accumulator; callers cast the result back
+        x_pad = jnp.pad(x, ((0, self.n_pad - n),
+                            (0, m_pad - m))).astype(jnp.float32)
+        out = _mv((self.m_tile, self.interpret),
+                  self.vals, self.cols, self.vals_t, self.cols_t, x_pad)
+        return out[: n, : m]
 
     def tree_flatten(self):
         return ((self.vals, self.cols, self.vals_t, self.cols_t),
@@ -181,19 +183,41 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _make_matvec(op: BlockSparseOperator):
-    @jax.custom_vjp
-    def mv(x_pad):
-        return op._matvec_padded(x_pad)
+# The operator arrays are EXPLICIT custom_vjp arguments (not closed over):
+# geometry flows through jitted steps as an argument pytree, so vals/cols
+# are tracers there — closing over tracers inside custom_vjp is illegal.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _mv(static, vals, cols, vals_t, cols_t, x_pad):
+    m_tile, interpret = static
+    return _bcsr_matmul(vals, cols, x_pad, m_tile, interpret)
 
-    def fwd(x_pad):
-        return op._matvec_padded(x_pad), None
 
-    def bwd(_, g):
-        return (op._matvec_padded(g, transpose=True),)
+def _mv_fwd(static, vals, cols, vals_t, cols_t, x_pad):
+    return (_mv(static, vals, cols, vals_t, cols_t, x_pad),
+            (vals, cols, vals_t, cols_t))
 
-    mv.defvjp(fwd, bwd)
-    return mv
+
+def _mv_bwd(static, res, g):
+    vals, cols, vals_t, cols_t = res
+    m_tile, interpret = static
+    # symmetric operator reuses (vals, cols); non-symmetric supplies the
+    # transposed BCSR
+    tv = vals if vals_t is None else vals_t
+    tc = cols if cols_t is None else cols_t
+    gx = _bcsr_matmul(tv, tc, g.astype(jnp.float32), m_tile, interpret)
+
+    def zero_ct(a):
+        if a is None:
+            return None
+        if jnp.issubdtype(a.dtype, jnp.integer):
+            return np.zeros(a.shape, dtype=jax.dtypes.float0)
+        return jnp.zeros_like(a)
+
+    return (zero_ct(vals), zero_ct(cols), zero_ct(vals_t), zero_ct(cols_t),
+            gx)
+
+
+_mv.defvjp(_mv_fwd, _mv_bwd)
 
 
 def ell_spmm(cols: jnp.ndarray, vals: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:

@@ -135,6 +135,35 @@ class TestBlockSparse:
                                                       dtype=np.float32))
         np.testing.assert_allclose(np.asarray(g), expected, atol=1e-3)
 
+    def test_pallas_spmm_operator_as_jit_argument(self, graph):
+        # the engine passes geometry (incl. the BCSR operator) as a jit
+        # ARGUMENT, so vals/cols are tracers inside the step — the custom
+        # VJP must not close over them (regression: VerificationError /
+        # "No constant handler for DynamicJaxprTracer" at HEALPix-64)
+        op = BlockSparseOperator.from_scipy(graph.L, symmetric=True,
+                                            m_tile=128, interpret=True)
+        x = jnp.ones((graph.n_nodes, 64))
+
+        @jax.jit
+        def loss(op, x):
+            return jnp.sum(op.matvec(x) ** 2)
+
+        g = jax.jit(jax.grad(loss, argnums=1))(op, x)
+        expected = 2 * graph.L.T @ (graph.L @ np.ones(
+            (graph.n_nodes, 64), dtype=np.float32))
+        np.testing.assert_allclose(np.asarray(g), expected, atol=1e-3)
+
+    def test_pallas_spmm_bf16_activations(self, graph):
+        # bf16 activations: fp32 accumulation inside the kernel
+        op = BlockSparseOperator.from_scipy(graph.L, symmetric=True,
+                                            m_tile=128, interpret=True)
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((graph.n_nodes, 96)).astype(np.float32)
+        out = op.matvec(jnp.asarray(x, jnp.bfloat16))
+        assert out.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(out), graph.L @ x,
+                                   atol=0.05, rtol=0.05)
+
 
 class TestGeneralPooling:
     @pytest.fixture(scope="class")
