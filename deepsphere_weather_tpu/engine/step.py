@@ -199,4 +199,6 @@ def make_rollout_block(model, indexer: ARIndexer,
         # [block, B, n_out, V, F] -> [B, block, n_out, V, F]
         return hist, jnp.swapaxes(preds, 0, 1)
 
-    return jax.jit(rollout), H
+    # donate the history carry: multi-year rollouts re-enter block after
+    # block and never reuse the previous buffer
+    return jax.jit(rollout, donate_argnums=(1,)), H

@@ -160,6 +160,41 @@ class TestARLoss:
 
 
 class TestTrainingLoop:
+    def test_reproducibility_regimes(self, toy_setup):
+        # parity with the reference's reproducibility experiment oracle
+        # (scripts_training/01_exp_reproducibility.py + deterministic
+        # training, SURVEY.md §4.3): identical seeds -> bit-identical
+        # trained params; different weight seed -> different params
+        import jax.numpy as jnp
+
+        s = toy_setup
+
+        def train_once(weight_seed, shuffle_seed):
+            params = s["model"].init(jax.random.key(weight_seed))
+            p, _, info = AutoregressiveTraining(
+                s["model"], params,
+                training_data_dynamic=s["dyn"],
+                training_data_bc=s["bc"],
+                data_static=s["static"],
+                scaler=s["scaler"],
+                area_weights=s["area_w"],
+                **s["ar_settings"],
+                epochs=1, training_batch_size=8, scoring_interval=5,
+                shuffle=True, shuffle_seed=shuffle_seed,
+                num_workers=1, verbose=False)
+            return p
+
+        p1 = train_once(10, 15)
+        p2 = train_once(10, 15)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        p3 = train_once(11, 15)
+        diff = sum(float(jnp.abs(a - b).sum())
+                   for a, b in zip(jax.tree_util.tree_leaves(p1),
+                                   jax.tree_util.tree_leaves(p3)))
+        assert diff > 0
+
     def test_loss_decreases_and_checkpointing(self, toy_setup, tmp_path):
         s = toy_setup
         sched = ARScheduler(method="LinearStep", factor=0.05,
