@@ -121,7 +121,11 @@ def make_train_step(model, indexer: ARIndexer,
     loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations,
                               ar_training_strategy)
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
+    # params/opt_state are rebound by the caller every step — donate both
+    # (in-place Adam updates, no spurious HBM copies). The batch is NOT
+    # donated: callers may legitimately reuse a device-resident batch
+    # (benchmarks, bn_update passes).
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, ar_weights, ctx):
         (total, per_iter), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch, ar_weights, ctx)

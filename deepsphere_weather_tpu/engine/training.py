@@ -165,6 +165,9 @@ def AutoregressiveTraining(
     if early_stopping is None:
         early_stopping = EarlyStopping(patience=3000 // max(scoring_interval, 1))
 
+    # the jitted train step DONATES params/opt_state; copy the caller's
+    # params so their pytree stays alive (e.g. for a later fresh run)
+    params = jax.tree_util.tree_map(jax.numpy.array, params)
     opt_state = optimizer.init(params)
 
     train_ds = AutoregressiveDataset(

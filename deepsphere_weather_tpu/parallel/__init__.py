@@ -3,6 +3,7 @@
 from .mesh import (  # noqa: F401
     make_mesh,
     batch_sharding,
+    node_sharding,
     replicated_sharding,
     shard_batch,
 )

@@ -2,11 +2,20 @@
 
 The reference is single-process single-GPU with a dead nn.DataParallel
 stub (reference: utils_config.py:72-74, train_predict_state.py:297-300).
-The TPU-native plan (SURVEY.md §2.14): a 2D mesh over ('data', 'member')
-ICI axes — batch-sharded data parallelism with XLA-inserted psum gradient
-reduction, and ensemble members (SWAG samples / DeepEnsemble members) laid
-out along the 'member' axis. jit + sharding annotations do the collective
-insertion; no explicit communication code is needed at these model sizes.
+The TPU-native plan (SURVEY.md §2.14): a mesh over ('data', 'node',
+'member') ICI axes —
+
+- 'data': batch-sharded data parallelism with XLA-inserted psum gradient
+  reduction;
+- 'node': spatial sharding of the sphere (the sequence/context-parallel
+  analog, SURVEY.md §5.7) for resolutions whose activations exceed one
+  chip — nested HEALPix ordering keeps hierarchical pooling local to a
+  shard, and XLA inserts the gather collectives the Laplacian matvec
+  needs;
+- 'member': SWAG / DeepEnsemble members.
+
+jit + sharding annotations do the collective insertion; no explicit
+communication code is needed at these model sizes.
 """
 
 from __future__ import annotations
@@ -17,18 +26,24 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = ["make_mesh", "batch_sharding", "node_sharding",
+           "replicated_sharding", "shard_batch"]
 
 
 def make_mesh(n_data: Optional[int] = None, n_member: int = 1,
-              devices=None) -> Mesh:
-    """Create a ('data', 'member') mesh over the available devices."""
+              n_node: int = 1, devices=None) -> Mesh:
+    """Create a ('data', 'node', 'member') mesh over the available devices.
+
+    Axes of size 1 cost nothing; the historical 2D ('data', 'member')
+    layout is the n_node=1 special case.
+    """
     if devices is None:
         devices = jax.devices()
     if n_data is None:
-        n_data = len(devices) // n_member
-    devs = np.asarray(devices[: n_data * n_member]).reshape(n_data, n_member)
-    return Mesh(devs, axis_names=("data", "member"))
+        n_data = len(devices) // (n_member * n_node)
+    devs = np.asarray(devices[: n_data * n_node * n_member]).reshape(
+        n_data, n_node, n_member)
+    return Mesh(devs, axis_names=("data", "node", "member"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -36,21 +51,44 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def node_sharding(mesh: Mesh, batch_ndim: int = 1,
+                  node_axis: int = 2) -> NamedSharding:
+    """Shard [B, ..., V, ...] arrays over ('data' for batch, 'node' for V)."""
+    spec = [None] * (node_axis + 1)
+    spec[0] = "data"
+    spec[node_axis] = "node"
+    return NamedSharding(mesh, P(*spec))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _mesh_axis_size(mesh: Mesh, name: str) -> int:
+    try:
+        return mesh.shape[name]
+    except (KeyError, TypeError):
+        return 1
+
+
 def shard_batch(batch: Dict, mesh: Optional[Mesh]) -> Dict:
-    """device_put a loader batch: batched arrays sharded over 'data',
-    shared arrays (static) replicated."""
+    """device_put a loader batch: batched arrays sharded over 'data' (and
+    the node axis over 'node' when that mesh axis is >1), shared arrays
+    (static) replicated (or node-sharded)."""
     if mesh is None:
         return {k: jax.numpy.asarray(v) for k, v in batch.items()}
+    with_node = _mesh_axis_size(mesh, "node") > 1
     bsh = batch_sharding(mesh)
     rsh = replicated_sharding(mesh)
     out = {}
     for k, v in batch.items():
         if k == "static":
-            out[k] = jax.device_put(v, rsh)
+            # [V, F]
+            out[k] = jax.device_put(
+                v, NamedSharding(mesh, P("node")) if with_node else rsh)
+        elif hasattr(v, "ndim") and v.ndim >= 3 and with_node:
+            # [B, W, V, F] dynamic / bc
+            out[k] = jax.device_put(v, node_sharding(mesh))
         elif hasattr(v, "ndim") and v.ndim >= 1:
             out[k] = jax.device_put(v, bsh)
         else:

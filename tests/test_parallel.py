@@ -60,19 +60,68 @@ class TestDataParallel:
         ctx = make_context(model, area_w)
         step = make_train_step(model, indexer, optimizer, 2, "RNN")
 
-        # single device
+        # single device (train_step donates params/opt_state — pass copies
+        # so `params` stays alive for the mesh run below)
         opt1 = optimizer.init(params)
-        p1, _, t1, _ = step(params, opt1,
+        params_copy = jax.tree_util.tree_map(jnp.array, params)
+        p1, _, t1, _ = step(params_copy, opt1,
                             {k: jnp.asarray(v) for k, v in batch_np.items()},
                             w, ctx)
         # 8-device data-parallel mesh
         mesh = make_mesh(n_data=8, n_member=1)
         rsh = replicated_sharding(mesh)
-        params_r = jax.device_put(params, rsh)
+        # copy before device_put: replication can alias the source buffer,
+        # and the donated step would delete the shared fixture params
+        params_r = jax.device_put(jax.tree_util.tree_map(jnp.array, params),
+                                  rsh)
         opt2 = jax.device_put(optimizer.init(params), rsh)
         ctx_r = jax.device_put(ctx, rsh)
         dev_batch = shard_batch(batch_np, mesh)
         assert len(dev_batch["dynamic"].sharding.device_set) == 8
+        p2, _, t2, _ = step(params_r, opt2, dev_batch,
+                            jax.device_put(w, rsh), ctx_r)
+        assert float(t1) == pytest.approx(float(t2), rel=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+
+class TestNodeParallel:
+    def test_node_sharded_train_step_matches_single_device(self, setup):
+        # spatial (node-axis) sharding — the context-parallel analog for
+        # resolutions exceeding one chip (SURVEY.md §5.7): 4 data x 2 node
+        # mesh; XLA inserts the gather collectives the Laplacian matvec
+        # needs, pooling stays shard-local in nested ordering
+        model, params, area_w = setup
+        indexer = ARIndexer.build([-3, -2, -1], [0], 1, 1)
+        optimizer = optax.adam(1e-3, eps=1e-7)
+        rng = np.random.default_rng(1)
+        W = indexer.window_size
+        batch_np = {
+            "dynamic": rng.standard_normal((8, W, 192, 2)).astype(np.float32),
+            "bc": rng.standard_normal((8, W, 192, 1)).astype(np.float32),
+            "static": rng.standard_normal((192, 4)).astype(np.float32),
+        }
+        w = jnp.asarray([1.0, 0.5])
+        ctx = make_context(model, area_w)
+        step = make_train_step(model, indexer, optimizer, 2, "RNN")
+
+        opt1 = optimizer.init(params)
+        p1, _, t1, _ = step(jax.tree_util.tree_map(jnp.array, params), opt1,
+                            {k: jnp.asarray(v) for k, v in batch_np.items()},
+                            w, ctx)
+
+        mesh = make_mesh(n_data=4, n_node=2, n_member=1)
+        rsh = replicated_sharding(mesh)
+        params_r = jax.device_put(jax.tree_util.tree_map(jnp.array, params),
+                                  rsh)
+        opt2 = jax.device_put(optimizer.init(params), rsh)
+        ctx_r = jax.device_put(ctx, rsh)
+        dev_batch = shard_batch(batch_np, mesh)
+        # dynamic [8, W, 192, 2] is sharded over data AND node
+        spec = dev_batch["dynamic"].sharding.spec
+        assert tuple(spec) == ("data", None, "node")
         p2, _, t2, _ = step(params_r, opt2, dev_batch,
                             jax.device_put(w, rsh), ctx_r)
         assert float(t1) == pytest.approx(float(t2), rel=1e-4)
