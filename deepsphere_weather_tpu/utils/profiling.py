@@ -87,30 +87,57 @@ def profile_model(model, params=None, batch_size: int = 1, n: int = 10,
     return out
 
 
-def profile_step(fn, *args, n: int = 10, warmup: int = 2,
-                 trace_dir: Optional[str] = None) -> Dict:
-    """Median/percentile timing of a jitted step; optional profiler trace."""
+def _force_sync(out):
+    """Truly wait for `out`: fetch one scalar element to host.
+
+    On tunneled runtimes (the `axon` platform) `block_until_ready` returns
+    before execution completes; only a device->host scalar read is a real
+    sync. The fetch itself costs one tunnel RTT — callers measuring
+    steady-state throughput should enqueue N steps and sync once.
+    """
     import jax
 
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "block_until_ready")]
+    for x in leaves:
+        x.block_until_ready()
+    if leaves:
+        _ = np.asarray(jax.numpy.ravel(leaves[0])[0])
+
+
+def profile_step(fn, *args, n: int = 10, warmup: int = 2,
+                 trace_dir: Optional[str] = None,
+                 pipelined: bool = False) -> Dict:
+    """Median/percentile timing of a jitted step; optional profiler trace.
+
+    pipelined=True measures steady-state throughput: all n calls are
+    enqueued back-to-back with ONE final sync (how training loops run);
+    per-call percentiles are then not meaningful and only median_s (the
+    per-step average) is reported.
+    """
     for _ in range(warmup):
         out = fn(*args)
-        jax.tree_util.tree_map(
-            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-            else x, out)
+    _force_sync(out)
+    if pipelined:
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        _force_sync(out)
+        per = (time.perf_counter() - t0) / n
+        return {"median_s": per, "p10_s": per, "p90_s": per, "n": n,
+                "pipelined": True}
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.tree_util.tree_map(
-            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-            else x, out)
+        _force_sync(out)
         times.append(time.perf_counter() - t0)
     if trace_dir is not None:
+        import jax
+
         with jax.profiler.trace(str(trace_dir)):
             out = fn(*args)
-            jax.tree_util.tree_map(
-                lambda x: x.block_until_ready()
-                if hasattr(x, "block_until_ready") else x, out)
+            _force_sync(out)
     times = sorted(times)
     return {"median_s": times[len(times) // 2],
             "p10_s": times[int(len(times) * 0.1)],
@@ -166,9 +193,28 @@ def scalability_sweep(samplings: Optional[List[Dict]] = None,
                 return jnp.sum(model.apply(p, x, geom=g) ** 2)
 
             fwd = jax.jit(lambda p, g, x: model.apply(p, x, geom=g))
-            bwd = jax.jit(jax.grad(loss))
-            t_fwd = profile_step(fwd, params, geom, x, n=5)
-            t_bwd = profile_step(bwd, params, geom, x, n=5)
+
+            # fwd+bwd as a CHAINED sgd step (params flow call-to-call,
+            # params donated — as the real train step runs): unchained
+            # grad calls measure per-output buffer-handle overhead on
+            # tunneled runtimes, not compute
+            import functools
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def train(p, g, x):
+                grads = jax.grad(loss)(p, g, x)
+                return jax.tree_util.tree_map(
+                    lambda a, d: a - 1e-9 * d, p, grads)
+
+            t_fwd = profile_step(fwd, params, geom, x, n=10, pipelined=True)
+            p = train(params, geom, x)
+            _force_sync(p)
+            import time as _time
+            t0 = _time.perf_counter()
+            for _ in range(10):
+                p = train(p, geom, x)
+            _force_sync(p)
+            t_bwd = {"median_s": (_time.perf_counter() - t0) / 10}
             results.append({
                 "sampling": spec["sampling"],
                 "sampling_kwargs": spec["sampling_kwargs"],
