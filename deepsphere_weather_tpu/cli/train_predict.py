@@ -122,6 +122,18 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
                       **model_kwargs)
     params = model.init(jax.random.key(
         int(training_settings["seed_model_weights"])))
+    # fine-tune from a previous experiment's weights
+    # (reference: train_predict_state.py:272-274, load_pretrained_model)
+    pretrained = model_settings.get("pretrained_model_name")
+    if pretrained:
+        from ..utils.checkpoint import Checkpointer
+        src = Path(exp_dir) / str(pretrained)
+        if not (src / "model_weights" / "model.npz").exists():
+            raise FileNotFoundError(
+                f"pretrained_model_name: no weights at "
+                f"{src / 'model_weights' / 'model.npz'}")
+        params = Checkpointer(src).load_model(params)
+        print(f"loaded pretrained weights from {pretrained}")
 
     # --- experiment dir ---------------------------------------------------
     model_name = get_model_name(cfg)

@@ -159,3 +159,20 @@ class TestEndToEndDriver:
         assert (pred_store / ".zgroup").exists()
         # skills finite
         assert np.all(np.isfinite(gs["RMSE"]))
+
+        # --- fine-tune from the trained experiment (reference:
+        #     pretrained_model_name, train_predict_state.py:272-274) ------
+        cfg2_path, cfg2 = make_config(
+            tmp_path, pretrained_model_name=exp_path.name,
+            model_name="finetuned-from-pretrained")
+        exp2, gs2 = main(cfg2_path, data_dir, tmp_path / "exp",
+                         force=True, ar_iterations_prediction=2,
+                         verbose=False)
+        assert exp2.name == "finetuned-from-pretrained"
+        assert np.all(np.isfinite(gs2["RMSE"]))
+        # a wrong pretrained name must fail loudly
+        bad_path, _ = make_config(tmp_path,
+                                  pretrained_model_name="no-such-model")
+        with pytest.raises(FileNotFoundError):
+            main(bad_path, data_dir, tmp_path / "exp", force=True,
+                 ar_iterations_prediction=2, verbose=False)
