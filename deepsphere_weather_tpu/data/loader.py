@@ -132,8 +132,14 @@ class AutoregressiveDataLoader:
         batches = self._batch_indices()[:n_batches]
         if not batches:
             return self.num_workers
+        # warm the page cache once so the first candidate isn't charged
+        # for cold physical I/O the others then skip
+        for idx in batches:
+            self._assemble(idx)
+        # always consider the configured value too (e.g. num_workers=16)
+        cands = sorted(set(candidates) | {self.num_workers})
         best, best_t = self.num_workers, float("inf")
-        for nw in candidates:
+        for nw in cands:
             t0 = time.perf_counter()
             if nw <= 1:
                 for idx in batches:

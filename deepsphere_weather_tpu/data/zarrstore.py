@@ -237,35 +237,45 @@ class ZarrArray:
         out_shape = tuple(s.stop - s.start for s in sel)
         out = np.empty(out_shape, dtype=self.dtype)
         idxs = self._chunks_overlapping(sel)
-        chunks = self._read_chunks_bulk(idxs)
-        for idx, chunk in zip(idxs, chunks):
+        for idx, chunk in self._read_chunks_bulk(idxs):
             self._copy(chunk, idx, sel, out, to_out=True)
         if squeeze:
             out = out.reshape(tuple(
                 n for d, n in enumerate(out_shape) if d not in squeeze))
         return out
 
+    # cap on decompressed bytes held by one native bulk read: keeps peak
+    # memory bounded (out + one batch of chunks) instead of out + ALL
+    # overlapping chunks for store-sized selections
+    _BULK_BATCH_BYTES = 256 * 1024 * 1024
+
     def _read_chunks_bulk(self, idxs):
         """Read many chunks — through the native parallel reader
         (libdsw_chunkio.so: thread-pooled pread + zlib inflate, no Python
         per-chunk overhead) when it is built and the store is local;
-        otherwise the pure-Python per-chunk path."""
-        if len(idxs) > 1 and isinstance(self.path, Path):
+        otherwise the pure-Python per-chunk path. Yields (idx, chunk)."""
+        use_native = len(idxs) > 1 and isinstance(self.path, Path)
+        if use_native:
             from ..native import chunkio
-            if chunkio.available():
-                import os
-                buf = np.empty((len(idxs),) + self.chunks, dtype=self.dtype)
-                paths = [str(self._chunk_path(i)) for i in idxs]
-                # fill only rows whose chunk file is missing (np.full over
-                # the whole buffer is a measurable memset cost)
-                missing = [i for i, p in enumerate(paths)
-                           if not os.path.exists(p)]
-                for i in missing:
-                    buf[i].fill(self.fill_value)
-                if chunkio.read_chunks(paths, buf,
-                                       self.compressor == "zlib"):
-                    return list(buf)
-        return [self._read_chunk(i) for i in idxs]
+            use_native = chunkio.available()
+        if not use_native:
+            for i in idxs:
+                yield i, self._read_chunk(i)
+            return
+        chunk_bytes = int(np.prod(self.chunks)) * self.dtype.itemsize
+        batch = max(1, self._BULK_BATCH_BYTES // max(chunk_bytes, 1))
+        for lo in range(0, len(idxs), batch):
+            part = idxs[lo: lo + batch]
+            buf = np.empty((len(part),) + self.chunks, dtype=self.dtype)
+            paths = [str(self._chunk_path(i)) for i in part]
+            if not chunkio.read_chunks(paths, buf,
+                                       self.compressor == "zlib",
+                                       fill_value=self.fill_value):
+                for i in part:
+                    yield i, self._read_chunk(i)
+                continue
+            for i, chunk in zip(part, buf):
+                yield i, chunk
 
     def __setitem__(self, key, value):
         sel, _ = self._norm_key(key)

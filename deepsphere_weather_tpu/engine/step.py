@@ -151,8 +151,8 @@ def make_validation_fn(model, indexer: ARIndexer,
 # Prediction rollout
 # ---------------------------------------------------------------------------
 
-def make_rollout_block(model, indexer: ARIndexer,
-                       block_size: int) -> Tuple[Callable, int]:
+def make_rollout_block(model, indexer: ARIndexer, block_size: int,
+                       jit: bool = True) -> Tuple[Callable, int]:
     """Build the jitted block-rollout function for unbounded AR prediction.
 
     The carry is a rolling history buffer of the last H timesteps of
@@ -204,5 +204,9 @@ def make_rollout_block(model, indexer: ARIndexer,
         return hist, jnp.swapaxes(preds, 0, 1)
 
     # donate the history carry: multi-year rollouts re-enter block after
-    # block and never reuse the previous buffer
+    # block and never reuse the previous buffer. jit=False returns the raw
+    # function for callers that compose it (vmap over ensemble members)
+    # before jitting — donation on an inner jit under vmap is dropped.
+    if not jit:
+        return rollout, H
     return jax.jit(rollout, donate_argnums=(1,)), H

@@ -11,6 +11,7 @@
 // libdsw_chunkio.so next to this file; linked against system zlib).
 
 #include <atomic>
+#include <cerrno>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -40,7 +41,11 @@ int inflate_exact(const unsigned char* src, size_t src_len,
 int read_one(const char* path, unsigned char* out, int64_t chunk_bytes,
              int compressed, std::vector<unsigned char>& scratch) {
   FILE* f = std::fopen(path, "rb");
-  if (!f) return 1;  // missing chunk: caller pre-filled with fill_value
+  if (!f) {
+    // only true absence is "missing"; transient failures (EMFILE,
+    // EACCES, ...) must surface as errors, not silent fill-value rows
+    return errno == ENOENT ? 1 : -5;
+  }
   std::fseek(f, 0, SEEK_END);
   long fsize = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
@@ -68,13 +73,14 @@ int read_one(const char* path, unsigned char* out, int64_t chunk_bytes,
 
 extern "C" {
 
-// paths: n NUL-terminated strings, concatenated with '\0' separators is
-// awkward over ctypes — instead we take an array of char pointers.
-// out: n * chunk_bytes buffer. Returns 0 on success, first error code
-// otherwise. Missing files are not an error.
+// paths: array of n char pointers. out: n * chunk_bytes buffer.
+// status: n bytes, set to 1 where the chunk file was absent (the caller
+// fills those rows with the array fill value — no pre-existence check on
+// the Python side, so there is no check/read race). Returns 0 on success,
+// the first I/O/decompress error code otherwise.
 int64_t dsw_read_chunks(const char** paths, int64_t n, int64_t chunk_bytes,
                         int32_t compressed, unsigned char* out,
-                        int32_t n_threads) {
+                        unsigned char* status, int32_t n_threads) {
   if (n <= 0) return 0;
   if (n_threads < 1) n_threads = 1;
   if (n_threads > n) n_threads = (int32_t)n;
@@ -87,6 +93,7 @@ int64_t dsw_read_chunks(const char** paths, int64_t n, int64_t chunk_bytes,
       if (i >= n) break;
       int rc = read_one(paths[i], out + i * chunk_bytes, chunk_bytes,
                         compressed, scratch);
+      status[i] = (rc == 1) ? 1 : 0;
       if (rc < 0) {
         int64_t expect = 0;
         err.compare_exchange_strong(expect, (int64_t)rc);

@@ -39,6 +39,7 @@ def _load():
             ctypes.c_longlong,                # chunk_bytes
             ctypes.c_int32,                   # compressed
             ctypes.POINTER(ctypes.c_ubyte),   # out
+            ctypes.POINTER(ctypes.c_ubyte),   # status (1 = missing)
             ctypes.c_int32,                   # n_threads
         ]
         _LIB = lib
@@ -52,10 +53,12 @@ def available() -> bool:
 
 
 def read_chunks(paths: List[str], out: np.ndarray, compressed: bool,
+                fill_value=0,
                 n_threads: Optional[int] = None) -> bool:
-    """Fill out[i] (shape [n, *chunk_shape], C-contiguous, pre-filled with
-    the fill value) from chunk files. Returns False if the native library
-    is unavailable (caller must use the Python path)."""
+    """Fill out[i] (shape [n, *chunk_shape], C-contiguous) from chunk
+    files; rows whose file is absent are set to `fill_value` (the reader
+    reports absence itself — no check/read race). Returns False if the
+    native library is unavailable (caller must use the Python path)."""
     lib = _load()
     if lib is None:
         return False
@@ -65,6 +68,7 @@ def read_chunks(paths: List[str], out: np.ndarray, compressed: bool,
     assert out.flags["C_CONTIGUOUS"] and out.shape[0] == n
     chunk_bytes = out.nbytes // n
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    status = np.zeros(n, dtype=np.uint8)
     if n_threads is None:
         import os
 
@@ -77,7 +81,11 @@ def read_chunks(paths: List[str], out: np.ndarray, compressed: bool,
         n_threads = max(1, min(n_cpu, n, 16))
     rc = lib.dsw_read_chunks(
         arr, n, chunk_bytes, 1 if compressed else 0,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), int(n_threads))
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        int(n_threads))
     if rc < 0:
         raise IOError(f"native chunk read failed with code {rc}")
+    for i in np.nonzero(status)[0]:
+        out[i].fill(fill_value)
     return True

@@ -180,9 +180,10 @@ def cheb_conv(op: ChebOperator, x: jnp.ndarray, weight: jnp.ndarray,
     if op.dense is not None:
         dense = op.dense.astype(cdt)
 
-        def mv(h):  # [B, V, F] -> [B, V, F]
+        def mv(h):  # [B, V, F] -> [B, V, F]; fp32 accumulation, cdt out
             return jnp.einsum("uv,bvf->buf", dense, h,
-                              preferred_element_type=cdt)
+                              preferred_element_type=jnp.float32
+                              ).astype(cdt)
     else:
         def mv(h):  # ELL or Pallas BCSR over [V, B*F]
             B_, V_, F_ = h.shape
@@ -222,7 +223,6 @@ def cheb_conv(op: ChebOperator, x: jnp.ndarray, weight: jnp.ndarray,
             out = out + jnp.einsum("bvf,fo->bvo", x2, weight[:, k],
                                    preferred_element_type=jnp.float32)
             x0, x1 = x1, x2
-        out = out.astype(cdt)
     out = out.astype(cdt)
     if bias is not None:
         out = out + bias.astype(cdt)

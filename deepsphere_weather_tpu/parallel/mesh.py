@@ -51,9 +51,14 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def node_sharding(mesh: Mesh, batch_ndim: int = 1,
-                  node_axis: int = 2) -> NamedSharding:
-    """Shard [B, ..., V, ...] arrays over ('data' for batch, 'node' for V)."""
+def node_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard [B, ..., V, F] arrays over ('data' for batch, 'node' for V).
+
+    The node axis is `ndim - 2` under the framework's layout contract
+    (feature axis last, node axis second-to-last): [B, W, V, F] -> axis 2,
+    [B, V, F] -> axis 1.
+    """
+    node_axis = ndim - 2
     spec = [None] * (node_axis + 1)
     spec[0] = "data"
     spec[node_axis] = "node"
@@ -87,8 +92,8 @@ def shard_batch(batch: Dict, mesh: Optional[Mesh]) -> Dict:
             out[k] = jax.device_put(
                 v, NamedSharding(mesh, P("node")) if with_node else rsh)
         elif hasattr(v, "ndim") and v.ndim >= 3 and with_node:
-            # [B, W, V, F] dynamic / bc
-            out[k] = jax.device_put(v, node_sharding(mesh))
+            # [B, ..., V, F] dynamic / bc — node axis is second-to-last
+            out[k] = jax.device_put(v, node_sharding(mesh, ndim=v.ndim))
         elif hasattr(v, "ndim") and v.ndim >= 1:
             out[k] = jax.device_put(v, bsh)
         else:

@@ -32,10 +32,13 @@ def make_ensemble_rollout(model, indexer: ARIndexer, block_size: int,
     where member_params and hist have a leading member axis. With `mesh`,
     the member axis is sharded over the mesh's 'member' dimension.
     """
-    rollout_fn, H = make_rollout_block(model, indexer, block_size)
+    # compose on the RAW rollout: vmap over a jitted function drops its
+    # donation and warns; donate the [M, B, H, V, F] member-history carry
+    # on the outer jit instead
+    rollout_fn, H = make_rollout_block(model, indexer, block_size, jit=False)
 
     vmapped = jax.vmap(rollout_fn, in_axes=(0, 0, None, None, None))
-    fn = jax.jit(vmapped)
+    fn = jax.jit(vmapped, donate_argnums=(1,))
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

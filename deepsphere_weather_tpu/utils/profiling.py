@@ -62,6 +62,8 @@ def profile_model(model, params=None, batch_size: int = 1, n: int = 10,
          model.input_n_feature)).astype(np.float32))
 
     fn = jax.jit(lambda p, g, x: model.apply(p, x, geom=g))
+    # one compile: the AOT executable serves both the cost/memory
+    # analysis and the timed runs below
     compiled = fn.lower(params, geom, x).compile()
     out: Dict = {"batch_size": batch_size}
     try:
@@ -81,7 +83,8 @@ def profile_model(model, params=None, batch_size: int = 1, n: int = 10,
             + getattr(mem, "output_size_in_bytes", 0))
     except Exception:
         pass
-    out.update(profile_step(fn, params, geom, x, n=n, trace_dir=trace_dir))
+    out.update(profile_step(compiled, params, geom, x, n=n,
+                            trace_dir=trace_dir))
     if "flops" in out and out["median_s"] > 0:
         out["tflops_per_s"] = out["flops"] / out["median_s"] / 1e12
     return out
@@ -115,9 +118,11 @@ def profile_step(fn, *args, n: int = 10, warmup: int = 2,
     per-call percentiles are then not meaningful and only median_s (the
     per-step average) is reported.
     """
+    out = None
     for _ in range(warmup):
         out = fn(*args)
-    _force_sync(out)
+    if out is not None:
+        _force_sync(out)
     if pipelined:
         t0 = time.perf_counter()
         for _ in range(n):

@@ -276,8 +276,10 @@ class TestLoader:
         path = dyn.group.path
         out = profile_zarr_io(path, n=2)
         assert out["read_full_MBps"] > 0
-        assert out["memory_size_bytes"] >= out["disk_size_bytes"] * 0 \
-            and out["memory_size_bytes"] > 0
+        assert out["memory_size_bytes"] > 0
+        # zlib on float data: compressed store must not exceed raw size by
+        # more than the ~/1024-file metadata overhead
+        assert out["disk_size_bytes"] < out["memory_size_bytes"] * 1.2
         assert disk_size(path) > 0 and memory_size(dyn.group) > 0
 
     def test_update_ar_iterations(self, toy):
