@@ -18,4 +18,9 @@ from .animation import (  # noqa: F401
     create_gif_forecast_error,
     create_gif_forecast_evolution,
 )
-from .mesh import plot_mesh, plot_polygons, voronoi_patches  # noqa: F401
+from .mesh import (  # noqa: F401
+    SphereField,
+    plot_mesh,
+    plot_polygons,
+    voronoi_patches,
+)

@@ -17,7 +17,7 @@ import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 from matplotlib.collections import PolyCollection  # noqa: E402
 
-__all__ = ["voronoi_patches", "plot_mesh", "plot_polygons"]
+__all__ = ["voronoi_patches", "plot_mesh", "plot_polygons", "SphereField"]
 
 
 def voronoi_patches(sampling):
@@ -88,3 +88,38 @@ def plot_mesh(sampling, ax=None, edgecolors="k", linewidths: float = 0.2,
     ax.set_title(title or f"{sampling.name} mesh ({sampling.n_nodes} cells)",
                  fontsize=10)
     return ax
+
+
+class SphereField:
+    """xsphere-accessor-style wrapper over (values, sampling).
+
+    The reference reaches these through the xarray accessor
+    (`ds.sphere.add_SphericalVoronoiMesh / .has_mesh / .plot / .plot_mesh`,
+    SURVEY.md §2.11); here the same surface lives on a small value+sampling
+    wrapper, with the mesh (polygon patches) computed lazily and cached.
+    """
+
+    def __init__(self, values, sampling):
+        self.values = np.asarray(values)
+        self.sampling = sampling
+        self._mesh = None
+
+    def add_SphericalVoronoiMesh(self) -> "SphereField":
+        """Compute and cache the Voronoi polygon mesh (chainable)."""
+        if self._mesh is None:
+            self._mesh = voronoi_patches(self.sampling)
+        return self
+
+    @property
+    def has_mesh(self) -> bool:
+        return self._mesh is not None
+
+    def plot(self, **kwargs):
+        """Filled-polygon field plot (xsphere .sphere.plot parity)."""
+        self.add_SphericalVoronoiMesh()
+        return plot_polygons(self.values, self.sampling, **kwargs)
+
+    def plot_mesh(self, **kwargs):
+        """Tessellation wireframe (xsphere .sphere.plot_mesh parity)."""
+        self.add_SphericalVoronoiMesh()
+        return plot_mesh(self.sampling, **kwargs)

@@ -79,6 +79,28 @@ class TestIngest:
 
 
 class TestHovmollerAndAnimation:
+    def test_sphere_field_accessor(self, tmp_path):
+        # xsphere accessor parity: add_SphericalVoronoiMesh / has_mesh /
+        # plot / plot_mesh (reference SURVEY.md §2.11)
+        import matplotlib.pyplot as plt
+
+        from deepsphere_weather_tpu.plotting import SphereField
+        from deepsphere_weather_tpu.sphere import build_sampling
+
+        samp = build_sampling("healpix", {"subdivisions": 4, "nest": True})
+        field = SphereField(np.arange(samp.n_nodes, dtype=float), samp)
+        assert not field.has_mesh
+        assert field.add_SphericalVoronoiMesh() is field
+        assert field.has_mesh
+        ax = field.plot(title="t")
+        ax.figure.savefig(tmp_path / "field.png")
+        plt.close(ax.figure)
+        ax = field.plot_mesh()
+        ax.figure.savefig(tmp_path / "mesh.png")
+        plt.close(ax.figure)
+        assert (tmp_path / "field.png").exists()
+        assert (tmp_path / "mesh.png").exists()
+
     def test_hovmoller_plot(self, tmp_path):
         dyn, _, _ = generate_toy_data(
             tmp_path / "d", sampling_kwargs={"subdivisions": 4, "nest": True},
