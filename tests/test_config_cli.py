@@ -176,3 +176,29 @@ class TestEndToEndDriver:
         with pytest.raises(FileNotFoundError):
             main(bad_path, data_dir, tmp_path / "exp", force=True,
                  ar_iterations_prediction=2, verbose=False)
+
+        # --- scaler + benchmark drivers over the same data dir -----------
+        from deepsphere_weather_tpu.cli.compute_benchmarks import (
+            main as bench_main)
+        from deepsphere_weather_tpu.cli.compute_scalers import (
+            main as scalers_main)
+
+        scalers_main(data_dir, verbose=False)
+        assert (data_dir / "Scalers"
+                / "GlobalStandardScaler_dynamic.npz").exists()
+        assert any((data_dir / "Climatology").iterdir())
+        bench_main(data_dir, n_leadtimes=4, verbose=False)
+        assert any((data_dir / "Benchmarks").iterdir())
+
+        # --- SWAG fine-tune + ensemble predict off the trained model -----
+        from deepsphere_weather_tpu.cli.finetune_swag import (
+            main as swag_main)
+
+        swag_main(exp_path, data_dir, epochs=1, nb_samples=2,
+                  swag_freq=1, max_num_models=4,
+                  ar_iterations_prediction=2, verbose=False)
+        assert (exp_path / "model_weights" / "model_swag.npz").exists()
+        ens = (exp_path / "model_predictions" / "swag")
+        assert ens.exists() and any(ens.iterdir())
+        assert (exp_path / "model_skills"
+                / "swag_median_global_skill.npz").exists()
