@@ -202,3 +202,24 @@ class TestEndToEndDriver:
         assert ens.exists() and any(ens.iterdir())
         assert (exp_path / "model_skills"
                 / "swag_median_global_skill.npz").exists()
+
+    def test_experiment_orchestrators(self, tmp_path):
+        """Sweep + DeepEnsemble launchers (reference 0X_exp_* scripts)."""
+        from deepsphere_weather_tpu.cli.experiments import (
+            run_deep_ensemble, run_sweep)
+        from deepsphere_weather_tpu.data import generate_toy_data
+
+        data_dir = tmp_path / "data"
+        generate_toy_data(data_dir,
+                          sampling_kwargs={"subdivisions": 4, "nest": True},
+                          n_timesteps=200, seed=4)
+        cfg_path, _ = make_config(tmp_path)
+        res = run_sweep(cfg_path, data_dir, tmp_path / "exp",
+                        sweep={"pool_method": ["Interp"]})
+        assert len(res) == 1 and all(np.isfinite(v) for v in res.values())
+
+        out = run_deep_ensemble(cfg_path, data_dir, tmp_path / "exp",
+                                n_members=2, ar_iterations_prediction=2)
+        ens_dir = tmp_path / "exp" / "DeepEnsemble"
+        assert (ens_dir / "ensemble.zarr" / ".zgroup").exists()
+        assert (ens_dir / "median.zarr" / ".zgroup").exists()
