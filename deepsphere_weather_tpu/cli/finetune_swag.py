@@ -114,14 +114,23 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
         ar_iterations=ar_iterations_prediction,
         batch_size=training_settings["training_batch_size"],
     )
-    # --- verify the ensemble median (probabilistic verify stand-in) -------
+    # --- deterministic verify of the ensemble median -----------------------
     skill = deterministic(out["median"], test_dyn)
     gs = global_summary(skill, np.asarray(area_w))
     gs.save(model_dir / "model_skills" / "swag_median_global_skill.npz")
+    # --- probabilistic verify of the full ensemble (CRPS, spread/skill —
+    #     the reference left this as a TODO, verify_DeepEnsemble.py) -------
+    from ..verif import probabilistic as prob_verify
+
+    ps = prob_verify(out["ensemble"], test_dyn)
+    pgs = global_summary(ps, np.asarray(area_w))
+    pgs.save(model_dir / "model_skills"
+             / "swag_probabilistic_global_skill.npz")
     if verbose:
         print(f"SWAG ensemble ({nb_samples} members) verified; "
               f"median RMSE at last leadtime: "
-              f"{np.round(gs['RMSE'][-1], 3)}")
+              f"{np.round(gs['RMSE'][-1], 3)}; "
+              f"CRPS at last leadtime: {np.round(pgs['CRPS'][-1], 3)}")
     return out, gs
 
 

@@ -202,6 +202,10 @@ class TestEndToEndDriver:
         assert ens.exists() and any(ens.iterdir())
         assert (exp_path / "model_skills"
                 / "swag_median_global_skill.npz").exists()
+        prob = np.load(exp_path / "model_skills"
+                       / "swag_probabilistic_global_skill.npz")
+        crps_key = [k for k in prob.files if "CRPS" in k]
+        assert crps_key and np.all(np.isfinite(prob[crps_key[0]]))
 
     def test_experiment_orchestrators(self, tmp_path):
         """Sweep + DeepEnsemble launchers (reference 0X_exp_* scripts)."""
