@@ -147,6 +147,14 @@ def run_deep_ensemble(cfg_path, data_dir, exp_dir, n_members: int = 5,
     ms = cfg["model_settings"]
     samp = build_sampling(ms["sampling"], dict(ms["sampling_kwargs"]))
     skill = deterministic(median, test_dyn)
-    gs = global_summary(skill, np.asarray(AreaWeights(samp)))
+    area_w = np.asarray(AreaWeights(samp))
+    gs = global_summary(skill, area_w)
     gs.save(ens_dir / "median_global_skill.npz")
-    return {"ensemble": ensemble, "median": median, "global_skill": gs}
+    # probabilistic verify of the member ensemble (CRPS, spread/skill —
+    # the reference's verify_DeepEnsemble leaves this as a TODO)
+    from ..verif import probabilistic as prob_verify
+
+    pgs = global_summary(prob_verify(ensemble, test_dyn), area_w)
+    pgs.save(ens_dir / "probabilistic_global_skill.npz")
+    return {"ensemble": ensemble, "median": median, "global_skill": gs,
+            "probabilistic_skill": pgs}

@@ -227,3 +227,5 @@ class TestEndToEndDriver:
         ens_dir = tmp_path / "exp" / "DeepEnsemble"
         assert (ens_dir / "ensemble.zarr" / ".zgroup").exists()
         assert (ens_dir / "median.zarr" / ".zgroup").exists()
+        assert (ens_dir / "probabilistic_global_skill.npz").exists()
+        assert "probabilistic_skill" in out
