@@ -6,6 +6,7 @@ from .step import (  # noqa: F401
     assemble_input,
     make_ar_loss_fn,
     make_context,
+    make_member_train_step,
     make_rollout_block,
     make_train_step,
     make_validation_fn,

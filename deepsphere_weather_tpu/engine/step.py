@@ -136,6 +136,35 @@ def make_train_step(model, indexer: ARIndexer,
     return train_step
 
 
+def make_member_train_step(model, indexer: ARIndexer,
+                           optimizer: optax.GradientTransformation,
+                           n_scan_iterations: int,
+                           ar_training_strategy: str = "RNN") -> Callable:
+    """MEMBER-PARALLEL train step: every DeepEnsemble member advances in
+    one jitted executable.
+
+    The reference trains ensemble members as sequential subprocesses
+    (reference: scripts_training/06_exp_DeepEnsemble.py:62-102); here the
+    member axis is a vmapped leading pytree axis — on a mesh it shards
+    over 'member' (independent gradients, zero cross-member
+    communication). Signature matches make_train_step with
+    member-stacked params/opt_state and a shared batch:
+    (member_params, member_opt_state, batch, ar_weights, ctx).
+    """
+    loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations,
+                              ar_training_strategy)
+
+    def one_member(params, opt_state, batch, ar_weights, ctx):
+        (total, per_iter), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, ar_weights, ctx)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total, per_iter
+
+    vstep = jax.vmap(one_member, in_axes=(0, 0, None, None, None))
+    return functools.partial(jax.jit, donate_argnums=(0, 1))(vstep)
+
+
 def make_validation_fn(model, indexer: ARIndexer,
                        n_scan_iterations: int) -> Callable:
     loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations, "RNN")

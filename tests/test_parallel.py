@@ -132,6 +132,48 @@ class TestNodeParallel:
 
 
 class TestMemberParallel:
+    def test_member_parallel_training_matches_sequential(self, setup):
+        # vmapped member training (the reference trains members as
+        # sequential subprocesses, 06_exp_DeepEnsemble.py) must advance
+        # each member exactly as its own sequential train step would
+        from deepsphere_weather_tpu.engine.step import (
+            make_member_train_step)
+
+        model, params, area_w = setup
+        indexer = ARIndexer.build([-3, -2, -1], [0], 1, 1)
+        optimizer = optax.adam(1e-3, eps=1e-7)
+        rng = np.random.default_rng(2)
+        W = indexer.window_size
+        batch = {k: jnp.asarray(v) for k, v in {
+            "dynamic": rng.standard_normal((4, W, 192, 2)).astype(np.float32),
+            "bc": rng.standard_normal((4, W, 192, 1)).astype(np.float32),
+            "static": rng.standard_normal((192, 4)).astype(np.float32),
+        }.items()}
+        w = jnp.asarray([1.0, 0.5])
+        ctx = make_context(model, area_w)
+        M = 3
+        keys = jax.random.split(jax.random.key(7), M)
+        members = jax.vmap(model.init)(keys)
+        m_opt = jax.vmap(optimizer.init)(members)
+
+        mstep = make_member_train_step(model, indexer, optimizer, 2, "RNN")
+        new_m, _, totals, _ = mstep(
+            jax.tree_util.tree_map(jnp.array, members),
+            m_opt, batch, w, ctx)
+        assert totals.shape == (M,)
+
+        sstep = make_train_step(model, indexer, optimizer, 2, "RNN")
+        for i in range(M):
+            p_i = jax.tree_util.tree_map(lambda a: jnp.array(a[i]), members)
+            o_i = optimizer.init(p_i)
+            p_i, _, t_i, _ = sstep(p_i, o_i, dict(batch), w, ctx)
+            assert float(t_i) == pytest.approx(float(totals[i]), rel=1e-5)
+            for a, b in zip(jax.tree_util.tree_leaves(p_i),
+                            jax.tree_util.tree_leaves(new_m)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b[i]),
+                                           atol=1e-5)
+
+
     def test_vmapped_ensemble_rollout(self, setup):
         model, params, _ = setup
         swag = SWAG(params, max_num_models=4)
