@@ -10,6 +10,7 @@ from .skills import (  # noqa: F401
     benchmark_global_skills,
 )
 from .hovmoller import (  # noqa: F401
+    HovmollerDiagram,
     create_hovmoller_plots,
     hovmoller_data,
     plot_hovmoller,

@@ -17,7 +17,8 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 
-__all__ = ["hovmoller_data", "plot_hovmoller", "create_hovmoller_plots"]
+__all__ = ["hovmoller_data", "plot_hovmoller", "create_hovmoller_plots",
+           "HovmollerDiagram"]
 
 
 def hovmoller_data(values: np.ndarray, coord: np.ndarray,
@@ -80,3 +81,32 @@ def create_hovmoller_plots(dataset, fig_dir, bin_dim: str = "lat",
         fig.savefig(fig_dir / f"hovmoller_{var}_{bin_dim}.png", dpi=120)
         plt.close(fig)
     return fig_dir
+
+
+class HovmollerDiagram:
+    """Object-style API matching xscaler.HovmollerDiagram (reference usage:
+    scripts_figs/hovmoller_1year_sims.py:16): bin once at construction,
+    plot on demand; binned data exposed as `.data` / `.bins`."""
+
+    def __init__(self, values: np.ndarray, time: np.ndarray,
+                 coord: np.ndarray, bin_dim: str = "lat",
+                 bin_res: float = 5.0, area_weights=None):
+        self.time = np.asarray(time)
+        self.bin_dim = bin_dim
+        self.bin_res = bin_res
+        self.coord = np.asarray(coord)
+        self.area_weights = area_weights
+        self.data, self.bins = hovmoller_data(
+            np.asarray(values), self.coord, bin_res, area_weights)
+
+    def plot(self, ax=None, cmap: str = "RdBu_r", title: str = ""):
+        if ax is None:
+            _, ax = plt.subplots(figsize=(10, 4))
+        t = np.asarray(self.time, dtype="datetime64[ns]")
+        mesh = ax.pcolormesh(
+            t.astype("datetime64[s]").astype(float), self.bins, self.data.T,
+            cmap=cmap, shading="auto")
+        ax.set_ylabel(self.bin_dim)
+        ax.set_title(title, fontsize=9)
+        plt.colorbar(mesh, ax=ax, shrink=0.9)
+        return ax

@@ -79,6 +79,19 @@ class TestIngest:
 
 
 class TestHovmollerAndAnimation:
+    def test_hovmoller_diagram_class(self):
+        from deepsphere_weather_tpu.plotting import (
+            HovmollerDiagram, hovmoller_data)
+
+        vals = np.random.default_rng(0).random((20, 50))
+        coord = np.linspace(-88, 88, 50)
+        time = np.arange("2010-01-01", "2010-01-21", dtype="datetime64[D]")
+        h = HovmollerDiagram(vals, time, coord, bin_res=10.0)
+        ref, bins = hovmoller_data(vals, coord, 10.0)
+        np.testing.assert_array_equal(h.data, ref)
+        np.testing.assert_array_equal(h.bins, bins)
+        assert h.plot(title="zonal mean") is not None
+
     def test_sphere_field_accessor(self, tmp_path):
         # xsphere accessor parity: add_SphericalVoronoiMesh / has_mesh /
         # plot / plot_mesh (reference SURVEY.md §2.11)
