@@ -85,8 +85,53 @@ def _spmm_kernel(cols_ref, a_ref, x_ref, o_ref):
                         preferred_element_type=jnp.float32)
 
 
+def _spmm_kernel_dma(cols_ref, a_ref, x_hbm, o_ref, x_buf, sem,
+                     *, precision):
+    """One grid step per (row_block, m_tile): the kernel walks this row
+    block's nonzero slots itself, double-buffering the x-block DMAs from
+    HBM steered by the prefetched block-column indices. Collapsing the nz
+    axis out of the grid removes the per-grid-step overhead that dominated
+    the v1 kernel.
+
+    `precision` matters: TPU matmuls default to one bf16 pass (~4e-3
+    relative error); fp32 callers get Precision.HIGHEST for exact fp32
+    results, bf16 callers keep the fast default."""
+    i = pl.program_id(0)
+    m = pl.program_id(1)
+    nb = a_ref.shape[1]
+    bs = a_ref.shape[2]
+    mt = o_ref.shape[1]
+
+    def get_dma(slot, b):
+        c = cols_ref[i, b]
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(c * bs, bs), pl.ds(m * mt, mt)],
+            x_buf.at[slot],
+            sem.at[slot],
+        )
+
+    get_dma(0, 0).start()
+
+    def body(b, acc):
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < nb)
+        def _():
+            get_dma(jax.lax.rem(b + 1, 2), b + 1).start()
+
+        get_dma(slot, b).wait()
+        return acc + jnp.dot(a_ref[0, b].astype(jnp.float32),
+                             x_buf[slot].astype(jnp.float32),
+                             preferred_element_type=jnp.float32,
+                             precision=precision)
+
+    o_ref[:] = jax.lax.fori_loop(
+        0, nb, body, jnp.zeros((bs, mt), jnp.float32))
+
+
 def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
-                 m_tile: int = 256, interpret: bool = False) -> jnp.ndarray:
+                 m_tile: int = 256, interpret: bool = False,
+                 precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """y = A @ x with A in padded BCSR; x: [n_pad, M] (M multiple of m_tile).
 
     Grid order (row_block, m_tile, nz_slot): the accumulation dimension is
@@ -96,31 +141,58 @@ def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
     n_rb, max_nb, bs, _ = vals.shape
     n_pad, M = x.shape
     n_mt = M // m_tile
+    cost = pl.CostEstimate(
+        flops=2 * n_rb * max_nb * n_mt * bs * bs * m_tile,
+        bytes_accessed=vals.size * 4 + x.size * 4 + n_pad * M * 4,
+        transcendentals=0,
+    )
 
+    if interpret:
+        # interpreter path (CPU tests): grid over nz slots, no manual DMA
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_rb, n_mt, max_nb),
+            in_specs=[
+                pl.BlockSpec((1, 1, bs, bs),
+                             lambda i, m, b, cols_ref: (i, b, 0, 0)),
+                pl.BlockSpec((bs, m_tile),
+                             lambda i, m, b, cols_ref: (cols_ref[i, b], m)),
+            ],
+            out_specs=pl.BlockSpec((bs, m_tile),
+                                   lambda i, m, b, cols_ref: (i, m)),
+        )
+        kernel = pl.pallas_call(
+            _spmm_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_pad, M), jnp.float32),
+            interpret=True,
+            cost_estimate=cost,
+        )
+        return kernel(cols, vals, x)
+
+    # compiled path: one grid step per (row_block, m_tile); the kernel
+    # double-buffers x-block DMAs from HBM itself (fp32 accumulator)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_rb, n_mt, max_nb),
+        grid=(n_rb, n_mt),
         in_specs=[
-            # the (i, b) nonzero block of A
-            pl.BlockSpec((1, 1, bs, bs), lambda i, m, b, cols_ref: (i, b, 0, 0)),
-            # the x block steered by the scalar-prefetched block-column index
-            pl.BlockSpec((bs, m_tile),
-                         lambda i, m, b, cols_ref: (cols_ref[i, b], m)),
+            # the whole row block of A (all nz slots)
+            pl.BlockSpec((1, max_nb, bs, bs),
+                         lambda i, m, cols_ref: (i, 0, 0, 0)),
+            # x stays in HBM; the kernel DMAs the blocks it needs
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((bs, m_tile), lambda i, m, b, cols_ref: (i, m)),
+        out_specs=pl.BlockSpec((bs, m_tile), lambda i, m, cols_ref: (i, m)),
+        scratch_shapes=[
+            pltpu.VMEM((2, bs, m_tile), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     kernel = pl.pallas_call(
-        _spmm_kernel,
+        functools.partial(_spmm_kernel_dma, precision=precision),
         grid_spec=grid_spec,
-        # fp32 accumulator regardless of activation dtype (MXU contract);
-        # callers cast back to their compute dtype
         out_shape=jax.ShapeDtypeStruct((n_pad, M), jnp.float32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_rb * max_nb * n_mt * bs * bs * m_tile,
-            bytes_accessed=vals.size * 4 + x.size * 4 + n_pad * M * 4,
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
     )
     return kernel(cols, vals, x)
 
@@ -163,11 +235,19 @@ class BlockSparseOperator:
         m_pad = ((m + 127) // 128) * 128
         mt = max(t for t in (1024, 512, 256, 128)
                  if t <= self.m_tile and m_pad % t == 0)
-        # fp32 primal keeps the custom-VJP cotangent dtype consistent with
-        # the kernel's 32-bit accumulator; callers cast the result back
-        x_pad = jnp.pad(x, ((0, self.n_pad - n),
-                            (0, m_pad - m))).astype(jnp.float32)
-        out = _mv((mt, self.interpret),
+        # fp32 callers get exact fp32 matmuls; bf16 activations keep the
+        # fast single-pass MXU default AND stay bf16 through the x DMA
+        # (the kernel is bandwidth-bound on x-block reads; halving their
+        # bytes is the main lever). The fp32 accumulator output is cast
+        # back by callers.
+        if x.dtype == jnp.bfloat16:
+            precision = jax.lax.Precision.DEFAULT
+            x_pad = jnp.pad(x, ((0, self.n_pad - n), (0, m_pad - m)))
+        else:
+            precision = jax.lax.Precision.HIGHEST
+            x_pad = jnp.pad(x, ((0, self.n_pad - n),
+                                (0, m_pad - m))).astype(jnp.float32)
+        out = _mv((mt, self.interpret, precision, str(x_pad.dtype)),
                   self.vals, self.cols, self.vals_t, self.cols_t, x_pad)
         return out[: n, : m]
 
@@ -194,8 +274,8 @@ jax.tree_util.register_pytree_node(
 # are tracers there — closing over tracers inside custom_vjp is illegal.
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _mv(static, vals, cols, vals_t, cols_t, x_pad):
-    m_tile, interpret = static
-    return _bcsr_matmul(vals, cols, x_pad, m_tile, interpret)
+    m_tile, interpret, precision, _xdt = static
+    return _bcsr_matmul(vals, cols, x_pad, m_tile, interpret, precision)
 
 
 def _mv_fwd(static, vals, cols, vals_t, cols_t, x_pad):
@@ -205,12 +285,15 @@ def _mv_fwd(static, vals, cols, vals_t, cols_t, x_pad):
 
 def _mv_bwd(static, res, g):
     vals, cols, vals_t, cols_t = res
-    m_tile, interpret = static
+    m_tile, interpret, precision, xdt = static
     # symmetric operator reuses (vals, cols); non-symmetric supplies the
     # transposed BCSR
     tv = vals if vals_t is None else vals_t
     tc = cols if cols_t is None else cols_t
-    gx = _bcsr_matmul(tv, tc, g.astype(jnp.float32), m_tile, interpret)
+    # run the transpose matvec at the primal's dtype (bf16 primal ->
+    # bf16 cotangent DMA, same bandwidth saving as the forward)
+    gx = _bcsr_matmul(tv, tc, g.astype(jnp.dtype(xdt)), m_tile, interpret,
+                      precision).astype(jnp.dtype(xdt))
 
     def zero_ct(a):
         if a is None:
