@@ -20,6 +20,13 @@ All K Chebyshev basis vectors are combined with a single [B*V, Fin*K] @
 the matmul pipeline.
 
 Weight layout matches the reference: [Fin, K, Fout].
+
+Precision note: dense-path matmuls run at JAX's default TPU matmul
+precision (one bf16 pass per operand, fp32 accumulation) — the same
+regime as the reference on Ampere GPUs, where torch enables TF32 matmuls
+by default. The Pallas BCSR operator selects Precision.HIGHEST for fp32
+inputs (exact fp32) since it doubles as a general sparse-linear-algebra
+primitive.
 """
 
 from __future__ import annotations
