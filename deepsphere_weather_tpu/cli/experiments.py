@@ -151,10 +151,13 @@ def run_deep_ensemble(cfg_path, data_dir, exp_dir, n_members: int = 5,
     gs = global_summary(skill, area_w)
     gs.save(ens_dir / "median_global_skill.npz")
     # probabilistic verify of the member ensemble (CRPS, spread/skill —
-    # the reference's verify_DeepEnsemble leaves this as a TODO)
-    from ..verif import probabilistic as prob_verify
+    # the reference's verify_DeepEnsemble leaves this as a TODO);
+    # fair CRPS needs >= 2 members
+    pgs = None
+    if n_members >= 2:
+        from ..verif import probabilistic as prob_verify
 
-    pgs = global_summary(prob_verify(ensemble, test_dyn), area_w)
-    pgs.save(ens_dir / "probabilistic_global_skill.npz")
+        pgs = global_summary(prob_verify(ensemble, test_dyn), area_w)
+        pgs.save(ens_dir / "probabilistic_global_skill.npz")
     return {"ensemble": ensemble, "median": median, "global_skill": gs,
             "probabilistic_skill": pgs}

@@ -122,15 +122,18 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
     #     the reference left this as a TODO, verify_DeepEnsemble.py) -------
     from ..verif import probabilistic as prob_verify
 
-    ps = prob_verify(out["ensemble"], test_dyn)
-    pgs = global_summary(ps, np.asarray(area_w))
-    pgs.save(model_dir / "model_skills"
-             / "swag_probabilistic_global_skill.npz")
+    if nb_samples >= 2:
+        ps = prob_verify(out["ensemble"], test_dyn)
+        pgs = global_summary(ps, np.asarray(area_w))
+        pgs.save(model_dir / "model_skills"
+                 / "swag_probabilistic_global_skill.npz")
+        crps_msg = f"; CRPS at last leadtime: {np.round(pgs['CRPS'][-1], 3)}"
+    else:
+        crps_msg = " (probabilistic verify skipped: needs >= 2 members)"
     if verbose:
         print(f"SWAG ensemble ({nb_samples} members) verified; "
               f"median RMSE at last leadtime: "
-              f"{np.round(gs['RMSE'][-1], 3)}; "
-              f"CRPS at last leadtime: {np.round(pgs['CRPS'][-1], 3)}")
+              f"{np.round(gs['RMSE'][-1], 3)}{crps_msg}")
     return out, gs
 
 

@@ -35,7 +35,8 @@ from ..data.ar import ARIndexer
 from .loss import weighted_mse
 
 __all__ = ["assemble_input", "make_ar_loss_fn", "make_train_step",
-           "make_validation_fn", "make_rollout_block"]
+           "make_member_train_step", "make_validation_fn",
+           "make_rollout_block"]
 
 
 def assemble_input(dyn_buf: jnp.ndarray, bc: Optional[jnp.ndarray],

@@ -143,7 +143,8 @@ def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
     n_mt = M // m_tile
     cost = pl.CostEstimate(
         flops=2 * n_rb * max_nb * n_mt * bs * bs * m_tile,
-        bytes_accessed=vals.size * 4 + x.size * 4 + n_pad * M * 4,
+        bytes_accessed=(vals.size * vals.dtype.itemsize
+                        + x.size * x.dtype.itemsize + n_pad * M * 4),
         transcendentals=0,
     )
 
@@ -233,8 +234,10 @@ class BlockSparseOperator:
         # over more MXU columns (measured 8.7 -> 5.1 ms/matvec at
         # HEALPix-64 going from 256 to 1024)
         m_pad = ((m + 127) // 128) * 128
+        # m_tile is a CAP (floored at the 128-lane minimum)
+        cap = max(self.m_tile, 128)
         mt = max(t for t in (1024, 512, 256, 128)
-                 if t <= self.m_tile and m_pad % t == 0)
+                 if t <= cap and m_pad % t == 0)
         # fp32 callers get exact fp32 matmuls; bf16 activations keep the
         # fast single-pass MXU default AND stay bf16 through the x DMA
         # (the kernel is bandwidth-bound on x-block reads; halving their

@@ -102,10 +102,16 @@ class HovmollerDiagram:
     def plot(self, ax=None, cmap: str = "RdBu_r", title: str = ""):
         if ax is None:
             _, ax = plt.subplots(figsize=(10, 4))
-        t = np.asarray(self.time, dtype="datetime64[ns]")
+        t = np.asarray(self.time, dtype="datetime64[ns]").astype(
+            "datetime64[D]")
         mesh = ax.pcolormesh(
             t.astype("datetime64[s]").astype(float), self.bins, self.data.T,
             cmap=cmap, shading="auto")
+        # date tick labels (same formatting as plot_hovmoller)
+        ticks = np.linspace(0, len(t) - 1, 6).astype(int)
+        ax.set_xticks(t[ticks].astype("datetime64[s]").astype(float))
+        ax.set_xticklabels([str(x) for x in t[ticks]], rotation=30,
+                           fontsize=7)
         ax.set_ylabel(self.bin_dim)
         ax.set_title(title, fontsize=9)
         plt.colorbar(mesh, ax=ax, shrink=0.9)

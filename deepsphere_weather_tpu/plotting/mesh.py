@@ -55,11 +55,16 @@ def voronoi_patches(sampling):
 def plot_polygons(values: np.ndarray, sampling, ax=None, cmap="viridis",
                   vmin=None, vmax=None, edgecolors="none",
                   linewidths: float = 0.05, title: str = "",
-                  add_colorbar: bool = True):
-    """Field as filled Voronoi polygons (xsphere._plot parity)."""
+                  add_colorbar: bool = True, mesh=None):
+    """Field as filled Voronoi polygons (xsphere._plot parity).
+
+    `mesh` optionally supplies precomputed `voronoi_patches(sampling)`
+    output (SphereField caches it — recomputing the tessellation costs
+    seconds at HEALPix-64)."""
     if ax is None:
         _, ax = plt.subplots(figsize=(9, 4.5))
-    patches, node_index = voronoi_patches(sampling)
+    patches, node_index = mesh if mesh is not None else voronoi_patches(
+        sampling)
     pc = PolyCollection(patches, array=np.asarray(values)[node_index],
                         cmap=cmap, edgecolors=edgecolors,
                         linewidths=linewidths)
@@ -75,11 +80,11 @@ def plot_polygons(values: np.ndarray, sampling, ax=None, cmap="viridis",
 
 
 def plot_mesh(sampling, ax=None, edgecolors="k", linewidths: float = 0.2,
-              title: Optional[str] = None):
+              title: Optional[str] = None, mesh=None):
     """Wireframe of the Voronoi tessellation (xsphere plot_mesh parity)."""
     if ax is None:
         _, ax = plt.subplots(figsize=(9, 4.5))
-    patches, _ = voronoi_patches(sampling)
+    patches, _ = mesh if mesh is not None else voronoi_patches(sampling)
     pc = PolyCollection(patches, facecolors="none", edgecolors=edgecolors,
                         linewidths=linewidths)
     ax.add_collection(pc)
@@ -117,9 +122,10 @@ class SphereField:
     def plot(self, **kwargs):
         """Filled-polygon field plot (xsphere .sphere.plot parity)."""
         self.add_SphericalVoronoiMesh()
-        return plot_polygons(self.values, self.sampling, **kwargs)
+        return plot_polygons(self.values, self.sampling, mesh=self._mesh,
+                             **kwargs)
 
     def plot_mesh(self, **kwargs):
         """Tessellation wireframe (xsphere .sphere.plot_mesh parity)."""
         self.add_SphericalVoronoiMesh()
-        return plot_mesh(self.sampling, **kwargs)
+        return plot_mesh(self.sampling, mesh=self._mesh, **kwargs)

@@ -156,11 +156,26 @@ def global_summary(skill: SkillDataset, area_weights: np.ndarray) -> SkillDatase
         if k in ("MSE",):
             out[k] = np.einsum("lvf,v->lf", np.nan_to_num(v), w)
             continue
-        if k == "RMSE":
+        if k == "RMSE" and "MSE" in skill.skills:
             mse = np.einsum("lvf,v->lf", np.nan_to_num(skill.skills["MSE"]), w)
             out[k] = np.sqrt(mse)
             continue
-        out[k] = np.einsum("lvf,v->lf", np.nan_to_num(v), w)
+        if "RMSE" in k:
+            # RMSE-like without a stored MSE (e.g. ensemble RMSE_mean):
+            # aggregate as sqrt of the weighted mean of squares so global
+            # values are comparable with the deterministic RMSE
+            out[k] = np.sqrt(np.einsum("lvf,v->lf", np.nan_to_num(v) ** 2, w))
+            continue
+        if np.isnan(v).any():
+            # NaN-aware weighted mean (e.g. spread_skill_ratio is NaN
+            # where RMSE == 0): renormalize weights over valid nodes
+            # instead of counting NaNs as zeros
+            valid = ~np.isnan(v)
+            num = np.einsum("lvf,v->lf", np.where(valid, v, 0.0), w)
+            den = np.einsum("lvf,v->lf", valid.astype(np.float64), w)
+            out[k] = num / np.where(den > 0, den, np.nan)
+            continue
+        out[k] = np.einsum("lvf,v->lf", v, w)
     return SkillDataset(out, skill.leadtime_hours, skill.feature_order)
 
 

@@ -35,6 +35,10 @@ def crps_ensemble(members: np.ndarray, obs: np.ndarray,
     members = np.asarray(members, dtype=np.float64)
     obs = np.asarray(obs, dtype=np.float64)
     M = members.shape[0]
+    if fair and M < 2:
+        raise ValueError(
+            "fair CRPS needs >= 2 ensemble members (got "
+            f"{M}); use fair=False for the biased estimator")
     term1 = np.abs(members - obs[None]).mean(axis=0)
     # pairwise |X - X'| without materializing MxM when M large: sort trick
     # E|X - X'| = 2/M^2 * sum_i (2i - M + 1) * x_(i)   (x sorted ascending)
