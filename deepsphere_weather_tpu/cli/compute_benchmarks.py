@@ -20,9 +20,6 @@ import numpy as np
 
 def main(data_dir, n_leadtimes: int = 39, verbose: bool = True):
     from ..data import Climatology, SphericalDataset, load_scaler
-    from ..engine.loss import AreaWeights
-    from ..sphere import Sampling, build_sampling
-    from ..sphere.remap import area_weights as _aw
     from ..verif import climatology_skills, global_summary, persistence_skills
 
     data_dir = Path(data_dir)

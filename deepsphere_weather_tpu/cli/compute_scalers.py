@@ -25,7 +25,6 @@ def main(data_dir, reference_period: Optional[Tuple[str, str]] = None,
         Climatology,
         GlobalMinMaxScaler,
         GlobalStandardScaler,
-        SequentialScaler,
         SphericalDataset,
     )
 

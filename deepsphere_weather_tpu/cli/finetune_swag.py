@@ -27,7 +27,7 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
     import optax
 
     from ..config import (get_ar_settings, get_model_settings,
-                          get_swag_settings, get_training_settings,
+                          get_training_settings,
                           read_config_file)
     from ..data import (SphericalDataset, StaticDataset,
                         get_ar_model_tensor_info, load_scaler)

@@ -36,7 +36,6 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     import optax
 
     from ..config import (
-        check_same_dict,
         create_experiment_directories,
         get_ar_settings,
         get_dataloader_settings,
@@ -47,7 +46,6 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         write_config_file,
     )
     from ..data import (
-        ARIndexer,
         GlobalStandardScaler,
         SphericalDataset,
         StaticDataset,

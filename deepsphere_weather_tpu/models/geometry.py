@@ -10,7 +10,7 @@ modules/utils_models.py:91-102), per-level Laplacian operators
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

@@ -13,7 +13,7 @@ normal distribution; zero bias.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ primitive.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

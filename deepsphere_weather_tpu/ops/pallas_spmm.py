@@ -21,7 +21,6 @@ can be supplied for non-symmetric operators like the cotan Laplacian).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

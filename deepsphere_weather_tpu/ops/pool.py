@@ -21,7 +21,7 @@ reference PoolUnpoolBlock contract (layers.py:1152-1191).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ chips (batch-of-members data parallelism with zero communication).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+
 
 import jax
 import jax.numpy as jnp
