@@ -77,6 +77,24 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
                           dict(model_settings["sampling_kwargs"]))
     area_w = AreaWeights(samp)
 
+    # resume the pretrained run's AR scheduler so fine-tuning continues
+    # with the GROWN AR weights (reference: load_pretrained_ar_scheduler,
+    # finetune_swag.py:298-303)
+    ar_scheduler = None
+    state_path = model_dir / "training_info" / "state.json"
+    if state_path.exists():
+        import json as _json
+
+        from ..engine import ARScheduler
+
+        state = _json.loads(state_path.read_text())
+        if "ar_scheduler" in state:
+            ar_scheduler = ARScheduler.from_state_dict(state["ar_scheduler"])
+            if verbose:
+                print(f"resumed AR scheduler: {ar_scheduler.current_ar_iterations}"
+                      f" AR iterations, weights "
+                      f"{np.round(ar_scheduler.ar_weights, 3)}")
+
     params, _, info = AutoregressiveTraining(
         model, params,
         training_data_dynamic=data_dynamic.subset(0, i_train),
@@ -94,6 +112,7 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
         training_batch_size=training_settings["training_batch_size"],
         validation_batch_size=training_settings["validation_batch_size"],
         scoring_interval=training_settings["scoring_interval"],
+        ar_scheduler=ar_scheduler,
         swag=True, swag_model=swag, swag_freq=swag_freq, swa_start=swa_start,
         exp_dir=model_dir, num_workers=2, verbose=verbose,
     )
