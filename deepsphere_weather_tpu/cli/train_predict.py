@@ -30,6 +30,7 @@ import numpy as np
 
 
 def main(cfg_path, data_dir, exp_dir, force: bool = False,
+         resume: bool = False,
          ar_iterations_prediction: int = 20, seed_override=None,
          verbose: bool = True):
     import jax
@@ -135,17 +136,39 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
 
     # --- experiment dir ---------------------------------------------------
     model_name = get_model_name(cfg)
-    exp_path = create_experiment_directories(exp_dir, model_name, force=force)
+    exp_path = create_experiment_directories(exp_dir, model_name,
+                                             force=force or resume)
     write_config_file(cfg, exp_path / "config.json")
     (exp_path / "tensor_info.json").write_text(
         json.dumps(tensor_info, indent=1, default=str))
+
+    # --- resume a stopped/crashed run: params + optimizer moments +
+    #     grown AR-scheduler state (durability beyond the reference,
+    #     which restarts from scratch — SURVEY.md §5.3) -------------------
+    initial_opt_state = None
+    resumed_scheduler = None
+    state_path = exp_path / "training_info" / "state.json"
+    if resume and (exp_path / "model_weights" / "model.npz").exists():
+        import optax as _optax  # noqa: F401  (optimizer built below)
+        ck = Checkpointer(exp_path)
+        params = ck.load_model(params)
+        if state_path.exists():
+            from ..engine import ARScheduler
+            opt_tmpl = optax.adam(
+                training_settings["learning_rate"], eps=1e-7).init(params)
+            initial_opt_state, state = ck.load_training_state(opt_tmpl)
+            if "ar_scheduler" in state:
+                resumed_scheduler = ARScheduler.from_state_dict(
+                    state["ar_scheduler"])
+        if verbose:
+            print(f"resuming {model_name} from checkpoint")
 
     # --- loss / optimizer / schedulers ------------------------------------
     samp = build_sampling(model_settings["sampling"],
                           dict(model_settings["sampling_kwargs"]))
     area_w = AreaWeights(samp)
     optimizer = optax.adam(training_settings["learning_rate"], eps=1e-7)
-    ar_scheduler = ARScheduler(
+    ar_scheduler = resumed_scheduler or ARScheduler(
         method="LinearStep", factor=0.0005, fixed_ar_weights=[0]
         if training_settings["ar_training_strategy"] == "RNN" else [],
         initial_ar_absolute_weights=[1, 1],
@@ -182,6 +205,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         num_workers=dl_settings["num_workers"],
         prefetch_factor=dl_settings["prefetch_factor"],
         autotune_num_workers=dl_settings.get("autotune_num_workers", False),
+        initial_opt_state=initial_opt_state,
         shuffle=dl_settings["random_shuffling"],
         shuffle_seed=int(training_settings["seed_random_shuffling"]),
         verbose=verbose,
@@ -234,9 +258,13 @@ def cli():
     p.add_argument("--data_dir", required=True)
     p.add_argument("--exp_dir", required=True)
     p.add_argument("--force", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="continue a stopped run from its checkpoint "
+                        "(params + optimizer moments + AR scheduler)")
     p.add_argument("--ar_iterations_prediction", type=int, default=20)
     args = p.parse_args()
     main(args.config_file, args.data_dir, args.exp_dir, force=args.force,
+         resume=args.resume,
          ar_iterations_prediction=args.ar_iterations_prediction)
 
 

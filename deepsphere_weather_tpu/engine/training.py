@@ -148,6 +148,9 @@ def AutoregressiveTraining(
     swag_model=None,
     swag_freq: int = 10,
     swa_start: int = 0,
+    # resume support: continue a crashed/stopped run (optimizer moments
+    # preserved). The reference has no mid-training resume (SURVEY.md §5.3).
+    initial_opt_state=None,
     verbose: bool = True,
 ):
     """Train; returns (params, opt_state, ARTrainingInfo)."""
@@ -166,9 +169,11 @@ def AutoregressiveTraining(
         early_stopping = EarlyStopping(patience=3000 // max(scoring_interval, 1))
 
     # the jitted train step DONATES params/opt_state; copy the caller's
-    # params so their pytree stays alive (e.g. for a later fresh run)
+    # pytrees so they stay alive (e.g. for a later fresh run)
     params = jax.tree_util.tree_map(jax.numpy.array, params)
-    opt_state = optimizer.init(params)
+    opt_state = (optimizer.init(params) if initial_opt_state is None
+                 else jax.tree_util.tree_map(jax.numpy.array,
+                                             initial_opt_state))
 
     train_ds = AutoregressiveDataset(
         training_data_dynamic, indexer, data_bc=training_data_bc,

@@ -207,6 +207,35 @@ class TestEndToEndDriver:
         crps_key = [k for k in prob.files if "CRPS" in k]
         assert crps_key and np.all(np.isfinite(prob[crps_key[0]]))
 
+    def test_resume_training(self, tmp_path):
+        """--resume continues from params + optimizer moments + grown
+        AR-scheduler state (durability beyond the reference, which can
+        only restart from scratch)."""
+        from deepsphere_weather_tpu.cli.train_predict import main
+        from deepsphere_weather_tpu.data import generate_toy_data
+
+        data_dir = tmp_path / "data"
+        generate_toy_data(data_dir,
+                          sampling_kwargs={"subdivisions": 4, "nest": True},
+                          n_timesteps=200, seed=5)
+        cfg_path, _ = make_config(tmp_path)
+        exp_path, gs1 = main(cfg_path, data_dir, tmp_path / "exp",
+                             force=True, ar_iterations_prediction=2,
+                             verbose=False)
+        w1 = np.load(exp_path / "model_weights" / "model.npz")
+        first = {k: w1[k].copy() for k in list(w1.files)[:3]}
+        # resume: must load the checkpoint (not re-init) and keep training
+        exp_path2, gs2 = main(cfg_path, data_dir, tmp_path / "exp",
+                              resume=True, ar_iterations_prediction=2,
+                              verbose=False)
+        assert exp_path2 == exp_path
+        w2 = np.load(exp_path / "model_weights" / "model.npz")
+        # params changed (training continued) but started from checkpoint:
+        # after one extra epoch at tiny lr they stay close to the first run
+        diffs = [np.abs(w2[k] - first[k]).max() for k in first]
+        assert any(d > 0 for d in diffs)
+        assert np.all(np.isfinite(gs2["RMSE"]))
+
     def test_experiment_orchestrators(self, tmp_path):
         """Sweep + DeepEnsemble launchers (reference 0X_exp_* scripts)."""
         from deepsphere_weather_tpu.cli.experiments import (
