@@ -207,6 +207,26 @@ class TestEndToEndDriver:
         crps_key = [k for k in prob.files if "CRPS" in k]
         assert crps_key and np.all(np.isfinite(prob[crps_key[0]]))
 
+    def test_equiangular_image_conv_cli(self, tmp_path):
+        """conv_type='image' (equiangular 2D conv path) through the full
+        driver."""
+        from deepsphere_weather_tpu.cli.train_predict import main
+        from deepsphere_weather_tpu.data import generate_toy_data
+
+        data_dir = tmp_path / "data"
+        generate_toy_data(data_dir,
+                          sampling_kwargs={"nlat": 12, "nlon": 24},
+                          sampling="equiangular", n_timesteps=200, seed=6)
+        cfg_path, _ = make_config(
+            tmp_path, sampling_name="Equiangular_toy",
+            sampling="equiangular",
+            sampling_kwargs={"nlat": 12, "nlon": 24},
+            conv_type="image", pool_method="Avg")
+        exp_path, gs = main(cfg_path, data_dir, tmp_path / "exp",
+                            force=True, ar_iterations_prediction=2,
+                            verbose=False)
+        assert np.all(np.isfinite(gs["RMSE"]))
+
     def test_resume_training(self, tmp_path):
         """--resume continues from params + optimizer moments + grown
         AR-scheduler state (durability beyond the reference, which can
