@@ -3,6 +3,7 @@
 from .deterministic import (  # noqa: F401
     SkillDataset,
     deterministic,
+    categorical_metrics,
     deterministic_metrics,
     global_summary,
     latitudinal_summary,

@@ -20,7 +20,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-__all__ = ["deterministic_metrics", "deterministic", "global_summary",
+__all__ = ["deterministic_metrics", "categorical_metrics",
+           "deterministic", "global_summary",
            "latitudinal_summary", "longitudinal_summary",
            "SkillDataset"]
 
@@ -114,20 +115,65 @@ class SkillDataset:
                        lon=z["lon"] if "lon" in z.files else None)
 
 
+def categorical_metrics(pred: np.ndarray, obs: np.ndarray, threshold,
+                        axis: int = 0) -> Dict[str, np.ndarray]:
+    """Binary-event skills from a threshold exceedance (xverif's
+    categorical forecast_type; the reference only exercises 'continuous',
+    train_predict_state.py:525-560).
+
+    Contingency counts over `axis`: hits (a), false alarms (b),
+    misses (c), correct negatives (d) -> POD, FAR, CSI (threat score),
+    accuracy (PC), frequency BIAS, HSS, ETS (Gilbert skill score).
+    """
+    p = np.asarray(pred) >= threshold
+    o = np.asarray(obs) >= threshold
+    a = np.sum(p & o, axis=axis).astype(np.float64)
+    b = np.sum(p & ~o, axis=axis).astype(np.float64)
+    c = np.sum(~p & o, axis=axis).astype(np.float64)
+    d = np.sum(~p & ~o, axis=axis).astype(np.float64)
+    n = a + b + c + d
+
+    def safe(num, den):
+        return num / np.where(den > 0, den, np.nan)
+
+    a_random = safe((a + b) * (a + c), n)
+    return {
+        "POD": safe(a, a + c),
+        "FAR": safe(b, a + b),
+        "CSI": safe(a, a + b + c),
+        "ACC": safe(a + d, n),
+        "FB": safe(a + b, a + c),
+        "HSS": safe(2 * (a * d - b * c),
+                    (a + c) * (c + d) + (a + b) * (b + d)),
+        "ETS": safe(a - a_random, a + b + c - a_random),
+    }
+
+
 def deterministic(forecast, obs_dataset, forecast_type: str = "continuous",
-                  aggregating_dim: str = "time") -> SkillDataset:
+                  aggregating_dim: str = "time",
+                  thr: float = 0.0) -> SkillDataset:
     """Verify a ForecastDataset against a SphericalDataset.
 
     Per leadtime: align forecast valid times with observation times,
     compute metrics over the aligned sample axis -> [leadtime, node,
     feature] skill arrays (xverif.deterministic parity).
+    forecast_type='categorical_binary' verifies the exceedance of `thr`
+    (POD/FAR/CSI/ACC/FB/HSS/ETS).
     """
-    if forecast_type != "continuous" or aggregating_dim != "time":
+    if aggregating_dim != "time":
+        raise NotImplementedError("only aggregating_dim='time' implemented")
+    if forecast_type == "continuous":
+        metric_fn = deterministic_metrics
+    elif forecast_type == "categorical_binary":
+        import functools
+        metric_fn = functools.partial(categorical_metrics, threshold=thr)
+    else:
         raise NotImplementedError(
-            "only continuous/time verification implemented (reference usage)")
+            f"forecast_type {forecast_type!r}: use 'continuous' or "
+            "'categorical_binary'")
     L = forecast.n_leadtime
     skills: Dict[str, List[np.ndarray]] = {k: [] for k in
-                                           deterministic_metrics(
+                                           metric_fn(
                                                np.zeros((2, 1)),
                                                np.ones((2, 1))).keys()}
     obs_time = obs_dataset.time
@@ -138,7 +184,7 @@ def deterministic(forecast, obs_dataset, forecast_type: str = "continuous",
         ok &= obs_time[np.minimum(sidx, len(obs_time) - 1)] == valid
         pred = forecast.read_leadtime(lt)[ok]              # [T, V, F]
         obs = obs_dataset.read_stacked(sidx[ok])            # [T, V, F]
-        m = deterministic_metrics(pred, obs, axis=0)        # [V, F] each
+        m = metric_fn(pred, obs, axis=0)                    # [V, F] each
         for k, v in m.items():
             skills[k].append(v)
     stacked = {k: np.stack(v, axis=0) for k, v in skills.items()}  # [L, V, F]

@@ -34,6 +34,33 @@ class TestDeterministicMetrics:
         np.testing.assert_allclose(m["pearson_R2"], 1.0, atol=1e-8)
 
 
+class TestCategoricalMetrics:
+    def test_contingency_table_hand_case(self):
+        from deepsphere_weather_tpu.verif import categorical_metrics
+
+        # events: obs exceeds 0.5 at [T, F] positions; hand-built table
+        obs = np.array([[1.0], [1.0], [0.0], [0.0], [1.0], [0.0]])
+        pred = np.array([[1.0], [0.0], [1.0], [0.0], [1.0], [0.0]])
+        m = categorical_metrics(pred, obs, threshold=0.5, axis=0)
+        # a=2 hits, b=1 false alarm, c=1 miss, d=2 correct negatives
+        assert m["POD"][0] == pytest.approx(2 / 3)
+        assert m["FAR"][0] == pytest.approx(1 / 3)
+        assert m["CSI"][0] == pytest.approx(2 / 4)
+        assert m["ACC"][0] == pytest.approx(4 / 6)
+        assert m["FB"][0] == pytest.approx(1.0)
+
+    def test_perfect_forecast(self):
+        from deepsphere_weather_tpu.verif import categorical_metrics
+
+        rng = np.random.default_rng(0)
+        obs = rng.standard_normal((50, 4))
+        m = categorical_metrics(obs, obs, threshold=0.0)
+        np.testing.assert_allclose(m["POD"], 1.0)
+        np.testing.assert_allclose(m["FAR"], 0.0)
+        np.testing.assert_allclose(m["HSS"], 1.0)
+        np.testing.assert_allclose(m["ETS"], 1.0)
+
+
 class TestCRPS:
     def test_deterministic_limit_is_mae(self):
         # a 1-member "ensemble" with fair=False: CRPS == |x - y|
