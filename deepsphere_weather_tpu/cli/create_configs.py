@@ -72,6 +72,16 @@ def create_configs(out_dir="configs", architecture: str = "UNetSpherical",
     return n
 
 
+def cli():
+    import argparse
+
+    p = argparse.ArgumentParser(description="Generate the configs/ grid")
+    p.add_argument("--out_dir", default="configs")
+    p.add_argument("--architecture", default="UNetSpherical")
+    args = p.parse_args()
+    n = create_configs(args.out_dir, architecture=args.architecture)
+    print(f"wrote {n} config files under {args.out_dir}/")
+
+
 if __name__ == "__main__":
-    n = create_configs()
-    print(f"wrote {n} config files under configs/")
+    cli()
