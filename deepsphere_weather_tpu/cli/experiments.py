@@ -25,7 +25,8 @@ import numpy as np
 from ..config import read_config_file, write_config_file
 
 __all__ = ["run_reproducibility_experiment", "run_sweep",
-           "run_deep_ensemble"]
+           "run_deep_ensemble", "run_activation_experiment",
+           "run_x_year_simulations", "REFERENCE_ACTIVATION_FUNS"]
 
 
 def run_reproducibility_experiment(cfg_path, data_dir, exp_dir,
@@ -161,3 +162,43 @@ def run_deep_ensemble(cfg_path, data_dir, exp_dir, n_members: int = 5,
         pgs.save(ens_dir / "probabilistic_global_skill.npz")
     return {"ensemble": ensemble, "median": median, "global_skill": gs,
             "probabilistic_skill": pgs}
+
+
+# The reference's activation ablation list (04_exp_activation_funs.py:47-52;
+# that script has broken indentation in the reference — here it is a
+# runnable sweep)
+REFERENCE_ACTIVATION_FUNS = [
+    "relu", "celu", "selu", "prelu", "hardswish", "mish",
+    "silu", "gelu", "softplus", "softmax", "logsigmoid",
+    "relu6", "rrlu", "leaky_relu", "elu",
+    "linear", "hardshrink",
+    "sigmoid", "hardsigmoid",
+    "tanh", "hardtanh", "softsign",
+]
+
+
+def run_activation_experiment(cfg_path, data_dir, exp_dir,
+                              act_funs: Optional[List[str]] = None,
+                              verbose: bool = False) -> Dict:
+    """Activation-function ablation (reference 04_exp_activation_funs.py):
+    one training per activation, final-leadtime RMSE each."""
+    return run_sweep(cfg_path, data_dir, exp_dir,
+                     sweep={"activation_fun":
+                            act_funs or REFERENCE_ACTIVATION_FUNS},
+                     verbose=verbose)
+
+
+def run_x_year_simulations(model_dir, data_dir, years: float = 5.0,
+                           dt_hours: int = 6,
+                           forecast_reference_times=None,
+                           ar_blocks: int = 1000, verbose: bool = True):
+    """Multi-year free-running simulation from a trained model
+    (reference 05_exp_X_year_sims.py: 7300 AR steps = 5 years at 6 h,
+    ar_blocks-chunked zarr flushing)."""
+    from .predict import main as predict_main
+
+    ar_iterations = int(round(years * 365 * 24 / dt_hours))
+    return predict_main(model_dir, data_dir,
+                        forecast_reference_times=forecast_reference_times,
+                        ar_iterations=ar_iterations, ar_blocks=ar_blocks,
+                        verbose=verbose)

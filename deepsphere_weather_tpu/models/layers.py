@@ -54,6 +54,12 @@ _ACT_MAP = {
     "hardswish": jax.nn.hard_swish,
     "softmax": lambda x: jax.nn.softmax(x, axis=-1),
     "hardshrink": lambda x: jnp.where(jnp.abs(x) > 0.5, x, 0.0),
+    # torch PReLU initializes its slope at 0.25; the functional stand-in
+    # is a fixed-slope leaky relu. RReLU in eval mode uses the mean slope
+    # (1/8 + 1/3) / 2 (torch defaults).
+    "prelu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.25),
+    "rrlu": lambda x: jax.nn.leaky_relu(
+        x, negative_slope=(1 / 8 + 1 / 3) / 2),
     "linear": lambda x: x,
     "identity": lambda x: x,
 }
