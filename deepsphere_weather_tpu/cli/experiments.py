@@ -182,21 +182,25 @@ def run_activation_experiment(cfg_path, data_dir, exp_dir,
                               verbose: bool = False) -> Dict:
     """Activation-function ablation (reference 04_exp_activation_funs.py):
     one training per activation, final-leadtime RMSE each."""
+    if act_funs is None:
+        act_funs = REFERENCE_ACTIVATION_FUNS
     return run_sweep(cfg_path, data_dir, exp_dir,
-                     sweep={"activation_fun":
-                            act_funs or REFERENCE_ACTIVATION_FUNS},
-                     verbose=verbose)
+                     sweep={"activation_fun": act_funs}, verbose=verbose)
 
 
 def run_x_year_simulations(model_dir, data_dir, years: float = 5.0,
-                           dt_hours: int = 6,
+                           dt_hours: Optional[int] = None,
                            forecast_reference_times=None,
                            ar_blocks: int = 1000, verbose: bool = True):
     """Multi-year free-running simulation from a trained model
     (reference 05_exp_X_year_sims.py: 7300 AR steps = 5 years at 6 h,
-    ar_blocks-chunked zarr flushing)."""
+    ar_blocks-chunked zarr flushing). The step length defaults to the
+    model's own forecast_cycle (hours) from its config.json."""
     from .predict import main as predict_main
 
+    if dt_hours is None:
+        cfg = read_config_file(Path(model_dir) / "config.json")
+        dt_hours = int(cfg["ar_settings"]["forecast_cycle"])
     ar_iterations = int(round(years * 365 * 24 / dt_hours))
     return predict_main(model_dir, data_dir,
                         forecast_reference_times=forecast_reference_times,

@@ -81,19 +81,15 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
     # with the GROWN AR weights (reference: load_pretrained_ar_scheduler,
     # finetune_swag.py:298-303)
     ar_scheduler = None
-    state_path = model_dir / "training_info" / "state.json"
-    if state_path.exists():
-        import json as _json
-
+    sched_state = Checkpointer(model_dir).load_scheduler_state()
+    if sched_state is not None:
         from ..engine import ARScheduler
 
-        state = _json.loads(state_path.read_text())
-        if "ar_scheduler" in state:
-            ar_scheduler = ARScheduler.from_state_dict(state["ar_scheduler"])
-            if verbose:
-                print(f"resumed AR scheduler: {ar_scheduler.current_ar_iterations}"
-                      f" AR iterations, weights "
-                      f"{np.round(ar_scheduler.ar_weights, 3)}")
+        ar_scheduler = ARScheduler.from_state_dict(sched_state)
+        if verbose:
+            print(f"resumed AR scheduler: {ar_scheduler.current_ar_iterations}"
+                  f" AR iterations, weights "
+                  f"{np.round(ar_scheduler.ar_weights, 3)}")
 
     params, _, info = AutoregressiveTraining(
         model, params,

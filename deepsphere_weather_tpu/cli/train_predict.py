@@ -147,19 +147,21 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     #     which restarts from scratch — SURVEY.md §5.3) -------------------
     initial_opt_state = None
     resumed_scheduler = None
-    state_path = exp_path / "training_info" / "state.json"
-    if resume and (exp_path / "model_weights" / "model.npz").exists():
-        import optax as _optax  # noqa: F401  (optimizer built below)
+    if resume:
         ck = Checkpointer(exp_path)
+        if not ck.has_checkpoint():
+            raise FileNotFoundError(
+                f"--resume: no checkpoint at "
+                f"{exp_path / 'model_weights' / 'model.npz'} — nothing to "
+                "resume (use --force for a fresh run)")
         params = ck.load_model(params)
-        if state_path.exists():
+        sched_state = ck.load_scheduler_state()
+        if sched_state is not None:
             from ..engine import ARScheduler
             opt_tmpl = optax.adam(
                 training_settings["learning_rate"], eps=1e-7).init(params)
-            initial_opt_state, state = ck.load_training_state(opt_tmpl)
-            if "ar_scheduler" in state:
-                resumed_scheduler = ARScheduler.from_state_dict(
-                    state["ar_scheduler"])
+            initial_opt_state, _state = ck.load_training_state(opt_tmpl)
+            resumed_scheduler = ARScheduler.from_state_dict(sched_state)
         if verbose:
             print(f"resuming {model_name} from checkpoint")
 

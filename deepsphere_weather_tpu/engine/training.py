@@ -245,6 +245,14 @@ def AutoregressiveTraining(
                     training_batch_size * steps_in_interval / dt)
                 t_interval = time.perf_counter()
                 steps_in_interval = 0
+                # mid-epoch durability: full checkpoint every 10 scoring
+                # intervals (long epochs on big datasets otherwise leave
+                # hours between the per-epoch checkpoints)
+                if ckpt is not None and (update // scoring_interval) % 10 == 0:
+                    ckpt.save_model(params)
+                    ckpt.save_training_state(opt_state,
+                                             ar_scheduler.state_dict(),
+                                             early_stopping.state_dict())
                 ar_scheduler.step()
                 # --- validation -------------------------------------------
                 val_loss = total
@@ -308,6 +316,14 @@ def AutoregressiveTraining(
                     break
         if ckpt is not None and save_model_each_epoch:
             ckpt.save_model(params, name=f"model_epoch_{epoch}.npz")
+        # crash durability: a full checkpoint (weights + optimizer moments
+        # + scheduler/early-stopping state) lands after every epoch so
+        # --resume recovers interrupted runs (the reference can only
+        # restart from scratch, SURVEY.md §5.3)
+        if ckpt is not None:
+            ckpt.save_model(params)
+            ckpt.save_training_state(opt_state, ar_scheduler.state_dict(),
+                                     early_stopping.state_dict())
 
     if ckpt is not None:
         ckpt.save_model(params)

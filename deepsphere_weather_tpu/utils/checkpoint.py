@@ -102,3 +102,11 @@ class Checkpointer:
 
     def has_checkpoint(self, name: str = "model.npz") -> bool:
         return (self.exp_dir / "model_weights" / name).exists()
+
+    def load_scheduler_state(self):
+        """The saved AR-scheduler state dict, or None if absent — the one
+        place that knows the training_info/state.json layout."""
+        path = self.exp_dir / "training_info" / "state.json"
+        if not path.exists():
+            return None
+        return json.loads(path.read_text()).get("ar_scheduler")

@@ -125,12 +125,17 @@ def categorical_metrics(pred: np.ndarray, obs: np.ndarray, threshold,
     misses (c), correct negatives (d) -> POD, FAR, CSI (threat score),
     accuracy (PC), frequency BIAS, HSS, ETS (Gilbert skill score).
     """
-    p = np.asarray(pred) >= threshold
-    o = np.asarray(obs) >= threshold
+    pred = np.asarray(pred)
+    obs = np.asarray(obs)
+    # non-finite samples are EXCLUDED from the contingency table (NaN >=
+    # thr is False and would otherwise count as a correct negative)
+    valid = np.isfinite(pred) & np.isfinite(obs)
+    p = (pred >= threshold) & valid
+    o = (obs >= threshold) & valid
     a = np.sum(p & o, axis=axis).astype(np.float64)
-    b = np.sum(p & ~o, axis=axis).astype(np.float64)
-    c = np.sum(~p & o, axis=axis).astype(np.float64)
-    d = np.sum(~p & ~o, axis=axis).astype(np.float64)
+    b = np.sum(p & ~o & valid, axis=axis).astype(np.float64)
+    c = np.sum(~p & o & valid, axis=axis).astype(np.float64)
+    d = np.sum(~p & ~o & valid, axis=axis).astype(np.float64)
     n = a + b + c + d
 
     def safe(num, den):

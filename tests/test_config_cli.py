@@ -250,11 +250,19 @@ class TestEndToEndDriver:
                               verbose=False)
         assert exp_path2 == exp_path
         w2 = np.load(exp_path / "model_weights" / "model.npz")
-        # params changed (training continued) but started from checkpoint:
-        # after one extra epoch at tiny lr they stay close to the first run
+        # Proof the checkpoint was LOADED: training is bit-deterministic
+        # under fixed seeds (test_reproducibility_regimes), so a silent
+        # from-scratch restart would reproduce run-1 weights exactly;
+        # a true resume continues from them and must differ.
         diffs = [np.abs(w2[k] - first[k]).max() for k in first]
         assert any(d > 0 for d in diffs)
         assert np.all(np.isfinite(gs2["RMSE"]))
+        # resume without a checkpoint must fail loudly, not silently
+        # retrain from scratch
+        cfg3, _ = make_config(tmp_path, model_name="never-trained")
+        with pytest.raises(FileNotFoundError, match="resume"):
+            main(cfg3, data_dir, tmp_path / "exp", resume=True,
+                 ar_iterations_prediction=2, verbose=False)
 
     def test_experiment_orchestrators(self, tmp_path):
         """Sweep + DeepEnsemble launchers (reference 0X_exp_* scripts)."""
