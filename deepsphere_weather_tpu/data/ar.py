@@ -72,6 +72,19 @@ class ARIndexer:
         input_k, output_k, fc, n_ar = check_ar_settings(
             input_k, output_k, forecast_cycle, ar_iterations,
             stack_most_recent_prediction)
+        if not stack_most_recent_prediction:
+            # the rollout buffer overwrites a slot with the latest
+            # prediction; with one output per time (every shipped config:
+            # output_k=[0]) the two modes are identical. 'False' only
+            # diverges when several iterations predict the SAME time —
+            # reject that combination instead of silently using 'True'
+            # semantics.
+            times = [i * fc + k for i in range(n_ar + 1) for k in output_k]
+            if len(times) != len(set(times)):
+                raise NotImplementedError(
+                    "stack_most_recent_prediction=False with overlapping "
+                    "output times is not supported (the rollout buffer "
+                    "keeps the most recent prediction)")
         offsets = set()
         for i in range(n_ar + 1):
             for k in input_k:
