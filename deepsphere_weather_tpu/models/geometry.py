@@ -76,7 +76,11 @@ def build_model_geometry(
     kernel_size_pooling: int = 4,
     dense_threshold: int = 8192,
     use_pallas: Optional[bool] = None,
+    operator_dtype=None,
 ) -> ModelGeometry:
+    """`operator_dtype` sets the stored precision of the large-graph BCSR
+    Laplacian blocks (bf16 halves their HBM traffic for bf16-activation
+    models; None keeps fp32)."""
     sampling = check_sampling(sampling)
     conv_type = check_conv_type(conv_type, sampling)
     pool_method = check_pool_method(pool_method)
@@ -106,7 +110,9 @@ def build_model_geometry(
                 # Pallas 128x128 BCSR SpMM (2.6% block density at HEALPix-64)
                 from ..ops.pallas_spmm import BlockSparseOperator
                 op = ChebOperator(bcsr=BlockSparseOperator.from_scipy(
-                    L, symmetric=(graph_type in ("knn", "mesh"))))
+                    L, symmetric=(graph_type in ("knn", "mesh")),
+                    dtype=(np.float32 if operator_dtype is None
+                           else operator_dtype)))
             else:
                 from ..sphere.graph import laplacian_to_ell
                 cols, vals = laplacian_to_ell(L)

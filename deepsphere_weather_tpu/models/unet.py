@@ -96,6 +96,12 @@ class UNetSpherical:
                 kernel_size_pooling=kernel_size_pooling,
                 dense_threshold=dense_threshold,
                 use_pallas=use_pallas,
+                # bf16 models store the BCSR Laplacian blocks in bf16
+                # (halves the SpMM A-block HBM reads; the single-pass MXU
+                # rounds operands to bf16 regardless)
+                operator_dtype=(jnp.bfloat16
+                                if self.compute_dtype == jnp.bfloat16
+                                else None),
             )
         self.geometry = geometry
         assert geometry.n_nodes[0] == self.input_n_node, (

@@ -33,12 +33,16 @@ __all__ = ["BlockSparseOperator", "bcsr_from_scipy", "ell_spmm"]
 _BS = 128  # MXU-native block size
 
 
-def bcsr_from_scipy(mat, block_size: int = _BS):
+def bcsr_from_scipy(mat, block_size: int = _BS, dtype=np.float32):
     """Convert scipy sparse [N, N] to padded BCSR arrays.
 
     Returns (vals [n_rb, max_nb, bs, bs], cols [n_rb, max_nb] int32, n_pad)
     where n_pad is the zero-padded matrix dimension (multiple of bs).
     Padding slots replicate block-column 0 with zero values.
+
+    `dtype` sets the stored A-block precision: bf16 halves the A-block DMA
+    bytes (the kernel is HBM-bandwidth-bound) and costs nothing for bf16
+    activations, whose MXU passes round operands to bf16 anyway.
     """
     from scipy import sparse
 
@@ -68,7 +72,7 @@ def bcsr_from_scipy(mat, block_size: int = _BS):
     for r, c, v in zip(coo.row, coo.col, coo.data):
         s = block_slot[(int(r // bs), int(c // bs))]
         vals[r // bs, s, r % bs, c % bs] += v
-    return vals, cols, n_pad
+    return vals.astype(dtype), cols, n_pad
 
 
 def _spmm_kernel(cols_ref, a_ref, x_ref, o_ref):
@@ -85,7 +89,7 @@ def _spmm_kernel(cols_ref, a_ref, x_ref, o_ref):
 
 
 def _spmm_kernel_dma(cols_ref, a_ref, x_hbm, o_ref, x_buf, sem,
-                     *, precision):
+                     *, precision, out_dtype):
     """One grid step per (row_block, m_tile): the kernel walks this row
     block's nonzero slots itself, double-buffering the x-block DMAs from
     HBM steered by the prefetched block-column indices. Collapsing the nz
@@ -124,8 +128,11 @@ def _spmm_kernel_dma(cols_ref, a_ref, x_hbm, o_ref, x_buf, sem,
                              preferred_element_type=jnp.float32,
                              precision=precision)
 
+    # accumulate fp32 in the loop carry; one cast on the final store —
+    # bf16 callers get a bf16 output block (half the o-write bytes and no
+    # post-kernel cast pass)
     o_ref[:] = jax.lax.fori_loop(
-        0, nb, body, jnp.zeros((bs, mt), jnp.float32))
+        0, nb, body, jnp.zeros((bs, mt), jnp.float32)).astype(out_dtype)
 
 
 def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
@@ -146,6 +153,9 @@ def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
                         + x.size * x.dtype.itemsize + n_pad * M * 4),
         transcendentals=0,
     )
+
+    # bf16 x -> bf16 output (fp32 accumulation stays inside the kernel)
+    out_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
     if interpret:
         # interpreter path (CPU tests): grid over nz slots, no manual DMA
@@ -168,7 +178,7 @@ def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
             interpret=True,
             cost_estimate=cost,
         )
-        return kernel(cols, vals, x)
+        return kernel(cols, vals, x).astype(out_dtype)
 
     # compiled path: one grid step per (row_block, m_tile); the kernel
     # double-buffers x-block DMAs from HBM itself (fp32 accumulator)
@@ -189,9 +199,10 @@ def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
         ],
     )
     kernel = pl.pallas_call(
-        functools.partial(_spmm_kernel_dma, precision=precision),
+        functools.partial(_spmm_kernel_dma, precision=precision,
+                          out_dtype=out_dtype),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, M), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, M), out_dtype),
         cost_estimate=cost,
     )
     return kernel(cols, vals, x)
@@ -217,12 +228,15 @@ class BlockSparseOperator:
 
     @classmethod
     def from_scipy(cls, mat, symmetric: bool = True, m_tile: int = 1024,
-                   interpret: bool = False):
-        vals, cols, n_pad = bcsr_from_scipy(mat)
+                   interpret: bool = False, dtype=np.float32):
+        """`dtype=bf16` halves the A-block HBM reads — use it when the
+        activations are bf16 (the single-pass MXU rounds operands to bf16
+        there anyway, so stored-bf16 A loses no additional precision)."""
+        vals, cols, n_pad = bcsr_from_scipy(mat, dtype=dtype)
         if symmetric:
             vals_t = cols_t = None
         else:
-            vals_t, cols_t, _ = bcsr_from_scipy(mat.T.tocsr())
+            vals_t, cols_t, _ = bcsr_from_scipy(mat.T.tocsr(), dtype=dtype)
         return cls(vals, cols, mat.shape[0], n_pad, m_tile=m_tile,
                    interpret=interpret, vals_t=vals_t, cols_t=cols_t)
 
@@ -238,10 +252,9 @@ class BlockSparseOperator:
         mt = max(t for t in (1024, 512, 256, 128)
                  if t <= cap and m_pad % t == 0)
         # fp32 callers get exact fp32 matmuls; bf16 activations keep the
-        # fast single-pass MXU default AND stay bf16 through the x DMA
-        # (the kernel is bandwidth-bound on x-block reads; halving their
-        # bytes is the main lever). The fp32 accumulator output is cast
-        # back by callers.
+        # fast single-pass MXU default AND stay bf16 through the x DMA and
+        # the output store (the kernel is HBM-bandwidth-bound; halving
+        # those bytes is the main lever — accumulation stays fp32 in VMEM).
         if x.dtype == jnp.bfloat16:
             precision = jax.lax.Precision.DEFAULT
             x_pad = jnp.pad(x, ((0, self.n_pad - n), (0, m_pad - m)))

@@ -154,15 +154,31 @@ class TestBlockSparse:
         np.testing.assert_allclose(np.asarray(g), expected, atol=1e-3)
 
     def test_pallas_spmm_bf16_activations(self, graph):
-        # bf16 activations: fp32 accumulation inside the kernel
+        # bf16 activations: fp32 accumulation inside the kernel, bf16
+        # output store (half the o-write bytes; callers stay in bf16)
         op = BlockSparseOperator.from_scipy(graph.L, symmetric=True,
                                             m_tile=128, interpret=True)
         rng = np.random.default_rng(5)
         x = rng.standard_normal((graph.n_nodes, 96)).astype(np.float32)
         out = op.matvec(jnp.asarray(x, jnp.bfloat16))
-        assert out.dtype == jnp.float32
-        np.testing.assert_allclose(np.asarray(out), graph.L @ x,
-                                   atol=0.05, rtol=0.05)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                                   graph.L @ x, atol=0.05, rtol=0.05)
+
+    def test_pallas_spmm_bf16_stored_operator(self, graph):
+        # bf16-stored A blocks (the bf16-model configuration): results match
+        # the exact product at bf16 tolerance, and the operator pytree
+        # carries bf16 leaves (half the A-block HBM traffic)
+        op = BlockSparseOperator.from_scipy(graph.L, symmetric=True,
+                                            m_tile=128, interpret=True,
+                                            dtype=jnp.bfloat16)
+        assert op.vals.dtype == jnp.bfloat16
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((graph.n_nodes, 96)).astype(np.float32)
+        out = op.matvec(jnp.asarray(x, jnp.bfloat16))
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                                   graph.L @ x, atol=0.05, rtol=0.05)
 
 
 class TestGeneralPooling:
