@@ -16,6 +16,7 @@ from .hovmoller import (  # noqa: F401
     plot_hovmoller,
 )
 from .animation import (  # noqa: F401
+    create_gif_forecast_anom_error,
     create_gif_forecast_error,
     create_gif_forecast_evolution,
 )

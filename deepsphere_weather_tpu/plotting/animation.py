@@ -22,7 +22,8 @@ import numpy as np  # noqa: E402
 
 from .skills import _lon180, _style_for  # noqa: E402
 
-__all__ = ["create_gif_forecast_error", "create_gif_forecast_evolution"]
+__all__ = ["create_gif_forecast_error", "create_gif_forecast_anom_error",
+           "create_gif_forecast_evolution"]
 
 
 def _render_frames(frame_fn, n_frames, out_path, fps: int = 4):
@@ -94,6 +95,59 @@ def create_gif_forecast_error(forecast, obs_dataset, out_path,
             ax.set_title(f"{title} +{forecast.leadtime_hours[i]:.0f}h",
                          fontsize=9)
             plt.colorbar(sc, ax=ax, shrink=0.75)
+        fig.tight_layout()
+        return fig
+
+    return _render_frames(frame, L, out_path, fps=fps)
+
+
+def create_gif_forecast_anom_error(forecast, obs_dataset, scaler, out_path,
+                                   frt_index: int = 0,
+                                   variable: Optional[str] = None,
+                                   anom_title: str = "Anomaly",
+                                   fps: int = 4):
+    """Animated (observed, predicted, error) triptych in ANOMALY space:
+    both forecast and observations are transformed by `scaler` (typically a
+    standardized AnomalyScaler) at each frame's valid time before
+    differencing (reference create_gif_forecast_anom_error,
+    my_plotting.py:1077-1270). Standardized-anomaly color limits follow the
+    reference: field ±4, error ±6."""
+    var = variable or forecast.feature_order[0]
+    f = forecast.feature_order.index(var)
+    lat, lon = forecast.lat, _lon180(forecast.lon)
+    L = forecast.n_leadtime
+
+    preds, obs = [], []
+    for lt in range(L):
+        valid = forecast.valid_time(lt)[frt_index]
+        ti = np.searchsorted(obs_dataset.time, valid)
+        ti = min(ti, obs_dataset.n_time - 1)
+        t = np.asarray([valid])
+        pred_lt = forecast.read_leadtime(lt)[frt_index][None]   # [1, V, F]
+        obs_lt = obs_dataset.read_stacked([ti])                 # [1, V, F]
+        preds.append(scaler.transform(pred_lt, time=t)[0, :, f])
+        obs.append(scaler.transform(obs_lt, time=t)[0, :, f])
+    preds, obs = np.stack(preds), np.stack(obs)
+    err = preds - obs
+
+    def frame(i):
+        fig, axes = plt.subplots(1, 3, figsize=(14, 3.2))
+        for ax, vals, title, cm, v0, v1 in (
+            (axes[0], obs[i], f"{var} {anom_title} observed",
+             "Spectral_r", -4, 4),
+            (axes[1], preds[i], f"{var} {anom_title} predicted",
+             "Spectral_r", -4, 4),
+            (axes[2], err[i], f"{anom_title} error", "RdBu_r", -6, 6),
+        ):
+            sc = ax.scatter(lon, lat, c=vals, s=4, marker="s", cmap=cm,
+                            vmin=v0, vmax=v1, linewidths=0)
+            ax.set_xlim(-180, 180)
+            ax.set_ylim(-90, 90)
+            ax.set_xticks([])
+            ax.set_yticks([])
+            ax.set_title(f"{title} +{forecast.leadtime_hours[i]:.0f}h",
+                         fontsize=9)
+            plt.colorbar(sc, ax=ax, shrink=0.75, extend="both")
         fig.tight_layout()
         return fig
 

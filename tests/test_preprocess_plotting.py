@@ -153,3 +153,17 @@ class TestHovmollerAndAnimation:
         gif = create_gif_forecast_error(fc, dyn, tmp_path / "err.gif",
                                         variable="z500")
         assert gif.exists() and gif.stat().st_size > 1000
+
+        # anomaly-space variant (reference my_plotting.py:1077-1270):
+        # obs and forecast are scaler-transformed at each valid time
+        from deepsphere_weather_tpu.data.scalers import AnomalyScaler
+        from deepsphere_weather_tpu.plotting import (
+            create_gif_forecast_anom_error,
+        )
+
+        anom = AnomalyScaler(time_groups="month", standardized=True).fit(
+            dyn.read_stacked(range(dyn.n_time)), dyn.time,
+            feature_order=dyn.feature_order)
+        gif2 = create_gif_forecast_anom_error(
+            fc, dyn, anom, tmp_path / "anom_err.gif", variable="z500")
+        assert gif2.exists() and gif2.stat().st_size > 1000
