@@ -104,6 +104,7 @@ def _spmm_kernel_dma(cols_ref, a_ref, x_hbm, o_ref, x_buf, sem,
     nb = a_ref.shape[1]
     bs = a_ref.shape[2]
     mt = o_ref.shape[1]
+    depth = x_buf.shape[0]      # DMA ring depth (outstanding copies)
 
     def get_dma(slot, b):
         c = cols_ref[i, b]
@@ -113,26 +114,40 @@ def _spmm_kernel_dma(cols_ref, a_ref, x_hbm, o_ref, x_buf, sem,
             sem.at[slot],
         )
 
-    get_dma(0, 0).start()
+    # prologue: fill the ring — each x-block DMA is small (bs*mt), so the
+    # loop is DMA-latency-bound unless several copies are in flight
+    for b0 in range(min(depth, nb)):       # static bounds
+        get_dma(b0, b0).start()
 
-    def body(b, acc):
-        slot = jax.lax.rem(b, 2)
+    # matched operand dtypes feed the MXU directly (bf16 in, fp32
+    # accumulate) — upcasting in VMEM would burn VPU cycles every block;
+    # mismatched dtypes are reconciled to the precision regime's dtype
+    if a_ref.dtype == x_buf.dtype:
+        cast = None
+    elif precision == jax.lax.Precision.HIGHEST:
+        cast = jnp.float32
+    else:
+        cast = jnp.bfloat16
 
-        @pl.when(b + 1 < nb)
-        def _():
-            get_dma(jax.lax.rem(b + 1, 2), b + 1).start()
-
+    # fully unrolled over the (static, small) nz-slot count: the per-block
+    # work is ~0.1 us of MXU time, so loop control and DMA bookkeeping
+    # dominate — unrolling removes the loop scalar overhead entirely
+    acc = jnp.zeros((bs, mt), jnp.float32)
+    for b in range(nb):
+        slot = b % depth
         get_dma(slot, b).wait()
-        return acc + jnp.dot(a_ref[0, b].astype(jnp.float32),
-                             x_buf[slot].astype(jnp.float32),
-                             preferred_element_type=jnp.float32,
-                             precision=precision)
+        a_b, x_b = a_ref[0, b], x_buf[slot]
+        if cast is not None:
+            a_b, x_b = a_b.astype(cast), x_b.astype(cast)
+        acc = acc + jnp.dot(a_b, x_b,
+                            preferred_element_type=jnp.float32,
+                            precision=precision)
+        if b + depth < nb:
+            get_dma(slot, b + depth).start()
 
-    # accumulate fp32 in the loop carry; one cast on the final store —
-    # bf16 callers get a bf16 output block (half the o-write bytes and no
-    # post-kernel cast pass)
-    o_ref[:] = jax.lax.fori_loop(
-        0, nb, body, jnp.zeros((bs, mt), jnp.float32)).astype(out_dtype)
+    # accumulate fp32; one cast on the final store — bf16 callers get a
+    # bf16 output block (half the o-write bytes and no post-kernel cast)
+    o_ref[:] = acc.astype(out_dtype)
 
 
 def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
@@ -194,8 +209,11 @@ def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((bs, m_tile), lambda i, m, cols_ref: (i, m)),
         scratch_shapes=[
-            pltpu.VMEM((2, bs, m_tile), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            # DMA ring: enough outstanding x-block copies to hide HBM
+            # latency (the per-block compute is far shorter than one DMA),
+            # capped so the ring stays small in VMEM (~16 MB/core)
+            pltpu.VMEM((min(max_nb, 8), bs, m_tile), x.dtype),
+            pltpu.SemaphoreType.DMA((min(max_nb, 8),)),
         ],
     )
     kernel = pl.pallas_call(
