@@ -6,12 +6,14 @@ operator (HEALPix-64+: 49k nodes, SURVEY.md §2.13).
 
 Design: nested HEALPix (and Morton-ordered meshes generally) give the knn
 Laplacian strong spatial block structure, so the matrix is stored as
-**BCSR with 128x128 dense blocks** — each nonzero block is a full MXU
-tile. The kernel runs a grid over (row_block, nonzero_block_slot, m_tile)
-and accumulates `y[i] += A[i, b] @ x[col(i, b)]` entirely on the MXU,
-using scalar-prefetched block-column indices to steer the x-block DMA
-(pltpu.PrefetchScalarGridSpec). Rows are padded to the max block count per
-row-block with zero blocks, keeping shapes static.
+**BCSR with dense MXU-tile blocks** (128x128 by default). The kernel runs
+a grid over (row_block, m_tile); within a grid step it walks the row
+block's nonzero slots itself, accumulating `y[i] += A[i, b] @ x[col(i, b)]`
+on the MXU while a deep ring of x-block DMAs from HBM — steered by
+scalar-prefetched block-column indices (pltpu.PrefetchScalarGridSpec) —
+keeps several copies in flight (the per-block compute is far shorter than
+one DMA). Rows are padded to the max block count per row-block with zero
+blocks, keeping shapes static.
 
 The backward pass multiplies by the transpose operator; the normalized knn
 Laplacian is symmetric so the same operator is reused (a transposed BCSR
@@ -150,6 +152,12 @@ def _spmm_kernel_dma(cols_ref, a_ref, x_hbm, o_ref, x_buf, sem,
     o_ref[:] = acc.astype(out_dtype)
 
 
+def _ring_depth(max_nb: int, bs: int, m_tile: int, dtype) -> int:
+    """x-block DMA ring depth: ≤8 outstanding copies within a ~4 MB budget."""
+    slot_bytes = bs * m_tile * jnp.dtype(dtype).itemsize
+    return max(2, min(max_nb, 8, (4 << 20) // slot_bytes))
+
+
 def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
                  m_tile: int = 256, interpret: bool = False,
                  precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
@@ -211,9 +219,12 @@ def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
         scratch_shapes=[
             # DMA ring: enough outstanding x-block copies to hide HBM
             # latency (the per-block compute is far shorter than one DMA),
-            # capped so the ring stays small in VMEM (~16 MB/core)
-            pltpu.VMEM((min(max_nb, 8), bs, m_tile), x.dtype),
-            pltpu.SemaphoreType.DMA((min(max_nb, 8),)),
+            # budgeted so the ring leaves VMEM (~16 MB/core) for the
+            # double-buffered A row-block and output tile
+            pltpu.VMEM((_ring_depth(max_nb, bs, m_tile, x.dtype), bs, m_tile),
+                       x.dtype),
+            pltpu.SemaphoreType.DMA((_ring_depth(max_nb, bs, m_tile,
+                                                 x.dtype),)),
         ],
     )
     kernel = pl.pallas_call(
@@ -246,15 +257,22 @@ class BlockSparseOperator:
 
     @classmethod
     def from_scipy(cls, mat, symmetric: bool = True, m_tile: int = 1024,
-                   interpret: bool = False, dtype=np.float32):
+                   interpret: bool = False, dtype=np.float32,
+                   block_size: int = _BS):
         """`dtype=bf16` halves the A-block HBM reads — use it when the
         activations are bf16 (the single-pass MXU rounds operands to bf16
-        there anyway, so stored-bf16 A loses no additional precision)."""
-        vals, cols, n_pad = bcsr_from_scipy(mat, dtype=dtype)
+        there anyway, so stored-bf16 A loses no additional precision).
+        `block_size`: 128 and 256 measure equal on knn graphs at
+        HEALPix-64 (deep DMA ring hides the issue overhead either way);
+        512 blows the VMEM budget."""
+        vals, cols, n_pad = bcsr_from_scipy(mat, block_size=block_size,
+                                            dtype=dtype)
         if symmetric:
             vals_t = cols_t = None
         else:
-            vals_t, cols_t, _ = bcsr_from_scipy(mat.T.tocsr(), dtype=dtype)
+            vals_t, cols_t, _ = bcsr_from_scipy(mat.T.tocsr(),
+                                                block_size=block_size,
+                                                dtype=dtype)
         return cls(vals, cols, mat.shape[0], n_pad, m_tile=m_tile,
                    interpret=interpret, vals_t=vals_t, cols_t=cols_t)
 
