@@ -165,6 +165,19 @@ class TestBlockSparse:
         np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
                                    graph.L @ x, atol=0.05, rtol=0.05)
 
+    def test_bf16_model_builds_bf16_bcsr_operator(self):
+        # the wiring: numeric_precision='bfloat16' + a graph above the
+        # dense threshold must store the BCSR Laplacian blocks in bf16
+        from deepsphere_weather_tpu.models.geometry import build_model_geometry
+
+        geom = build_model_geometry(
+            sampling="healpix", sampling_kwargs={"subdivisions": 4,
+                                                 "nest": True},
+            depth=2, knn=8, dense_threshold=16, use_pallas=True,
+            operator_dtype=jnp.bfloat16)
+        assert geom.cheb_ops[0].bcsr is not None
+        assert geom.cheb_ops[0].bcsr.vals.dtype == jnp.bfloat16
+
     def test_pallas_spmm_bf16_stored_operator(self, graph):
         # bf16-stored A blocks (the bf16-model configuration): results match
         # the exact product at bf16 tolerance, and the operator pytree
