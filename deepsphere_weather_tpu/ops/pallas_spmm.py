@@ -30,7 +30,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["BlockSparseOperator", "bcsr_from_scipy", "ell_spmm"]
+__all__ = ["BlockSparseOperator", "bcsr_from_scipy",
+           "bcsr_super_from_scipy", "ell_spmm"]
 
 _BS = 128  # MXU-native block size
 
@@ -75,6 +76,82 @@ def bcsr_from_scipy(mat, block_size: int = _BS, dtype=np.float32):
         s = block_slot[(int(r // bs), int(c // bs))]
         vals[r // bs, s, r % bs, c % bs] += v
     return vals.astype(dtype), cols, n_pad
+
+
+def bcsr_super_from_scipy(mat, block_size: int = _BS, rows_per_super: int = 4,
+                          dtype=np.float32):
+    """Convert scipy sparse [N, N] to SUPER-ROW BCSR.
+
+    Groups `rows_per_super` consecutive row-blocks into a super-row and
+    precomputes, per super-row, the UNION of referenced block-columns: the
+    kernel then DMAs each x block once per super-row instead of once per
+    row-block. On nested-HEALPix knn graphs adjacent row-blocks share most
+    of their neighborhood, so the union is ~½ (R=4) to ~⅓ (R=8) of the
+    per-row total — and the x traffic is the dominant HBM cost of the SpMM.
+
+    The layout is built for an ALL-STATIC-INDEX kernel (this Pallas/Mosaic
+    version silently miscompiles dynamically-indexed VMEM reads feeding the
+    MXU, and >4-D BlockSpec blocks): A blocks are stored PER UNION SLOT —
+    svals[s, r * max_u + u] is row r's block for union column u (zero block
+    if row r does not touch that column; a `use` flag lets the kernel skip
+    the dead matmul).
+
+    Returns (svals [n_s, R*max_u, bs, bs], use [n_s, R*max_u] int32,
+    wait_row [n_s, max_u] int32, ucols [n_s, max_u] int32,
+    ucount [n_s] int32, n_pad).
+    - use: 1 where row r has a nonzero block for union slot u.
+    - wait_row: for each union slot, the FIRST row (within the super-row)
+      that uses it — the kernel waits for that slot's DMA just before that
+      row's matmuls, so later rows' copies land under earlier rows'
+      compute. R for never-used padding slots.
+    - ucount: number of REAL union slots per super-row; the kernel only
+      starts DMAs for slots < ucount (an un-waited DMA would leave its
+      semaphore signalled and corrupt a later grid step's waits).
+    """
+    vals, cols, n_pad = bcsr_from_scipy(mat, block_size=block_size,
+                                        dtype=dtype)
+    n_rb, max_nb = cols.shape
+    bs = block_size
+    R = rows_per_super
+    n_s = (n_rb + R - 1) // R
+    n_rb_pad = n_s * R
+    if n_rb_pad != n_rb:
+        vals = np.concatenate(
+            [vals, np.zeros((n_rb_pad - n_rb,) + vals.shape[1:],
+                            dtype=vals.dtype)], axis=0)
+        cols = np.concatenate(
+            [cols, np.zeros((n_rb_pad - n_rb, max_nb), dtype=cols.dtype)],
+            axis=0)
+    # real (non-padding) slots: padding replicates block-col 0 with zero vals
+    real = (np.abs(vals.astype(np.float32)).reshape(n_rb_pad, max_nb, -1)
+            .max(axis=-1) > 0)
+
+    ucols_list = [np.sort(np.unique(cols[s * R:(s + 1) * R]
+                                    [real[s * R:(s + 1) * R]]))
+                  if real[s * R:(s + 1) * R].any() else
+                  np.zeros(1, dtype=cols.dtype)
+                  for s in range(n_s)]
+    max_u = max(u.size for u in ucols_list)
+    svals = np.zeros((n_s, R * max_u, bs, bs), dtype=vals.dtype)
+    use = np.zeros((n_s, R * max_u), dtype=np.int32)
+    ucols = np.zeros((n_s, max_u), dtype=np.int32)
+    ucount = np.zeros((n_s,), dtype=np.int32)
+    wait_row = np.full((n_s, max_u), R, dtype=np.int32)
+    for s, u in enumerate(ucols_list):
+        lut = {int(c): i for i, c in enumerate(u)}
+        ucols[s, : u.size] = u
+        ucols[s, u.size:] = u[-1]     # padding: in-range address, never DMAed
+        ucount[s] = u.size
+        for r in range(R):
+            for b in range(max_nb):
+                if not real[s * R + r, b]:
+                    continue
+                slot = lut[int(cols[s * R + r, b])]
+                svals[s, r * max_u + slot] = vals[s * R + r, b]
+                use[s, r * max_u + slot] = 1
+                if wait_row[s, slot] > r:
+                    wait_row[s, slot] = r
+    return svals, use, wait_row, ucols, ucount, n_pad
 
 
 def _spmm_kernel(cols_ref, a_ref, x_ref, o_ref):
@@ -150,6 +227,168 @@ def _spmm_kernel_dma(cols_ref, a_ref, x_hbm, o_ref, x_buf, sem,
     # accumulate fp32; one cast on the final store — bf16 callers get a
     # bf16 output block (half the o-write bytes and no post-kernel cast)
     o_ref[:] = acc.astype(out_dtype)
+
+
+def _spmm_kernel_super(use_ref, wait_row_ref, ucols_ref, ucount_ref,
+                       a_ref, x_hbm, o_ref, xbuf0, sem0, xbuf1, sem1,
+                       acc_ref, *, rows_per_super, precision, out_dtype,
+                       n_mt):
+    """Super-row SpMM: one grid step covers R row-blocks; their x
+    block-column UNION is DMAed once into a ping-pong VMEM union buffer:
+
+    - buffers alternate by grid-step parity; each body first starts the
+      NEXT step's union DMAs into the other buffer (freed by the previous
+      step), so the next step's x traffic overlaps this step's compute;
+    - before row r's matmuls a static loop waits exactly the slots whose
+      FIRST use is row r (`wait_row`), so later rows' copies land under
+      earlier rows' compute;
+    - row r's matmul against union slot u is `pl.when`-guarded by the
+      `use` flag (A holds a zero block there otherwise);
+    - rows accumulate sequentially into one [bs, mt] fp32 scratch tile.
+
+    EVERY vector-memory and semaphore index in the kernel is STATIC (the
+    parity split duplicates the body under `pl.when` instead of indexing
+    buffers dynamically): this Pallas/Mosaic version hangs on
+    dynamically-indexed DMA semaphores and silently miscompiles
+    dynamically-indexed VMEM reads that feed the MXU (and >4-D BlockSpec
+    blocks). Scalars steer only HBM source addresses and `pl.when`
+    predicates, which are supported.
+    """
+    s = pl.program_id(0)
+    m = pl.program_id(1)
+    R = rows_per_super
+    bs = a_ref.shape[2]
+    mt = o_ref.shape[1]
+    max_u = xbuf0.shape[0]
+    n_s = pl.num_programs(0)
+    lin = s * n_mt + m
+    s_nxt = (lin + 1) // n_mt
+    m_nxt = (lin + 1) % n_mt
+
+    def union_dma(buf, sem_, slot, s_, m_):
+        c = ucols_ref[s_, slot]
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(c * bs, bs), pl.ds(m_ * mt, mt)],
+            buf.at[slot],
+            sem_.at[slot],
+        )
+
+    def start_all(buf, sem_, s_, m_):
+        for u in range(max_u):          # static loop; guard real slots
+            @pl.when(u < ucount_ref[s_])
+            def _():
+                union_dma(buf, sem_, u, s_, m_).start()
+
+    if a_ref.dtype == xbuf0.dtype:
+        cast = None
+    elif precision == jax.lax.Precision.HIGHEST:
+        cast = jnp.float32
+    else:
+        cast = jnp.bfloat16
+
+    def body(cur_buf, cur_sem, oth_buf, oth_sem):
+        # the first body starts its own union; every body then prefetches
+        # the next step's union into the other buffer before computing
+        @pl.when(lin == 0)
+        def _():
+            start_all(cur_buf, cur_sem, s, m)
+
+        @pl.when(lin + 1 < n_s * n_mt)
+        def _():
+            start_all(oth_buf, oth_sem, s_nxt, m_nxt)
+
+        for r in range(R):              # static loops, fully unrolled
+            # wait the union slots whose first use is this row
+            for u in range(max_u):
+                @pl.when(wait_row_ref[s, u] == r)
+                def _():
+                    union_dma(cur_buf, cur_sem, u, s, m).wait()
+
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            for u in range(max_u):
+                @pl.when(use_ref[s, r * max_u + u] == 1)
+                def _():
+                    a_blk = a_ref[0, r * max_u + u]
+                    x_blk = cur_buf[u]
+                    if cast is not None:
+                        a_blk = a_blk.astype(cast)
+                        x_blk = x_blk.astype(cast)
+                    acc_ref[:] += jnp.dot(a_blk, x_blk,
+                                          preferred_element_type=jnp.float32,
+                                          precision=precision)
+            o_ref[pl.ds(r * bs, bs), :] = acc_ref[:].astype(out_dtype)
+
+    @pl.when(lin % 2 == 0)
+    def _():
+        body(xbuf0, sem0, xbuf1, sem1)
+
+    @pl.when(lin % 2 == 1)
+    def _():
+        body(xbuf1, sem1, xbuf0, sem0)
+
+
+def _super_m_tile(max_u: int, R: int, bs: int, m_pad: int,
+                  x_dtype, a_dtype, cap: int,
+                  budget: int = 12 << 20) -> int:
+    """Largest lane-aligned m-tile whose VMEM footprint fits the budget:
+    union x buffer + pipelined A super-row (×2) + fp32 accumulator +
+    output tile (×2)."""
+    xb = jnp.dtype(x_dtype).itemsize
+    ab = jnp.dtype(a_dtype).itemsize
+    a_bytes = 2 * R * max_u * bs * bs * ab
+    for mt in (1024, 512, 256, 128):
+        if mt > cap or m_pad % mt:
+            continue
+        total = (2 * max_u * bs * mt * xb + a_bytes
+                 + bs * mt * 4 + 2 * R * bs * mt * xb)
+        if total <= budget:
+            return mt
+    return 128
+
+
+def _bcsr_super_matmul(svals, use, wait_row, ucols, ucount, x, m_tile,
+                       precision=jax.lax.Precision.HIGHEST):
+    """y = A @ x with A in super-row BCSR; x: [n_pad, M] (M % m_tile == 0).
+    Output has n_s * R * bs rows (>= n_pad; caller truncates)."""
+    n_s, RU, bs, _ = svals.shape
+    max_u = ucols.shape[1]
+    R = RU // max_u
+    n_pad, M = x.shape
+    n_mt = M // m_tile
+    out_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    cost = pl.CostEstimate(
+        flops=2 * n_s * RU * bs * bs * M,   # upper bound (use is traced)
+        bytes_accessed=(svals.size * svals.dtype.itemsize * n_mt
+                        + n_s * max_u * bs * M * x.dtype.itemsize
+                        + n_pad * M * jnp.dtype(out_dtype).itemsize),
+        transcendentals=0,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,          # use, wait_row, ucols, ucount
+        grid=(n_s, n_mt),
+        in_specs=[
+            pl.BlockSpec((1, R * max_u, bs, bs),
+                         lambda s, m, *_: (s, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec((R * bs, m_tile), lambda s, m, *_: (s, m)),
+        scratch_shapes=[
+            pltpu.VMEM((max_u, bs, m_tile), x.dtype),   # union ping
+            pltpu.SemaphoreType.DMA((max_u,)),
+            pltpu.VMEM((max_u, bs, m_tile), x.dtype),   # union pong
+            pltpu.SemaphoreType.DMA((max_u,)),
+            pltpu.VMEM((bs, m_tile), jnp.float32),      # row accumulator
+        ],
+    )
+    kernel = pl.pallas_call(
+        functools.partial(_spmm_kernel_super, rows_per_super=R,
+                          precision=precision, out_dtype=out_dtype,
+                          n_mt=n_mt),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_s * R * bs, M), out_dtype),
+        cost_estimate=cost,
+    )
+    return kernel(use, wait_row, ucols, ucount, svals, x)
 
 
 def _ring_depth(max_nb: int, bs: int, m_tile: int, dtype) -> int:
@@ -245,11 +484,13 @@ class BlockSparseOperator:
 
     def __init__(self, vals, cols, n: int, n_pad: int, m_tile: int = 1024,
                  interpret: bool = False,
-                 vals_t=None, cols_t=None):
+                 vals_t=None, cols_t=None, sup=None, sup_t=None):
         self.vals = jnp.asarray(vals)
         self.cols = jnp.asarray(cols)
         self.vals_t = jnp.asarray(vals_t) if vals_t is not None else None
         self.cols_t = jnp.asarray(cols_t) if cols_t is not None else None
+        self.sup = tuple(jnp.asarray(a) for a in sup) if sup else None
+        self.sup_t = tuple(jnp.asarray(a) for a in sup_t) if sup_t else None
         self.n = int(n)
         self.n_pad = int(n_pad)
         self.m_tile = int(m_tile)
@@ -258,23 +499,35 @@ class BlockSparseOperator:
     @classmethod
     def from_scipy(cls, mat, symmetric: bool = True, m_tile: int = 1024,
                    interpret: bool = False, dtype=np.float32,
-                   block_size: int = _BS):
+                   block_size: int = _BS, rows_per_super: int = 2):
         """`dtype=bf16` halves the A-block HBM reads — use it when the
         activations are bf16 (the single-pass MXU rounds operands to bf16
         there anyway, so stored-bf16 A loses no additional precision).
         `block_size`: 128 and 256 measure equal on knn graphs at
         HEALPix-64 (deep DMA ring hides the issue overhead either way);
-        512 blows the VMEM budget."""
+        512 blows the VMEM budget. `rows_per_super` > 1 additionally builds
+        the super-row format (union x DMAs shared across adjacent
+        row-blocks — the main x-traffic saving); 0/None disables it."""
         vals, cols, n_pad = bcsr_from_scipy(mat, block_size=block_size,
                                             dtype=dtype)
+        sup = sup_t = None
+        if rows_per_super and rows_per_super > 1:
+            sup = bcsr_super_from_scipy(mat, block_size=block_size,
+                                        rows_per_super=rows_per_super,
+                                        dtype=dtype)[:5]
         if symmetric:
             vals_t = cols_t = None
         else:
-            vals_t, cols_t, _ = bcsr_from_scipy(mat.T.tocsr(),
-                                                block_size=block_size,
+            matT = mat.T.tocsr()
+            vals_t, cols_t, _ = bcsr_from_scipy(matT, block_size=block_size,
                                                 dtype=dtype)
+            if sup is not None:
+                sup_t = bcsr_super_from_scipy(matT, block_size=block_size,
+                                              rows_per_super=rows_per_super,
+                                              dtype=dtype)[:5]
         return cls(vals, cols, mat.shape[0], n_pad, m_tile=m_tile,
-                   interpret=interpret, vals_t=vals_t, cols_t=cols_t)
+                   interpret=interpret, vals_t=vals_t, cols_t=cols_t,
+                   sup=sup, sup_t=sup_t)
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         n, m = x.shape
@@ -287,6 +540,14 @@ class BlockSparseOperator:
         cap = max(self.m_tile, 128)
         mt = max(t for t in (1024, 512, 256, 128)
                  if t <= cap and m_pad % t == 0)
+        use_super = self.sup is not None and not self.interpret
+        if use_super:
+            svals, _use, _wait_row, ucols, _ucount = self.sup
+            max_u = ucols.shape[1]
+            bs = svals.shape[2]
+            R = svals.shape[1] // max_u
+            mt = _super_m_tile(max_u, R, bs, m_pad,
+                               x.dtype, svals.dtype, cap)
         # fp32 callers get exact fp32 matmuls; bf16 activations keep the
         # fast single-pass MXU default AND stay bf16 through the x DMA and
         # the output store (the kernel is HBM-bandwidth-bound; halving
@@ -298,18 +559,22 @@ class BlockSparseOperator:
             precision = jax.lax.Precision.HIGHEST
             x_pad = jnp.pad(x, ((0, self.n_pad - n),
                                 (0, m_pad - m))).astype(jnp.float32)
-        out = _mv((mt, self.interpret, precision, str(x_pad.dtype)),
-                  self.vals, self.cols, self.vals_t, self.cols_t, x_pad)
+        out = _mv((mt, self.interpret, precision, str(x_pad.dtype),
+                   use_super),
+                  self.vals, self.cols, self.vals_t, self.cols_t,
+                  self.sup, self.sup_t, x_pad)
         return out[: n, : m]
 
     def tree_flatten(self):
-        return ((self.vals, self.cols, self.vals_t, self.cols_t),
+        return ((self.vals, self.cols, self.vals_t, self.cols_t,
+                 self.sup, self.sup_t),
                 (self.n, self.n_pad, self.m_tile, self.interpret))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
-        obj.vals, obj.cols, obj.vals_t, obj.cols_t = children
+        (obj.vals, obj.cols, obj.vals_t, obj.cols_t,
+         obj.sup, obj.sup_t) = children
         obj.n, obj.n_pad, obj.m_tile, obj.interpret = aux
         return obj
 
@@ -323,38 +588,51 @@ jax.tree_util.register_pytree_node(
 # The operator arrays are EXPLICIT custom_vjp arguments (not closed over):
 # geometry flows through jitted steps as an argument pytree, so vals/cols
 # are tracers there — closing over tracers inside custom_vjp is illegal.
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _mv(static, vals, cols, vals_t, cols_t, x_pad):
-    m_tile, interpret, precision, _xdt = static
+def _run_mv(static, vals, cols, sup, x_pad, n_out):
+    """Dispatch one matvec: super-row kernel when available, else v2.
+    Output truncated/padded to n_out rows (the super kernel may emit extra
+    padded super-rows)."""
+    m_tile, interpret, precision, _xdt, use_super = static
+    if use_super and sup is not None:
+        out = _bcsr_super_matmul(*sup, x_pad, m_tile, precision)
+        return out[: n_out]
     return _bcsr_matmul(vals, cols, x_pad, m_tile, interpret, precision)
 
 
-def _mv_fwd(static, vals, cols, vals_t, cols_t, x_pad):
-    return (_mv(static, vals, cols, vals_t, cols_t, x_pad),
-            (vals, cols, vals_t, cols_t))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _mv(static, vals, cols, vals_t, cols_t, sup, sup_t, x_pad):
+    return _run_mv(static, vals, cols, sup, x_pad, x_pad.shape[0])
+
+
+def _mv_fwd(static, vals, cols, vals_t, cols_t, sup, sup_t, x_pad):
+    return (_mv(static, vals, cols, vals_t, cols_t, sup, sup_t, x_pad),
+            (vals, cols, vals_t, cols_t, sup, sup_t))
 
 
 def _mv_bwd(static, res, g):
-    vals, cols, vals_t, cols_t = res
-    m_tile, interpret, precision, xdt = static
-    # symmetric operator reuses (vals, cols); non-symmetric supplies the
-    # transposed BCSR
+    vals, cols, vals_t, cols_t, sup, sup_t = res
+    _m_tile, _interpret, _precision, xdt, _use_super = static
+    # symmetric operator reuses the forward arrays; non-symmetric supplies
+    # the transposed BCSR
     tv = vals if vals_t is None else vals_t
     tc = cols if cols_t is None else cols_t
+    ts = sup if sup_t is None else sup_t
     # run the transpose matvec at the primal's dtype (bf16 primal ->
     # bf16 cotangent DMA, same bandwidth saving as the forward)
-    gx = _bcsr_matmul(tv, tc, g.astype(jnp.dtype(xdt)), m_tile, interpret,
-                      precision).astype(jnp.dtype(xdt))
+    gx = _run_mv(static, tv, tc, ts, g.astype(jnp.dtype(xdt)),
+                 g.shape[0]).astype(jnp.dtype(xdt))
 
     def zero_ct(a):
         if a is None:
             return None
+        if isinstance(a, tuple):
+            return tuple(zero_ct(x) for x in a)
         if jnp.issubdtype(a.dtype, jnp.integer):
             return np.zeros(a.shape, dtype=jax.dtypes.float0)
         return jnp.zeros_like(a)
 
     return (zero_ct(vals), zero_ct(cols), zero_ct(vals_t), zero_ct(cols_t),
-            gx)
+            zero_ct(sup), zero_ct(sup_t), gx)
 
 
 _mv.defvjp(_mv_fwd, _mv_bwd)

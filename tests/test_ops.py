@@ -117,6 +117,46 @@ class TestBlockSparse:
         n = graph.n_nodes
         np.testing.assert_allclose(dense[:n, :n], graph.L.toarray(), atol=1e-6)
 
+    def test_bcsr_super_roundtrip(self, graph):
+        # super-row layout: A blocks stored per union slot; reconstructing
+        # the dense matrix from (svals, use, ucols) must recover L exactly,
+        # and the DMA-control tables must be mutually consistent
+        from deepsphere_weather_tpu.ops.pallas_spmm import (
+            bcsr_super_from_scipy,
+        )
+
+        for R in (2, 3, 4):
+            svals, use, wait_row, ucols, ucount, n_pad = \
+                bcsr_super_from_scipy(graph.L, rows_per_super=R)
+            n_s, RU, bs, _ = svals.shape
+            max_u = ucols.shape[1]
+            assert RU == R * max_u
+            dense = np.zeros((n_s * R * bs, n_pad), dtype=np.float32)
+            for s in range(n_s):
+                for r in range(R):
+                    for u in range(max_u):
+                        if not use[s, r * max_u + u]:
+                            # unused slots must hold zero blocks
+                            assert not np.any(svals[s, r * max_u + u])
+                            continue
+                        # every used slot's first-use row is <= r and its
+                        # DMA is started (u < ucount)
+                        assert wait_row[s, u] <= r
+                        assert u < ucount[s]
+                        c = ucols[s, u]
+                        row0 = (s * R + r) * bs
+                        dense[row0:row0 + bs, c * bs:(c + 1) * bs] += \
+                            svals[s, r * max_u + u]
+            n = graph.n_nodes
+            np.testing.assert_allclose(dense[:n, :n], graph.L.toarray(),
+                                       atol=1e-6)
+            # every started DMA is waited exactly once (wait_row < R),
+            # every un-started slot never waited (wait_row == R)
+            for s in range(n_s):
+                started = set(range(int(ucount[s])))
+                waited = {u for u in range(max_u) if wait_row[s, u] < R}
+                assert waited == started
+
     def test_pallas_spmm_interpret(self, graph):
         op = BlockSparseOperator.from_scipy(graph.L, symmetric=True,
                                             m_tile=128, interpret=True)
