@@ -91,22 +91,24 @@ def bcsr_super_from_scipy(mat, block_size: int = _BS, rows_per_super: int = 4,
 
     The layout is built for an ALL-STATIC-INDEX kernel (this Pallas/Mosaic
     version silently miscompiles dynamically-indexed VMEM reads feeding the
-    MXU, and >4-D BlockSpec blocks): A blocks are stored PER UNION SLOT —
-    svals[s, r * max_u + u] is row r's block for union column u (zero block
-    if row r does not touch that column; a `use` flag lets the kernel skip
-    the dead matmul).
+    MXU, and >4-D BlockSpec blocks), and for ONE DEEP MATMUL per row: row
+    r's blocks are horizontally concatenated over the union slots —
+    svals[s, r, :, u*bs:(u+1)*bs] is row r's block for union column u
+    (zero where row r does not touch that column) — so
+    y_r = svals[s, r] @ vstack(x_union) runs as a single [bs, max_u*bs] @
+    [max_u*bs, mt] MXU contraction (a per-slot loop of shallow
+    [bs,bs]@[bs,mt] matmuls measured ~2x slower: pipeline-fill bound).
 
-    Returns (svals [n_s, R*max_u, bs, bs], use [n_s, R*max_u] int32,
+    Returns (svals [n_s, R, bs, max_u*bs], use [n_s, R*max_u] int32,
     wait_row [n_s, max_u] int32, ucols [n_s, max_u] int32,
     ucount [n_s] int32, n_pad).
-    - use: 1 where row r has a nonzero block for union slot u.
-    - wait_row: for each union slot, the FIRST row (within the super-row)
-      that uses it — the kernel waits for that slot's DMA just before that
-      row's matmuls, so later rows' copies land under earlier rows'
-      compute. R for never-used padding slots.
-    - ucount: number of REAL union slots per super-row; the kernel only
-      starts DMAs for slots < ucount (an un-waited DMA would leave its
-      semaphore signalled and corrupt a later grid step's waits).
+    - use: 1 where row r has a nonzero block for union slot u (metadata —
+      the deep matmul multiplies zero blocks; tests use it).
+    - wait_row: first row (within the super-row) using each union slot;
+      R for never-used padding slots (metadata for tests).
+    - ucount: number of REAL union slots per super-row; padding slots
+      repeat the last real block-column (their DMA is started and waited
+      like any other — duplicate sources are harmless).
     """
     vals, cols, n_pad = bcsr_from_scipy(mat, block_size=block_size,
                                         dtype=dtype)
@@ -132,7 +134,7 @@ def bcsr_super_from_scipy(mat, block_size: int = _BS, rows_per_super: int = 4,
                   np.zeros(1, dtype=cols.dtype)
                   for s in range(n_s)]
     max_u = max(u.size for u in ucols_list)
-    svals = np.zeros((n_s, R * max_u, bs, bs), dtype=vals.dtype)
+    svals = np.zeros((n_s, R, bs, max_u * bs), dtype=vals.dtype)
     use = np.zeros((n_s, R * max_u), dtype=np.int32)
     ucols = np.zeros((n_s, max_u), dtype=np.int32)
     ucount = np.zeros((n_s,), dtype=np.int32)
@@ -140,14 +142,15 @@ def bcsr_super_from_scipy(mat, block_size: int = _BS, rows_per_super: int = 4,
     for s, u in enumerate(ucols_list):
         lut = {int(c): i for i, c in enumerate(u)}
         ucols[s, : u.size] = u
-        ucols[s, u.size:] = u[-1]     # padding: in-range address, never DMAed
+        ucols[s, u.size:] = u[-1]     # padding: duplicate source, own slot
         ucount[s] = u.size
         for r in range(R):
             for b in range(max_nb):
                 if not real[s * R + r, b]:
                     continue
                 slot = lut[int(cols[s * R + r, b])]
-                svals[s, r * max_u + slot] = vals[s * R + r, b]
+                svals[s, r, :, slot * bs:(slot + 1) * bs] = \
+                    vals[s * R + r, b]
                 use[s, r * max_u + slot] = 1
                 if wait_row[s, slot] > r:
                     wait_row[s, slot] = r
@@ -231,35 +234,35 @@ def _spmm_kernel_dma(cols_ref, a_ref, x_hbm, o_ref, x_buf, sem,
 
 def _spmm_kernel_super(use_ref, wait_row_ref, ucols_ref, ucount_ref,
                        a_ref, x_hbm, o_ref, xbuf0, sem0, xbuf1, sem1,
-                       acc_ref, *, rows_per_super, precision, out_dtype,
-                       n_mt):
+                       *, rows_per_super, precision, out_dtype, n_mt):
     """Super-row SpMM: one grid step covers R row-blocks; their x
     block-column UNION is DMAed once into a ping-pong VMEM union buffer:
 
     - buffers alternate by grid-step parity; each body first starts the
       NEXT step's union DMAs into the other buffer (freed by the previous
       step), so the next step's x traffic overlaps this step's compute;
-    - before row r's matmuls a static loop waits exactly the slots whose
-      FIRST use is row r (`wait_row`), so later rows' copies land under
-      earlier rows' compute;
-    - row r's matmul against union slot u is `pl.when`-guarded by the
-      `use` flag (A holds a zero block there otherwise);
-    - rows accumulate sequentially into one [bs, mt] fp32 scratch tile.
+    - every slot is then waited UNCONDITIONALLY (predicated `pl.when`
+      starts/waits measured ~4 µs of scalar overhead per body — more than
+      the ~1 µs the skipped work costs);
+    - each row is ONE deep matmul: the union buffer is a single
+      [max_u*bs, mt] matrix (slot DMAs land at static row offsets) and row
+      r's A blocks are pre-concatenated to [bs, max_u*bs], so
+      y_r = A_r @ X_union runs at full MXU depth (a per-slot loop of
+      shallow [bs,bs]@[bs,mt] matmuls measured ~2x slower).
 
     EVERY vector-memory and semaphore index in the kernel is STATIC (the
     parity split duplicates the body under `pl.when` instead of indexing
     buffers dynamically): this Pallas/Mosaic version hangs on
     dynamically-indexed DMA semaphores and silently miscompiles
     dynamically-indexed VMEM reads that feed the MXU (and >4-D BlockSpec
-    blocks). Scalars steer only HBM source addresses and `pl.when`
-    predicates, which are supported.
+    blocks). Scalars steer only HBM source addresses, which is supported.
     """
     s = pl.program_id(0)
     m = pl.program_id(1)
     R = rows_per_super
     bs = a_ref.shape[2]
     mt = o_ref.shape[1]
-    max_u = xbuf0.shape[0]
+    max_u = a_ref.shape[3] // bs
     n_s = pl.num_programs(0)
     lin = s * n_mt + m
     s_nxt = (lin + 1) // n_mt
@@ -269,15 +272,13 @@ def _spmm_kernel_super(use_ref, wait_row_ref, ucols_ref, ucount_ref,
         c = ucols_ref[s_, slot]
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(c * bs, bs), pl.ds(m_ * mt, mt)],
-            buf.at[slot],
+            buf.at[pl.ds(slot * bs, bs)],
             sem_.at[slot],
         )
 
     def start_all(buf, sem_, s_, m_):
-        for u in range(max_u):          # static loop; guard real slots
-            @pl.when(u < ucount_ref[s_])
-            def _():
-                union_dma(buf, sem_, u, s_, m_).start()
+        for u in range(max_u):          # static, unconditional
+            union_dma(buf, sem_, u, s_, m_).start()
 
     if a_ref.dtype == xbuf0.dtype:
         cast = None
@@ -297,26 +298,21 @@ def _spmm_kernel_super(use_ref, wait_row_ref, ucols_ref, ucount_ref,
         def _():
             start_all(oth_buf, oth_sem, s_nxt, m_nxt)
 
-        for r in range(R):              # static loops, fully unrolled
-            # wait the union slots whose first use is this row
-            for u in range(max_u):
-                @pl.when(wait_row_ref[s, u] == r)
-                def _():
-                    union_dma(cur_buf, cur_sem, u, s, m).wait()
+        # wait all slots (started by the previous body — normally done by
+        # now, so these are cheap semaphore decrements)
+        for u in range(max_u):
+            union_dma(cur_buf, cur_sem, u, s, m).wait()
 
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-            for u in range(max_u):
-                @pl.when(use_ref[s, r * max_u + u] == 1)
-                def _():
-                    a_blk = a_ref[0, r * max_u + u]
-                    x_blk = cur_buf[u]
-                    if cast is not None:
-                        a_blk = a_blk.astype(cast)
-                        x_blk = x_blk.astype(cast)
-                    acc_ref[:] += jnp.dot(a_blk, x_blk,
-                                          preferred_element_type=jnp.float32,
-                                          precision=precision)
-            o_ref[pl.ds(r * bs, bs), :] = acc_ref[:].astype(out_dtype)
+        x_all = cur_buf[:]              # [max_u*bs, mt]
+        if cast is not None:
+            x_all = x_all.astype(cast)
+        for r in range(R):              # one deep matmul per row
+            a_row = a_ref[0, r]         # [bs, max_u*bs]
+            if cast is not None:
+                a_row = a_row.astype(cast)
+            o_ref[pl.ds(r * bs, bs), :] = jnp.dot(
+                a_row, x_all, preferred_element_type=jnp.float32,
+                precision=precision).astype(out_dtype)
 
     @pl.when(lin % 2 == 0)
     def _():
@@ -340,7 +336,7 @@ def _super_m_tile(max_u: int, R: int, bs: int, m_pad: int,
         if mt > cap or m_pad % mt:
             continue
         total = (2 * max_u * bs * mt * xb + a_bytes
-                 + bs * mt * 4 + 2 * R * bs * mt * xb)
+                 + 2 * R * bs * mt * xb)
         if total <= budget:
             return mt
     return 128
@@ -350,14 +346,14 @@ def _bcsr_super_matmul(svals, use, wait_row, ucols, ucount, x, m_tile,
                        precision=jax.lax.Precision.HIGHEST):
     """y = A @ x with A in super-row BCSR; x: [n_pad, M] (M % m_tile == 0).
     Output has n_s * R * bs rows (>= n_pad; caller truncates)."""
-    n_s, RU, bs, _ = svals.shape
+    n_s, R, bs, ubs = svals.shape
     max_u = ucols.shape[1]
-    R = RU // max_u
+    assert ubs == max_u * bs
     n_pad, M = x.shape
     n_mt = M // m_tile
     out_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     cost = pl.CostEstimate(
-        flops=2 * n_s * RU * bs * bs * M,   # upper bound (use is traced)
+        flops=2 * n_s * R * bs * ubs * M,
         bytes_accessed=(svals.size * svals.dtype.itemsize * n_mt
                         + n_s * max_u * bs * M * x.dtype.itemsize
                         + n_pad * M * jnp.dtype(out_dtype).itemsize),
@@ -367,17 +363,16 @@ def _bcsr_super_matmul(svals, use, wait_row, ucols, ucount, x, m_tile,
         num_scalar_prefetch=4,          # use, wait_row, ucols, ucount
         grid=(n_s, n_mt),
         in_specs=[
-            pl.BlockSpec((1, R * max_u, bs, bs),
+            pl.BlockSpec((1, R, bs, ubs),
                          lambda s, m, *_: (s, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
         ],
         out_specs=pl.BlockSpec((R * bs, m_tile), lambda s, m, *_: (s, m)),
         scratch_shapes=[
-            pltpu.VMEM((max_u, bs, m_tile), x.dtype),   # union ping
+            pltpu.VMEM((max_u * bs, m_tile), x.dtype),  # union ping
             pltpu.SemaphoreType.DMA((max_u,)),
-            pltpu.VMEM((max_u, bs, m_tile), x.dtype),   # union pong
+            pltpu.VMEM((max_u * bs, m_tile), x.dtype),  # union pong
             pltpu.SemaphoreType.DMA((max_u,)),
-            pltpu.VMEM((bs, m_tile), jnp.float32),      # row accumulator
         ],
     )
     kernel = pl.pallas_call(
@@ -544,8 +539,7 @@ class BlockSparseOperator:
         if use_super:
             svals, _use, _wait_row, ucols, _ucount = self.sup
             max_u = ucols.shape[1]
-            bs = svals.shape[2]
-            R = svals.shape[1] // max_u
+            R, bs = svals.shape[1], svals.shape[2]
             mt = _super_m_tile(max_u, R, bs, m_pad,
                                x.dtype, svals.dtype, cap)
         # fp32 callers get exact fp32 matmuls; bf16 activations keep the

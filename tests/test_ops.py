@@ -128,34 +128,35 @@ class TestBlockSparse:
         for R in (2, 3, 4):
             svals, use, wait_row, ucols, ucount, n_pad = \
                 bcsr_super_from_scipy(graph.L, rows_per_super=R)
-            n_s, RU, bs, _ = svals.shape
+            n_s, R_, bs, ubs = svals.shape
             max_u = ucols.shape[1]
-            assert RU == R * max_u
+            assert R_ == R and ubs == max_u * bs
             dense = np.zeros((n_s * R * bs, n_pad), dtype=np.float32)
             for s in range(n_s):
                 for r in range(R):
                     for u in range(max_u):
+                        blk = svals[s, r, :, u * bs:(u + 1) * bs]
                         if not use[s, r * max_u + u]:
-                            # unused slots must hold zero blocks
-                            assert not np.any(svals[s, r * max_u + u])
+                            # unused slots must hold zero blocks (the deep
+                            # matmul multiplies them; zeros keep it exact)
+                            assert not np.any(blk)
                             continue
-                        # every used slot's first-use row is <= r and its
-                        # DMA is started (u < ucount)
+                        # every used slot is a real union member whose
+                        # first-use row is <= r
                         assert wait_row[s, u] <= r
                         assert u < ucount[s]
                         c = ucols[s, u]
                         row0 = (s * R + r) * bs
-                        dense[row0:row0 + bs, c * bs:(c + 1) * bs] += \
-                            svals[s, r * max_u + u]
+                        dense[row0:row0 + bs, c * bs:(c + 1) * bs] += blk
             n = graph.n_nodes
             np.testing.assert_allclose(dense[:n, :n], graph.L.toarray(),
                                        atol=1e-6)
-            # every started DMA is waited exactly once (wait_row < R),
-            # every un-started slot never waited (wait_row == R)
+            # real union slots have a first user; padding slots do not
             for s in range(n_s):
-                started = set(range(int(ucount[s])))
-                waited = {u for u in range(max_u) if wait_row[s, u] < R}
-                assert waited == started
+                real_slots = set(range(int(ucount[s])))
+                used_slots = {u for u in range(max_u)
+                              if wait_row[s, u] < R}
+                assert used_slots == real_slots
 
     def test_pallas_spmm_interpret(self, graph):
         op = BlockSparseOperator.from_scipy(graph.L, symmetric=True,
