@@ -232,8 +232,8 @@ def _spmm_kernel_dma(cols_ref, a_ref, x_hbm, o_ref, x_buf, sem,
     o_ref[:] = acc.astype(out_dtype)
 
 
-def _spmm_kernel_super(use_ref, wait_row_ref, ucols_ref, ucount_ref,
-                       a_ref, x_hbm, o_ref, xbuf0, sem0, xbuf1, sem1,
+def _spmm_kernel_super(ucols_ref, a_ref, x_hbm, o_ref,
+                       xbuf0, sem0, xbuf1, sem1,
                        *, rows_per_super, precision, out_dtype, n_mt):
     """Super-row SpMM: one grid step covers R row-blocks; their x
     block-column UNION is DMAed once into a ping-pong VMEM union buffer:
@@ -359,8 +359,12 @@ def _bcsr_super_matmul(svals, use, wait_row, ucols, ucount, x, m_tile,
                         + n_pad * M * jnp.dtype(out_dtype).itemsize),
         transcendentals=0,
     )
+    # ONLY ucols is prefetched: SMEM is ~1 MB and the other super-format
+    # arrays (use/wait_row/ucount) are build-time metadata the
+    # unconditional kernel never reads (prefetching them overflowed SMEM
+    # at HEALPix-128: n_s=768)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,          # use, wait_row, ucols, ucount
+        num_scalar_prefetch=1,
         grid=(n_s, n_mt),
         in_specs=[
             pl.BlockSpec((1, R, bs, ubs),
@@ -383,7 +387,7 @@ def _bcsr_super_matmul(svals, use, wait_row, ucols, ucount, x, m_tile,
         out_shape=jax.ShapeDtypeStruct((n_s * R * bs, M), out_dtype),
         cost_estimate=cost,
     )
-    return kernel(use, wait_row, ucols, ucount, svals, x)
+    return kernel(ucols, svals, x)
 
 
 def _ring_depth(max_nb: int, bs: int, m_tile: int, dtype) -> int:
