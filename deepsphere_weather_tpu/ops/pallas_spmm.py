@@ -56,25 +56,26 @@ def bcsr_from_scipy(mat, block_size: int = _BS, dtype=np.float32):
     rb = coo.row // bs
     cb = coo.col // bs
     n_rb = n_pad // bs
-    # unique nonzero blocks per row-block
+    # unique nonzero blocks per row-block (fully vectorized — a per-nnz
+    # Python loop took minutes at HEALPix-128's 4M nonzeros)
     block_ids = rb.astype(np.int64) * n_rb + cb
-    uniq = np.unique(block_ids)
-    u_rb = (uniq // n_rb).astype(np.int32)
+    uniq, inv = np.unique(block_ids, return_inverse=True)
+    u_rb = (uniq // n_rb).astype(np.int64)
     u_cb = (uniq % n_rb).astype(np.int32)
     counts = np.bincount(u_rb, minlength=n_rb)
     max_nb = max(int(counts.max()), 1)
 
+    # slot of each unique block within its row-block: uniq is sorted by
+    # (row_block, col_block), so slot = unique-index − first-unique-index
+    # of its row-block
+    first = np.searchsorted(u_rb, np.arange(n_rb))
+    slot_of_uniq = (np.arange(len(uniq)) - first[u_rb]).astype(np.int64)
+
     vals = np.zeros((n_rb, max_nb, bs, bs), dtype=np.float32)
     cols = np.zeros((n_rb, max_nb), dtype=np.int32)
-    slot = np.zeros(n_rb, dtype=np.int64)
-    block_slot = {}
-    for r, c in zip(u_rb, u_cb):
-        block_slot[(int(r), int(c))] = int(slot[r])
-        cols[r, slot[r]] = c
-        slot[r] += 1
-    for r, c, v in zip(coo.row, coo.col, coo.data):
-        s = block_slot[(int(r // bs), int(c // bs))]
-        vals[r // bs, s, r % bs, c % bs] += v
+    cols[u_rb, slot_of_uniq] = u_cb
+    np.add.at(vals, (rb, slot_of_uniq[inv], coo.row % bs, coo.col % bs),
+              coo.data)
     return vals.astype(dtype), cols, n_pad
 
 
