@@ -326,18 +326,26 @@ def _spmm_kernel_super(ucols_ref, a_ref, x_hbm, o_ref,
 
 def _super_m_tile(max_u: int, R: int, bs: int, m_pad: int,
                   x_dtype, a_dtype, cap: int,
-                  budget: int = 12 << 20) -> int:
-    """Largest lane-aligned m-tile whose VMEM footprint fits the budget:
-    union x buffer + pipelined A super-row (×2) + fp32 accumulator +
-    output tile (×2)."""
+                  budget: int = 14 << 20) -> int:
+    """Largest lane-aligned m-tile whose VMEM footprint fits the budget.
+
+    Terms: ping-pong union x buffers, double-buffered A super-row,
+    double-buffered output tile, PLUS the kernel's value copies — loading
+    `cur_buf[:]` for the deep matmul materializes a full union-buffer
+    copy on the scoped-VMEM stack, and the per-row A loads add up to one
+    more A-sized copy (an earlier model without those terms OOMed scoped
+    vmem on the fp32 path at 12k nodes)."""
     xb = jnp.dtype(x_dtype).itemsize
     ab = jnp.dtype(a_dtype).itemsize
     a_bytes = 2 * R * max_u * bs * bs * ab
+    a_copy = R * max_u * bs * bs * ab
     for mt in (1024, 512, 256, 128):
         if mt > cap or m_pad % mt:
             continue
-        total = (2 * max_u * bs * mt * xb + a_bytes
-                 + 2 * R * bs * mt * xb)
+        x_buffers = 2 * max_u * bs * mt * xb
+        x_copy = max_u * bs * mt * xb
+        out_buffers = 2 * R * bs * mt * xb
+        total = x_buffers + x_copy + a_bytes + a_copy + out_buffers
         if total <= budget:
             return mt
     return 128

@@ -26,6 +26,12 @@ def make_ensemble_rollout(model, indexer: ARIndexer, block_size: int,
                           mesh=None):
     """Build a vmapped (member-stacked) block rollout function.
 
+    Operator note: the compiled Pallas BCSR operator (12k+ node models)
+    does not batch under vmap (loud lowering error); build such models
+    with `use_pallas=False` for this path, or shard members over the
+    'member' mesh axis via shard_map (per-member compute stays unbatched).
+
+
     Returns (fn, history_size) with
     fn(member_params, hist, bc_block, static, geom) ->
        (new_hist, preds [M, B, block, n_out, V, F])

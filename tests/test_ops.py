@@ -117,6 +117,18 @@ class TestBlockSparse:
         n = graph.n_nodes
         np.testing.assert_allclose(dense[:n, :n], graph.L.toarray(), atol=1e-6)
 
+    def test_ell_operator_vmaps(self, graph):
+        # the member-parallel paths (engine.make_member_train_step,
+        # prob.make_ensemble_rollout) vmap the model; the ELL operator is
+        # the documented vmappable choice at 12k+ nodes (compiled Pallas
+        # BCSR rejects batched block specs with a loud lowering error)
+        op = ChebOperator.from_graph(graph, mode="ell")
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((3, graph.n_nodes, 32)).astype(np.float32)
+        y = jax.vmap(lambda v: op.matvec(v))(jnp.asarray(x))
+        ref = np.stack([graph.L @ x[i] for i in range(3)])
+        np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+
     def test_bcsr_super_roundtrip(self, graph):
         # super-row layout: A blocks stored per union slot; reconstructing
         # the dense matrix from (svals, use, ucols) must recover L exactly,
