@@ -78,8 +78,12 @@ class ChebOperator:
             return cls(dense=jnp.asarray(graph.laplacian_dense(), dtype=dtype))
         if mode == "bcsr":
             from .pallas_spmm import BlockSparseOperator
-            return cls(bcsr=BlockSparseOperator.from_scipy(graph.L,
-                                                           symmetric=True))
+            # voronoi (M^-1 L cotan) Laplacians are non-symmetric: the
+            # operator then carries a transposed BCSR for the backward
+            # matvec (getattr: graphs cached before the field existed are
+            # knn/mesh, both symmetric)
+            return cls(bcsr=BlockSparseOperator.from_scipy(
+                graph.L, symmetric=getattr(graph, "is_symmetric", True)))
         cols, vals = graph.laplacian_ell()
         return cls(ell_cols=jnp.asarray(cols),
                    ell_vals=jnp.asarray(vals, dtype=dtype))

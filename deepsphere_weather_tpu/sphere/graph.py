@@ -39,6 +39,10 @@ class SphereGraph:
     k: int
     W: sparse.csr_matrix          # symmetric adjacency (gaussian kernel weights)
     L: sparse.csr_matrix          # normalized Laplacian, eigenvalues rescaled to [-1, 1]
+    # knn and mesh Laplacians are symmetric; the voronoi (mass-lumped
+    # M^-1 L cotan) operator is NOT — the block-sparse operator needs this
+    # to build the transposed BCSR for its backward pass
+    is_symmetric: bool = True
 
     @property
     def n_nodes(self) -> int:
@@ -235,4 +239,6 @@ def build_graph(name: str, sampling_kwargs: Dict, k: int = 20,
     else:
         raise ValueError("graph_type must be 'knn', 'mesh' or 'voronoi'")
     L = prepare_laplacian(L0)
-    return SphereGraph(sampling=sampling, k=k, W=W, L=L)
+    d = sparse.linalg.norm(L - L.T) if L.nnz else 0.0
+    sym = bool(d <= 1e-8 * max(sparse.linalg.norm(L), 1e-30))
+    return SphereGraph(sampling=sampling, k=k, W=W, L=L, is_symmetric=sym)

@@ -117,6 +117,32 @@ class TestBlockSparse:
         n = graph.n_nodes
         np.testing.assert_allclose(dense[:n, :n], graph.L.toarray(), atol=1e-6)
 
+    def test_nonsymmetric_backward_uses_transpose(self):
+        # the voronoi (M^-1 L cotan) Laplacian is NOT symmetric; the
+        # operator must carry the transposed BCSR so d/dx sum((Lx)^2)
+        # = 2 L^T L x (a symmetric-assuming backward would compute
+        # 2 L L x). Regression for from_graph hardcoding symmetric=True.
+        g = build_graph("healpix", {"subdivisions": 4, "nest": True},
+                        k=8, graph_type="voronoi")
+        assert not g.is_symmetric
+        L = g.L
+        asym = abs(L - L.T).max()
+        assert asym > 1e-6  # premise: genuinely non-symmetric
+        op = ChebOperator.from_graph(g, mode="bcsr")
+        # CPU: route the operator through the interpret path
+        op.bcsr.interpret = True
+        assert op.bcsr.vals_t is not None
+        x = jnp.ones((g.n_nodes, 64))
+        grad = jax.grad(lambda v: jnp.sum(op.bcsr.matvec(v) ** 2))(x)
+        ones = np.ones((g.n_nodes, 64), dtype=np.float32)
+        expected = 2 * (L.T @ (L @ ones))
+        wrong = 2 * (L @ (L @ ones))
+        assert not np.allclose(expected, wrong, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(grad), expected, atol=1e-3)
+        # knn graphs stay symmetric (no transposed copy stored)
+        g2 = build_graph("healpix", {"subdivisions": 4, "nest": True}, k=8)
+        assert g2.is_symmetric
+
     def test_ell_operator_vmaps(self, graph):
         # the member-parallel paths (engine.make_member_train_step,
         # prob.make_ensemble_rollout) vmap the model; the ELL operator is
