@@ -83,7 +83,8 @@ class ChebOperator:
             # matvec (getattr: graphs cached before the field existed are
             # knn/mesh, both symmetric)
             return cls(bcsr=BlockSparseOperator.from_scipy(
-                graph.L, symmetric=getattr(graph, "is_symmetric", True)))
+                graph.L, symmetric=getattr(graph, "is_symmetric", True),
+                dtype=dtype))
         cols, vals = graph.laplacian_ell()
         return cls(ell_cols=jnp.asarray(cols),
                    ell_vals=jnp.asarray(vals, dtype=dtype))
