@@ -51,6 +51,9 @@ def bench_jax(repeats: int = 20) -> float:
     import jax.numpy as jnp
     import optax
 
+    from deepsphere_weather_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     from deepsphere_weather_tpu.data.ar import ARIndexer
     from deepsphere_weather_tpu.engine.loss import AreaWeights
     from deepsphere_weather_tpu.engine.step import make_context, make_train_step

@@ -26,6 +26,9 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
     import jax
     import optax
 
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
+
     from ..config import (get_ar_settings, get_model_settings,
                           get_training_settings,
                           read_config_file)

@@ -29,6 +29,9 @@ def main(model_dir, data_dir, forecast_reference_times=None,
          verbose: bool = True):
     import jax
 
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
+
     from ..config import (check_same_dict, get_ar_settings,
                           get_model_settings, read_config_file)
     from ..data import (SphericalDataset, StaticDataset,

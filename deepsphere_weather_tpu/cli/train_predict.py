@@ -36,6 +36,9 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     import jax
     import optax
 
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
+
     from ..config import (
         create_experiment_directories,
         get_ar_settings,

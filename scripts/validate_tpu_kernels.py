@@ -22,8 +22,13 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+# Runnable as `python scripts/validate_tpu_kernels.py` from anywhere:
+# python puts scripts/ (not the repo root) on sys.path for direct execution.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:
@@ -34,6 +39,9 @@ def main() -> int:
 
     import jax
     import jax.numpy as jnp
+
+    from deepsphere_weather_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
 
     from deepsphere_weather_tpu.ops.pallas_spmm import BlockSparseOperator
     from deepsphere_weather_tpu.sphere.graph import build_graph

@@ -286,3 +286,40 @@ class TestEndToEndDriver:
         assert (ens_dir / "median.zarr" / ".zgroup").exists()
         assert (ens_dir / "probabilistic_global_skill.npz").exists()
         assert "probabilistic_skill" in out
+
+
+class TestRuntimeSettings:
+    def test_compilation_cache_enable_and_disable(self, tmp_path, monkeypatch):
+        import jax
+
+        from deepsphere_weather_tpu.utils import enable_compilation_cache
+        from deepsphere_weather_tpu.utils import runtime
+
+        monkeypatch.setattr(runtime, "_enabled_dir", None)
+        cache = tmp_path / "xla_cache"
+        got = enable_compilation_cache(cache)
+        assert got == str(cache) and cache.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+        # idempotent re-enable of the same dir
+        assert enable_compilation_cache(cache) == str(cache)
+
+        # env-var opt-out wins when no explicit dir is given
+        monkeypatch.setenv("DSW_COMPILE_CACHE", "off")
+        assert enable_compilation_cache() == ""
+
+        # env-var directory is honored
+        monkeypatch.setenv("DSW_COMPILE_CACHE", str(tmp_path / "env_cache"))
+        assert enable_compilation_cache() == str(tmp_path / "env_cache")
+
+        # a compiled run with the cache enabled still computes correctly
+        assert int(jax.jit(lambda x: x + 1)(jax.numpy.int32(1))) == 2
+
+    def test_compilation_cache_skips_experimental_backends(self, monkeypatch):
+        import jax
+
+        from deepsphere_weather_tpu.utils import runtime
+
+        monkeypatch.setattr(runtime, "_enabled_dir", None)
+        monkeypatch.delenv("DSW_COMPILE_CACHE", raising=False)
+        monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+        assert runtime.enable_compilation_cache() == ""
