@@ -57,15 +57,13 @@ class ChebOperator:
     def __init__(self, dense: Optional[jnp.ndarray] = None,
                  ell_cols: Optional[jnp.ndarray] = None,
                  ell_vals: Optional[jnp.ndarray] = None,
-                 bcsr=None,
-                 use_pallas: bool = False):
+                 bcsr=None):
         if sum(x is not None for x in (dense, ell_cols, bcsr)) != 1:
             raise ValueError("provide exactly one of dense / ell / bcsr")
         self.dense = dense
         self.ell_cols = ell_cols
         self.ell_vals = ell_vals
         self.bcsr = bcsr
-        self.use_pallas = use_pallas
 
     @classmethod
     def from_graph(cls, graph, mode: str = "auto", dense_threshold: int = 8192,
@@ -85,6 +83,9 @@ class ChebOperator:
             return cls(bcsr=BlockSparseOperator.from_scipy(
                 graph.L, symmetric=getattr(graph, "is_symmetric", True),
                 dtype=dtype))
+        if mode != "ell":
+            raise ValueError(f"unknown ChebOperator mode {mode!r}; "
+                             "expected 'auto', 'dense', 'bcsr' or 'ell'")
         cols, vals = graph.laplacian_ell()
         return cls(ell_cols=jnp.asarray(cols),
                    ell_vals=jnp.asarray(vals, dtype=dtype))
@@ -106,14 +107,12 @@ class ChebOperator:
         return ell_matvec(self.ell_cols, self.ell_vals, x)
 
     def tree_flatten(self):
-        return ((self.dense, self.ell_cols, self.ell_vals, self.bcsr),
-                self.use_pallas)
+        return ((self.dense, self.ell_cols, self.ell_vals, self.bcsr), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         obj.dense, obj.ell_cols, obj.ell_vals, obj.bcsr = children
-        obj.use_pallas = aux
         return obj
 
 
@@ -142,12 +141,8 @@ def cheb_basis_dense(L: jnp.ndarray, x: jnp.ndarray, K: int) -> jnp.ndarray:
 
 
 def cheb_basis_ell(cols: jnp.ndarray, vals: jnp.ndarray, x: jnp.ndarray,
-                   K: int, use_pallas: bool = False) -> jnp.ndarray:
-    if use_pallas:
-        from .pallas_spmm import ell_spmm
-        mv = functools.partial(ell_spmm, cols, vals)
-    else:
-        mv = functools.partial(ell_matvec, cols, vals)
+                   K: int) -> jnp.ndarray:
+    mv = functools.partial(ell_matvec, cols, vals)
     xs = [x]
     if K > 1:
         xs.append(mv(x))

@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["BlockSparseOperator", "bcsr_from_scipy",
-           "bcsr_super_from_scipy", "ell_spmm"]
+           "bcsr_super_from_scipy"]
 
 _BS = 128  # MXU-native block size
 
@@ -80,7 +80,7 @@ def bcsr_from_scipy(mat, block_size: int = _BS, dtype=np.float32):
 
 
 def bcsr_super_from_scipy(mat, block_size: int = _BS, rows_per_super: int = 4,
-                          dtype=np.float32):
+                          dtype=np.float32, _bcsr=None):
     """Convert scipy sparse [N, N] to SUPER-ROW BCSR.
 
     Groups `rows_per_super` consecutive row-blocks into a super-row and
@@ -111,8 +111,11 @@ def bcsr_super_from_scipy(mat, block_size: int = _BS, rows_per_super: int = 4,
       repeat the last real block-column (their DMA is started and waited
       like any other — duplicate sources are harmless).
     """
-    vals, cols, n_pad = bcsr_from_scipy(mat, block_size=block_size,
-                                        dtype=dtype)
+    # _bcsr: precomputed (vals, cols, n_pad) from bcsr_from_scipy, so
+    # from_scipy does not pay the conversion twice
+    vals, cols, n_pad = (_bcsr if _bcsr is not None else
+                         bcsr_from_scipy(mat, block_size=block_size,
+                                         dtype=dtype))
     n_rb, max_nb = cols.shape
     bs = block_size
     R = rows_per_super
@@ -334,16 +337,29 @@ def _super_m_tile(max_u: int, R: int, bs: int, m_pad: int,
     `cur_buf[:]` for the deep matmul materializes a full union-buffer
     copy on the scoped-VMEM stack, and the per-row A loads add up to one
     more A-sized copy (an earlier model without those terms OOMed scoped
-    vmem on the fp32 path at 12k nodes)."""
-    xb = jnp.dtype(x_dtype).itemsize
-    ab = jnp.dtype(a_dtype).itemsize
+    vmem on the fp32 path at 12k nodes). When A's stored dtype differs
+    from x's, the kernel casts the A rows to the precision regime's dtype
+    (fp32 for fp32 x / Precision.HIGHEST, bf16 otherwise — always x's
+    dtype), and the resulting value copies are allocated in BOTH parity
+    branches of the ping-pong kernel (Mosaic sizes the scoped stack as
+    the sum over `pl.when` branches: a bf16-A/fp32-x compile measured
+    20.8M of stack against the 16M limit with single-branch terms), so
+    mismatched dtypes double every copy term. Matched dtypes keep the
+    single-branch model, which is hardware-validated (fp32->256 and
+    bf16->1024 at HEALPix-64 both compile and run)."""
+    x_dt, a_dt = jnp.dtype(x_dtype), jnp.dtype(a_dtype)
+    xb, ab = x_dt.itemsize, a_dt.itemsize
+    # mirrors the cast selection in _spmm_kernel_super (matvec picks
+    # Precision.HIGHEST exactly when x is not bf16)
+    a_cast_b = 0 if a_dt == x_dt else xb
+    branches = 1 if a_dt == x_dt else 2
     a_bytes = 2 * R * max_u * bs * bs * ab
-    a_copy = R * max_u * bs * bs * ab
+    a_copy = branches * R * max_u * bs * bs * (ab + a_cast_b)
     for mt in (1024, 512, 256, 128):
         if mt > cap or m_pad % mt:
             continue
         x_buffers = 2 * max_u * bs * mt * xb
-        x_copy = max_u * bs * mt * xb
+        x_copy = branches * max_u * bs * mt * xb
         out_buffers = 2 * R * bs * mt * xb
         total = x_buffers + x_copy + a_bytes + a_copy + out_buffers
         if total <= budget:
@@ -493,8 +509,13 @@ class BlockSparseOperator:
     def __init__(self, vals, cols, n: int, n_pad: int, m_tile: int = 1024,
                  interpret: bool = False,
                  vals_t=None, cols_t=None, sup=None, sup_t=None):
-        self.vals = jnp.asarray(vals)
-        self.cols = jnp.asarray(cols)
+        # vals/cols may be None when the super format fully serves the
+        # compiled path (from_scipy drops them to save HBM)
+        if vals is None and (sup is None or interpret):
+            raise ValueError("vals/cols required unless a super format "
+                             "serves the compiled path")
+        self.vals = jnp.asarray(vals) if vals is not None else None
+        self.cols = jnp.asarray(cols) if cols is not None else None
         self.vals_t = jnp.asarray(vals_t) if vals_t is not None else None
         self.cols_t = jnp.asarray(cols_t) if cols_t is not None else None
         self.sup = tuple(jnp.asarray(a) for a in sup) if sup else None
@@ -522,7 +543,8 @@ class BlockSparseOperator:
         if rows_per_super and rows_per_super > 1:
             sup = bcsr_super_from_scipy(mat, block_size=block_size,
                                         rows_per_super=rows_per_super,
-                                        dtype=dtype)[:5]
+                                        dtype=dtype,
+                                        _bcsr=(vals, cols, n_pad))[:5]
         if symmetric:
             vals_t = cols_t = None
         else:
@@ -530,9 +552,17 @@ class BlockSparseOperator:
             vals_t, cols_t, _ = bcsr_from_scipy(matT, block_size=block_size,
                                                 dtype=dtype)
             if sup is not None:
-                sup_t = bcsr_super_from_scipy(matT, block_size=block_size,
-                                              rows_per_super=rows_per_super,
-                                              dtype=dtype)[:5]
+                sup_t = bcsr_super_from_scipy(
+                    matT, block_size=block_size,
+                    rows_per_super=rows_per_super, dtype=dtype,
+                    _bcsr=(vals_t, cols_t, n_pad))[:5]
+        if sup is not None and not interpret:
+            # the compiled path only ever reads the super format; keeping
+            # the plain padded BCSR would pin ~1 GB of dead HBM per
+            # operator at HEALPix-128
+            vals = cols = None
+            if sup_t is not None:
+                vals_t = cols_t = None
         return cls(vals, cols, mat.shape[0], n_pad, m_tile=m_tile,
                    interpret=interpret, vals_t=vals_t, cols_t=cols_t,
                    sup=sup, sup_t=sup_t)
@@ -552,6 +582,11 @@ class BlockSparseOperator:
         if use_super:
             svals, _use, _wait_row, ucols, _ucount = self.sup
             max_u = ucols.shape[1]
+            # the backward pass runs the SAME m_tile against the transposed
+            # super format, whose union can be wider for non-symmetric
+            # operators — size the tile for the wider of the two
+            if self.sup_t is not None:
+                max_u = max(max_u, self.sup_t[3].shape[1])
             R, bs = svals.shape[1], svals.shape[2]
             mt = _super_m_tile(max_u, R, bs, m_pad,
                                x.dtype, svals.dtype, cap)
@@ -616,14 +651,30 @@ def _mv_fwd(static, vals, cols, vals_t, cols_t, sup, sup_t, x_pad):
             (vals, cols, vals_t, cols_t, sup, sup_t))
 
 
+def _transpose_arrays(vals, cols, vals_t, cols_t, sup, sup_t):
+    """Pick the arrays that compute A^T @ g for the backward matvec.
+
+    Symmetric operators (vals_t None) reuse the forward arrays (including
+    the super format). Non-symmetric operators use the transposed BCSR,
+    and the transposed super format ONLY if one was built — the forward
+    super arrays would silently compute A@g instead of A^T@g, so without
+    sup_t the dispatch falls back to the plain transposed BCSR (v2
+    kernel) by returning ts=None."""
+    tv = vals if vals_t is None else vals_t
+    tc = cols if cols_t is None else cols_t
+    if sup_t is not None:
+        ts = sup_t
+    elif vals_t is None:
+        ts = sup
+    else:
+        ts = None
+    return tv, tc, ts
+
+
 def _mv_bwd(static, res, g):
     vals, cols, vals_t, cols_t, sup, sup_t = res
     _m_tile, _interpret, _precision, xdt, _use_super = static
-    # symmetric operator reuses the forward arrays; non-symmetric supplies
-    # the transposed BCSR
-    tv = vals if vals_t is None else vals_t
-    tc = cols if cols_t is None else cols_t
-    ts = sup if sup_t is None else sup_t
+    tv, tc, ts = _transpose_arrays(vals, cols, vals_t, cols_t, sup, sup_t)
     # run the transpose matvec at the primal's dtype (bf16 primal ->
     # bf16 cotangent DMA, same bandwidth saving as the forward)
     gx = _run_mv(static, tv, tc, ts, g.astype(jnp.dtype(xdt)),
@@ -643,13 +694,3 @@ def _mv_bwd(static, res, g):
 
 
 _mv.defvjp(_mv_fwd, _mv_bwd)
-
-
-def ell_spmm(cols: jnp.ndarray, vals: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Compatibility wrapper used by ops.cheb when use_pallas=True on ELL data.
-
-    Currently routes through the XLA gather path; BlockSparseOperator is the
-    preferred Pallas entry point (BCSR beats row-gather ELL on the MXU).
-    """
-    gathered = jnp.take(x, cols, axis=0)
-    return jnp.einsum("vw,vwm->vm", vals, gathered)

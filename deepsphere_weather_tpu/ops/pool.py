@@ -43,17 +43,21 @@ __all__ = [
 
 
 def sparse_to_ell(mat: "_sparse.spmatrix", dtype=np.float32):
-    """Fixed-width ELL (cols, vals) from a scipy sparse matrix."""
+    """Fixed-width ELL (cols, vals) from a scipy sparse matrix.
+
+    Fully vectorized — a per-row Python loop cost multiple seconds per
+    UNet level at HEALPix-128 (~197k unpool rows) on every model build.
+    """
     csr = mat.tocsr()
     n = csr.shape[0]
     deg = np.diff(csr.indptr)
     width = max(int(deg.max()), 1)
     cols = np.zeros((n, width), dtype=np.int32)
     vals = np.zeros((n, width), dtype=dtype)
-    for i in range(n):
-        s, e = csr.indptr[i], csr.indptr[i + 1]
-        cols[i, : e - s] = csr.indices[s:e]
-        vals[i, : e - s] = csr.data[s:e]
+    rows = np.repeat(np.arange(n), deg)
+    offs = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], deg)
+    cols[rows, offs] = csr.indices
+    vals[rows, offs] = csr.data
     return cols, vals
 
 
@@ -118,10 +122,14 @@ def _register_pool_pytree(cls, array_fields, static_fields):
 
 
 class GeneralAvgPool:
-    """Weighted-average pooling with a row-normalized remap matrix ('interp')."""
+    """Weighted-average pooling with a row-normalized remap matrix ('interp').
+
+    Accepts a scipy sparse matrix or a pre-built EllMatrix (the pooling
+    cache stores the ELL arrays directly)."""
 
     def __init__(self, pool_matrix):
-        self.mat = EllMatrix.from_scipy(pool_matrix)
+        self.mat = (pool_matrix if isinstance(pool_matrix, EllMatrix)
+                    else EllMatrix.from_scipy(pool_matrix))
 
     def __call__(self, x) -> Tuple[jnp.ndarray, None]:
         return self.mat.apply(x), None
@@ -129,7 +137,8 @@ class GeneralAvgPool:
 
 class GeneralAvgUnpool:
     def __init__(self, unpool_matrix):
-        self.mat = EllMatrix.from_scipy(unpool_matrix)
+        self.mat = (unpool_matrix if isinstance(unpool_matrix, EllMatrix)
+                    else EllMatrix.from_scipy(unpool_matrix))
 
     def __call__(self, x, idx=None) -> jnp.ndarray:
         return self.mat.apply(x)
@@ -137,16 +146,15 @@ class GeneralAvgUnpool:
 
 def _onehot_argmax_rows(mat: "_sparse.spmatrix") -> "_sparse.csr_matrix":
     """One-hot matrix selecting each row's max-weight column (maxarea semantics,
-    reference layers.py:991-1036)."""
-    csr = mat.tocsr()
-    n_out, n_in = csr.shape
-    rows, cols = [], []
-    for i in range(n_out):
-        s, e = csr.indptr[i], csr.indptr[i + 1]
-        if e > s:
-            j = csr.indices[s + int(np.argmax(csr.data[s:e]))]
-            rows.append(i)
-            cols.append(j)
+    reference layers.py:991-1036). Vectorized via the ELL layout (padding
+    slots hold zero values, so they never win the per-row argmax of the
+    positive remap weights)."""
+    ell_cols, ell_vals = sparse_to_ell(mat)
+    n_out, n_in = mat.shape
+    j = ell_vals.argmax(axis=1)
+    nonempty = ell_vals.max(axis=1) > 0
+    rows = np.nonzero(nonempty)[0]
+    cols = ell_cols[rows, j[rows]]
     return _sparse.csr_matrix(
         (np.ones(len(rows), dtype=np.float32), (rows, cols)), shape=(n_out, n_in)
     )
@@ -172,10 +180,15 @@ class GeneralMaxValPool:
     """Runtime argmax of weighted values; returns source indices for unpooling."""
 
     def __init__(self, pool_matrix):
-        cols, vals = sparse_to_ell(pool_matrix)
+        if isinstance(pool_matrix, EllMatrix):
+            cols, vals, n_in = (pool_matrix.cols, pool_matrix.vals,
+                                pool_matrix.n_in)
+        else:
+            cols, vals = sparse_to_ell(pool_matrix)
+            n_in = pool_matrix.shape[1]
         self.cols = jnp.asarray(cols)
         self.vals = jnp.asarray(vals)
-        self.n_in = pool_matrix.shape[1]
+        self.n_in = n_in
 
     def __call__(self, x):
         gathered = jnp.take(x, self.cols, axis=1)                 # [B, D, W, C]
@@ -439,18 +452,26 @@ def build_pool_unpool(pool_method: str, src_sampling, dst_sampling,
 
         key = f"poolmat_{src_sampling.cache_key()}__{dst_sampling.cache_key()}"
         arrs = cached_arrays(key, _build) if cache else _build()
-        pool_ell = _sparse.csr_matrix(_ell_to_csr(arrs["pool_cols"], arrs["pool_vals"],
-                                                  src_sampling.n_nodes))
-        unpool_ell = _sparse.csr_matrix(_ell_to_csr(arrs["unpool_cols"], arrs["unpool_vals"],
-                                                    dst_sampling.n_nodes))
+        # the cache stores exactly the ELL arrays the pool ops consume —
+        # 'interp'/'maxval' build from them directly; 'maxarea'/'learn'
+        # reconstruct a CSR for their (vectorized) argmax/logit transforms
+        pool_em = EllMatrix(arrs["pool_cols"], arrs["pool_vals"],
+                            src_sampling.n_nodes)
         if method == "interp":
-            return GeneralAvgPool(pool_ell), GeneralAvgUnpool(unpool_ell)
+            return (GeneralAvgPool(pool_em),
+                    GeneralAvgUnpool(EllMatrix(arrs["unpool_cols"],
+                                               arrs["unpool_vals"],
+                                               dst_sampling.n_nodes)))
+        if method == "maxval":
+            return (GeneralMaxValPool(pool_em),
+                    GeneralMaxValUnpool(src_sampling.n_nodes))
+        pool_ell = _ell_to_csr(arrs["pool_cols"], arrs["pool_vals"],
+                               src_sampling.n_nodes)
+        unpool_ell = _ell_to_csr(arrs["unpool_cols"], arrs["unpool_vals"],
+                                 dst_sampling.n_nodes)
         if method == "maxarea":
             return GeneralMaxAreaPool(pool_ell), GeneralMaxAreaUnpool(unpool_ell)
-        if method == "learn":
-            return GeneralLearnPool(pool_ell), GeneralLearnUnpool(unpool_ell)
-        return (GeneralMaxValPool(pool_ell),
-                GeneralMaxValUnpool(src_sampling.n_nodes))
+        return GeneralLearnPool(pool_ell), GeneralLearnUnpool(unpool_ell)
 
     raise ValueError(f"unknown pool_method {pool_method!r}")
 

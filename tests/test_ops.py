@@ -129,11 +129,16 @@ class TestBlockSparse:
         asym = abs(L - L.T).max()
         assert asym > 1e-6  # premise: genuinely non-symmetric
         op = ChebOperator.from_graph(g, mode="bcsr")
-        # CPU: route the operator through the interpret path
-        op.bcsr.interpret = True
-        assert op.bcsr.vals_t is not None
+        # from_graph must mark the operator non-symmetric: it carries
+        # transpose arrays in SOME form (plain BCSR or super format)
+        assert (op.bcsr.vals_t is not None) or (op.bcsr.sup_t is not None)
+        # CPU: build the interpret-path twin (keeps the plain BCSR arrays)
+        from deepsphere_weather_tpu.ops.pallas_spmm import BlockSparseOperator
+        op_i = BlockSparseOperator.from_scipy(g.L, symmetric=False,
+                                              interpret=True)
+        assert op_i.vals_t is not None
         x = jnp.ones((g.n_nodes, 64))
-        grad = jax.grad(lambda v: jnp.sum(op.bcsr.matvec(v) ** 2))(x)
+        grad = jax.grad(lambda v: jnp.sum(op_i.matvec(v) ** 2))(x)
         ones = np.ones((g.n_nodes, 64), dtype=np.float32)
         expected = 2 * (L.T @ (L @ ones))
         wrong = 2 * (L @ (L @ ones))
@@ -255,7 +260,9 @@ class TestBlockSparse:
             depth=2, knn=8, dense_threshold=16, use_pallas=True,
             operator_dtype=jnp.bfloat16)
         assert geom.cheb_ops[0].bcsr is not None
-        assert geom.cheb_ops[0].bcsr.vals.dtype == jnp.bfloat16
+        # compiled operators carry only the super format (plain BCSR is
+        # dropped to save HBM) — the bf16 request lands on its svals
+        assert geom.cheb_ops[0].bcsr.sup[0].dtype == jnp.bfloat16
 
     def test_pallas_spmm_bf16_stored_operator(self, graph):
         # bf16-stored A blocks (the bf16-model configuration): results match
@@ -380,3 +387,66 @@ class TestEquiangularConv:
         expected = np.roll(np.asarray(out).reshape(2, nlat, nlon, 5), 1, axis=2)
         np.testing.assert_allclose(np.asarray(out_rolled).reshape(2, nlat, nlon, 5),
                                    expected, atol=1e-5)
+
+
+class TestBlockSparseDispatch:
+    """Regressions for the backward dispatch and VMEM-budget model."""
+
+    def test_transpose_dispatch(self):
+        from deepsphere_weather_tpu.ops.pallas_spmm import _transpose_arrays
+
+        V, C, VT, CT = "v", "c", "vt", "ct"
+        SUP, SUPT = ("sup",), ("sup_t",)
+        # symmetric: forward arrays (and forward super) ARE the transpose
+        assert _transpose_arrays(V, C, None, None, SUP, None) == (V, C, SUP)
+        # non-symmetric with a transposed super format: use it
+        assert _transpose_arrays(V, C, VT, CT, SUP, SUPT) == (VT, CT, SUPT)
+        # non-symmetric WITHOUT sup_t must NOT fall back to the forward
+        # super (that computes A@g, not A^T@g) — v2 path via ts=None
+        assert _transpose_arrays(V, C, VT, CT, SUP, None) == (VT, CT, None)
+
+    def test_super_m_tile_models_cast_and_transpose_width(self):
+        import jax.numpy as jnp
+        from deepsphere_weather_tpu.ops.pallas_spmm import _super_m_tile
+
+        # bf16-stored A with fp32 x casts A rows to fp32 inside the
+        # kernel: the modeled footprint must not be smaller than the
+        # matched-fp32 case's a-copy term, so the chosen tile can only
+        # shrink (never grow) relative to matched dtypes
+        for max_u in (8, 16, 24, 32):
+            mt_matched = _super_m_tile(max_u, 2, 128, 4096,
+                                       jnp.float32, jnp.float32, 1024)
+            mt_cast = _super_m_tile(max_u, 2, 128, 4096,
+                                    jnp.float32, jnp.bfloat16, 1024)
+            assert mt_cast <= mt_matched
+        # a wider union must never produce a larger tile
+        mts = [_super_m_tile(u, 2, 128, 4096, jnp.float32, jnp.float32, 1024)
+               for u in (4, 8, 16, 32, 64)]
+        assert mts == sorted(mts, reverse=True)
+
+    def test_from_scipy_drops_plain_arrays_for_compiled_super(self, graph):
+        from deepsphere_weather_tpu.ops.pallas_spmm import BlockSparseOperator
+
+        # compiled super path: plain BCSR would be dead HBM weight
+        op = BlockSparseOperator.from_scipy(graph.L, symmetric=True,
+                                            rows_per_super=2, interpret=False)
+        assert op.sup is not None and op.vals is None and op.cols is None
+        # interpret path still carries (and uses) the plain arrays
+        op_i = BlockSparseOperator.from_scipy(graph.L, symmetric=True,
+                                              rows_per_super=2, interpret=True)
+        assert op_i.vals is not None
+        import numpy as _np
+        x = _np.random.default_rng(5).standard_normal(
+            (graph.n_nodes, 64)).astype(_np.float32)
+        _np.testing.assert_allclose(_np.asarray(op_i.matvec(jnp.asarray(x))),
+                                    graph.L @ x, atol=1e-4)
+        # constructing with neither plain arrays nor a compiled super
+        # format is rejected loudly
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            BlockSparseOperator(None, None, 8, 128, interpret=True)
+
+    def test_from_graph_rejects_unknown_mode(self, graph):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="unknown ChebOperator mode"):
+            ChebOperator.from_graph(graph, mode="bscr")
