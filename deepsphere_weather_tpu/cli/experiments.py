@@ -191,11 +191,14 @@ def run_activation_experiment(cfg_path, data_dir, exp_dir,
 def run_x_year_simulations(model_dir, data_dir, years: float = 5.0,
                            dt_hours: Optional[int] = None,
                            forecast_reference_times=None,
-                           ar_blocks: int = 1000, verbose: bool = True):
+                           ar_blocks: int = 1000,
+                           bc_generator="toa", verbose: bool = True):
     """Multi-year free-running simulation from a trained model
     (reference 05_exp_X_year_sims.py: 7300 AR steps = 5 years at 6 h,
     ar_blocks-chunked zarr flushing). The step length defaults to the
-    model's own forecast_cycle (hours) from its config.json."""
+    model's own forecast_cycle (hours) from its config.json. Multi-year
+    rollouts outlive the BC store, so the analytic TOA-solar generator
+    supplies the forcing by default."""
     from .predict import main as predict_main
 
     if dt_hours is None:
@@ -205,4 +208,4 @@ def run_x_year_simulations(model_dir, data_dir, years: float = 5.0,
     return predict_main(model_dir, data_dir,
                         forecast_reference_times=forecast_reference_times,
                         ar_iterations=ar_iterations, ar_blocks=ar_blocks,
-                        verbose=verbose)
+                        bc_generator=bc_generator, verbose=verbose)

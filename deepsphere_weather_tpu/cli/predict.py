@@ -26,7 +26,10 @@ import numpy as np
 def main(model_dir, data_dir, forecast_reference_times=None,
          ar_iterations: int = 500, ar_blocks: int = 1000,
          out_path=None, batch_size: int = 16, rounding=None,
-         verbose: bool = True):
+         bc_generator=None, verbose: bool = True):
+    """`bc_generator`: callable(times)->[T,V,F_bc] for boundary conditions
+    beyond the BC store (rollouts longer than the dataset), or the string
+    'toa' for analytic top-of-atmosphere solar radiation."""
     import jax
 
     from ..utils import enable_compilation_cache
@@ -81,9 +84,17 @@ def main(model_dir, data_dir, forecast_reference_times=None,
         out_path = (model_dir / "model_predictions" / "forecast_chunked"
                     / "long_forecasts.zarr")
 
+    if bc_generator == "toa":
+        from ..data.toy import toa_solar_radiation
+        lat, lon = data_dynamic.lat, data_dynamic.lon
+
+        def bc_generator(times):  # [T] -> [T, V, 1]
+            return toa_solar_radiation(times, lat, lon)[..., None]
+
     forecast = AutoregressivePredictions(
         model, params,
-        data_dynamic=data_dynamic, data_bc=data_bc, data_static=data_static,
+        data_dynamic=data_dynamic, data_bc=data_bc,
+        bc_generator=bc_generator, data_static=data_static,
         scaler=scaler,
         input_k=ar_settings["input_k"], output_k=ar_settings["output_k"],
         forecast_cycle=ar_settings["forecast_cycle"],
@@ -108,11 +119,14 @@ def cli():
     p.add_argument("--ar_blocks", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--out_path", default=None)
+    p.add_argument("--bc_generator", default=None, choices=[None, "toa"],
+                   help="analytic BC source for rollouts beyond the BC store")
     args = p.parse_args()
     main(args.model_dir, args.data_dir,
          forecast_reference_times=args.forecast_reference_times,
          ar_iterations=args.ar_iterations, ar_blocks=args.ar_blocks,
-         batch_size=args.batch_size, out_path=args.out_path)
+         batch_size=args.batch_size, out_path=args.out_path,
+         bc_generator=args.bc_generator)
 
 
 if __name__ == "__main__":

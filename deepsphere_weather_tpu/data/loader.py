@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
@@ -199,19 +200,45 @@ class AutoregressiveDataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_factor)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            """Blocking put that still notices consumer shutdown (a plain
+            q.put would block forever once the consumer stops draining,
+            leaking the thread AND every batch it holds)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
+            # bounded in-flight submission: eager submission of every
+            # batch made prefetch_factor meaningless (the pool assembled
+            # the whole epoch into memory ahead of the consumer)
+            max_inflight = self.num_workers + self.prefetch_factor
+            inflight: "deque" = deque()
+            it = iter(batches)
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                futures = [pool.submit(self._assemble, idx) for idx in batches]
-                for fut in futures:
-                    if stop.is_set():
+                try:
+                    while not stop.is_set():
+                        while len(inflight) < max_inflight:
+                            idx = next(it, None)
+                            if idx is None:
+                                break
+                            inflight.append(pool.submit(self._assemble, idx))
+                        if not inflight:
+                            break
+                        try:
+                            item = inflight.popleft().result()
+                        except Exception as e:  # surface worker errors
+                            item = e
+                        if not _put(item) or isinstance(item, Exception):
+                            return
+                finally:
+                    for fut in inflight:
                         fut.cancel()
-                        continue
-                    try:
-                        q.put(fut.result())
-                    except Exception as e:  # surface worker errors
-                        q.put(e)
-                        return
-            q.put(None)
+            _put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -225,3 +252,4 @@ class AutoregressiveDataLoader:
                 yield item
         finally:
             stop.set()
+            thread.join(timeout=30)

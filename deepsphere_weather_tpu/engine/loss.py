@@ -39,7 +39,9 @@ def weighted_mse(pred: jnp.ndarray, target: jnp.ndarray,
     wse = se * w
     if reduction == "none":
         return wse
-    n_points = int(np.prod(se.shape[:-2])) if se.ndim > 2 else se.shape[0]
+    # product of the leading data-point dims (1 for unbatched [V, F]
+    # input — a previous special case wrongly divided by V there)
+    n_points = int(np.prod(se.shape[:-2]))
     n_feat = se.shape[-1]
     if reduction == "mean":
         return jnp.sum(wse) / jnp.sum(weights) / n_points / n_feat

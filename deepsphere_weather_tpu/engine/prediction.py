@@ -61,8 +61,29 @@ class ForecastDataset:
         return out
 
     def valid_time(self, lt_index: int) -> np.ndarray:
-        return (self.forecast_reference_time
-                + self.leadtime_hours[lt_index].astype("timedelta64[h]"))
+        # second resolution: float .astype('timedelta64[h]') TRUNCATES
+        # (0.5h -> 0h), silently misaligning sub-hourly verification
+        lt = np.round(self.leadtime_hours[lt_index] * 3600.0)
+        return self.forecast_reference_time + lt.astype("timedelta64[s]")
+
+
+def leadtime_slots(lead_offsets, keep_first_prediction: bool):
+    """Map flat (iteration, output) indices to unique store leadtime slots.
+
+    Returns (unique_offsets sorted, {flat_index: slot}) where only the
+    chosen occurrence of each duplicated offset gets a slot: the earliest
+    iteration's when keep_first_prediction, the latest's otherwise
+    (reference keep_first_prediction semantics, SURVEY.md §2.9)."""
+    uniq_offsets = np.unique(lead_offsets)
+    slot_of_offset = {int(o): s for s, o in enumerate(uniq_offsets)}
+    chosen: dict = {}
+    for flat, off in enumerate(lead_offsets):
+        if keep_first_prediction:
+            chosen.setdefault(int(off), flat)
+        else:
+            chosen[int(off)] = flat
+    return uniq_offsets, {flat: slot_of_offset[off]
+                          for off, flat in chosen.items()}
 
 
 def AutoregressivePredictions(
@@ -71,6 +92,7 @@ def AutoregressivePredictions(
     *,
     data_dynamic: SphericalDataset,
     data_bc: Optional[SphericalDataset] = None,
+    bc_generator=None,
     data_static=None,
     scaler=None,
     # AR settings
@@ -88,7 +110,21 @@ def AutoregressivePredictions(
     chunks: Optional[Dict] = None,
     verbose: bool = False,
 ) -> ForecastDataset:
-    """Roll out forecasts; returns the (streamed) ForecastDataset."""
+    """Roll out forecasts; returns the (streamed) ForecastDataset.
+
+    `bc_generator(times) -> [T, V, F_bc]` supplies boundary conditions for
+    times outside `data_bc` (xforecasting's bc_generator parity,
+    SURVEY.md §2.9) — multi-year free runs outlive the BC store; TOA solar
+    is analytic (data.toy.toa_solar_radiation). Without a generator, a
+    rollout that outruns the BC data raises instead of silently freezing
+    the forcing at its last value.
+
+    `keep_first_prediction`: when output windows overlap across AR
+    iterations the same leadtime is predicted more than once; the store
+    keeps the FIRST (earliest-iteration) prediction per leadtime by
+    default, or the most recent one when False (reference flag,
+    dev/w_debug_predictions.py:318-348).
+    """
     # Note: ar_iterations here = number of AR steps to roll (prediction
     # horizon), independent of the training value (reference: AR=6 train /
     # AR=20 predict, train_predict_state.py:484).
@@ -98,18 +134,21 @@ def AutoregressivePredictions(
     if ar_blocks is None or ar_blocks > n_steps:
         ar_blocks = n_steps
     # prediction feasibility: every future input time must be produced by
-    # an earlier iteration's output (see engine/step.py rolling buffer)
-    for i in range(1, min(n_steps, 8)):
+    # an earlier iteration's output (see engine/step.py rolling buffer).
+    # Checked over the FULL horizon with a running produced-offset set
+    # (a truncated check let configs whose first infeasible input sits
+    # past the truncation produce silently stale forecasts).
+    produced = set()
+    min_out = min(indexer.output_k)
+    for i in range(1, n_steps):
+        for ok in indexer.output_k:
+            produced.add((i - 1) * indexer.forecast_cycle + ok)
         for k in indexer.input_k:
             off = i * indexer.forecast_cycle + k
-            if off >= min(indexer.output_k):
-                covered = any(
-                    off == j * indexer.forecast_cycle + ok
-                    for j in range(i) for ok in indexer.output_k)
-                if not covered:
-                    raise ValueError(
-                        f"AR settings infeasible: input offset {off} at "
-                        f"iteration {i} is never predicted")
+            if off >= min_out and off not in produced:
+                raise ValueError(
+                    f"AR settings infeasible: input offset {off} at "
+                    f"iteration {i} is never predicted")
 
     # --- forecast reference times ---------------------------------------
     if forecast_reference_times is None:
@@ -125,9 +164,14 @@ def AutoregressivePredictions(
     lead_offsets = np.concatenate(
         [i * indexer.forecast_cycle + np.asarray(indexer.output_k)
          for i in range(n_steps)])
-    leadtime_hours = lead_offsets * dt_hours
+    # overlapping output windows predict some leadtimes more than once;
+    # the store holds each leadtime ONCE — keep_first_prediction picks
+    # which (iteration, output) occurrence lands there
+    uniq_offsets, write_slot = leadtime_slots(lead_offsets,
+                                              keep_first_prediction)
+    leadtime_hours = uniq_offsets * dt_hours
     n_out = len(indexer.output_k)
-    L = len(lead_offsets)
+    L = len(uniq_offsets)
     V = data_dynamic.n_node
     F = data_dynamic.n_feature
 
@@ -164,7 +208,42 @@ def AutoregressivePredictions(
               if data_static is not None else None)
     geom = jax.device_put(model.geometry_pytree())
     rollout_fn, H = make_rollout_block(model, indexer, ar_blocks)
+    # the last block may be shorter: a tail-sized compile avoids running
+    # (and discarding) up to ar_blocks-1 model evaluations per batch
+    tail = n_steps % ar_blocks
+    tail_fn = (make_rollout_block(model, indexer, tail)[0]
+               if 0 < tail < ar_blocks and n_steps > ar_blocks else None)
     min_k = min(indexer.input_k)
+    out_arrays = {name: g[name] for name in data_dynamic.feature_order}
+
+    bc_warned = [False]
+
+    def _read_bc(t0, offs):
+        """BC window at absolute offsets from reference index t0 —
+        data_bc where it covers, bc_generator beyond; without a generator
+        the last available BC is held, with a LOUD one-time warning (a
+        silent clip froze seasonal forcing for multi-year runs)."""
+        t_in = t0 + offs
+        in_range = (data_bc is not None and t_in[0] >= 0
+                    and t_in[-1] < data_bc.n_time)
+        if in_range:
+            return data_bc.read_stacked(t_in)
+        if bc_generator is None:
+            if not bc_warned[0]:
+                bc_warned[0] = True
+                import warnings
+                warnings.warn(
+                    f"rollout needs boundary conditions at dataset offsets "
+                    f"up to {t_in.max()} but data_bc covers 0.."
+                    f"{data_bc.n_time - 1 if data_bc is not None else -1}: "
+                    f"holding the last available BC beyond the store. For "
+                    f"long free runs pass bc_generator (e.g. analytic TOA "
+                    f"solar) — frozen forcing drifts seasonally.",
+                    stacklevel=3)
+            return data_bc.read_stacked(
+                np.clip(t_in, 0, data_bc.n_time - 1))
+        times = data_dynamic.time[t0] + offs * dt
+        return np.asarray(bc_generator(times), dtype=np.float32)
 
     for lo in range(0, len(t0s), batch_size):
         sel = t0s[lo: lo + batch_size]
@@ -184,39 +263,43 @@ def AutoregressivePredictions(
         step0 = 0
         for blk in range(n_blocks):
             steps = min(ar_blocks, n_steps - step0)
-            # bc for iterations [step0, step0+ar_blocks)
+            fn = tail_fn if (tail_fn is not None and steps < ar_blocks) \
+                else rollout_fn
+            # bc for iterations [step0, step0+steps)
             bc_block = None
-            if data_bc is not None:
-                bc_np = np.zeros(
-                    (B, ar_blocks, len(indexer.input_k), V,
-                     data_bc.n_feature), dtype=np.float32)
-                for b, t0 in enumerate(sel):
-                    for j in range(steps):
-                        i = step0 + j
-                        t_in = t0 + i * indexer.forecast_cycle + np.asarray(
-                            indexer.input_k)
-                        t_in = np.clip(t_in, 0, data_bc.n_time - 1)
-                        bc_np[b, j] = data_bc.read_stacked(t_in)
+            if data_bc is not None or bc_generator is not None:
+                in_offs = np.asarray(indexer.input_k)
+                bc_rows = [
+                    _read_bc(t0, (step0 + j) * indexer.forecast_cycle
+                             + in_offs)
+                    for b, t0 in enumerate(sel) for j in range(steps)]
+                n_fb = bc_rows[0].shape[-1]
+                bc_np = np.asarray(bc_rows, dtype=np.float32).reshape(
+                    B, steps, len(indexer.input_k), V, n_fb)
                 bc_block = jnp.asarray(bc_np)
-            hist, preds = rollout_fn(params, hist, bc_block, static, geom)
+            hist, preds = fn(params, hist, bc_block, static, geom)
             preds = np.asarray(preds[:, :steps])     # [B, steps, n_out, V, F]
 
             # inverse scale + round + write
             for j in range(steps):
                 i = step0 + j
                 for oi, ok in enumerate(indexer.output_k):
-                    lt_index = i * n_out + oi
+                    flat = i * n_out + oi
+                    lt_index = write_slot.get(flat)
+                    if lt_index is None:
+                        continue      # a different iteration owns this leadtime
                     block = preds[:, j, oi]           # [B, V, F]
                     if scaler is not None:
                         # per-sample valid times (time-group scalers need them)
                         t_valid = (frts[lo: lo + B]
-                                   + (lead_offsets[lt_index] * dt))
+                                   + (lead_offsets[flat] * dt))
                         block = scaler.inverse_transform(block, time=t_valid)
                     if rounding is not None:
                         block = np.round(block, rounding)
                     for f, name in enumerate(data_dynamic.feature_order):
                         # int index normalizes to a size-1 slice in the store
-                        g[name][lo: lo + B, lt_index, :] = block[:, None, :, f]
+                        out_arrays[name][lo: lo + B, lt_index, :] = \
+                            block[:, None, :, f]
             step0 += steps
         if verbose:
             print(f"predicted frts {lo}..{lo + B - 1} / {len(t0s)}")

@@ -67,8 +67,11 @@ def make_context(model, area_w: jnp.ndarray) -> Dict:
     TPU runtimes (~50 MB/step at HEALPix-16 — measured 730 ms vs 35 ms),
     so all large static arrays must flow through arguments.
     """
+    # area_w None = unweighted loss (AutoregressiveTraining's documented
+    # default; weighted_mse substitutes unit weights)
     return jax.device_put({"geom": model.geometry_pytree(),
-                           "area_w": jnp.asarray(area_w)})
+                           "area_w": (jnp.asarray(area_w)
+                                      if area_w is not None else None)})
 
 
 def make_ar_loss_fn(model, indexer: ARIndexer,

@@ -243,7 +243,6 @@ def AutoregressiveTraining(
                 info.training_total_loss.append(total)
                 info.samples_per_sec.append(
                     training_batch_size * steps_in_interval / dt)
-                t_interval = time.perf_counter()
                 steps_in_interval = 0
                 # mid-epoch durability: full checkpoint every 10 scoring
                 # intervals (long epochs on big datasets otherwise leave
@@ -290,6 +289,11 @@ def AutoregressiveTraining(
                     swag_counter += 1
                     if swag_counter % swag_freq == 0:
                         swag_model.collect_model(params)
+
+                # restart the throughput clock AFTER validation /
+                # checkpointing so their wall time is not charged to the
+                # next interval's samples/s
+                t_interval = time.perf_counter()
 
                 # --- early stopping / AR growth ----------------------------
                 if early_stopping.check(val_loss):

@@ -291,3 +291,37 @@ class TestLoader:
         assert len(ds) == n5 + 3
         with pytest.raises(ValueError):
             ds.update_AR_iterations(6)
+
+
+class TestLoaderBackpressure:
+    def test_early_break_does_not_leak_or_overassemble(self, toy):
+        import threading
+        import time as _time
+
+        from deepsphere_weather_tpu.data.ar import ARIndexer
+        from deepsphere_weather_tpu.data.loader import (
+            AutoregressiveDataLoader, AutoregressiveDataset)
+
+        dyn, bc, static = toy
+        indexer = ARIndexer.build([-3, -2, -1], [0], 1, 2)
+        ds = AutoregressiveDataset(dyn, indexer, data_bc=bc,
+                                   data_static=static)
+        assembled = []
+        orig = ds.get_sample
+        ds.get_sample = lambda i: (assembled.append(i) or orig(i))
+
+        loader = AutoregressiveDataLoader(ds, batch_size=4, shuffle=False,
+                                          num_workers=2, prefetch_factor=2)
+        n_batches = len(loader)
+        assert n_batches >= 8
+        before = threading.active_count()
+        it = iter(loader)
+        next(it); next(it)
+        del it                     # consumer stops mid-epoch
+        _time.sleep(1.0)           # give the producer time to notice
+        # prefetch bounds assembly: workers + queue + consumed, NOT the
+        # whole epoch (eager submission assembled everything up front)
+        max_expected = 4 * (2 + 2 + 2 + 2)   # (workers+prefetch+consumed+slack)
+        assert len(assembled) <= max_expected, len(assembled)
+        # the producer thread must have exited (no blocked q.put leak)
+        assert threading.active_count() <= before + 1

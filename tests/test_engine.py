@@ -271,3 +271,95 @@ class TestPrediction:
         # persistence benchmark computes
         ps = persistence_skills(s["dyn"], np.arange(1, 5))
         assert np.all(np.isfinite(ps["RMSE"][:, :, 0]))
+
+
+class TestPredictionReviewRegressions:
+    """Regressions from the engine code review."""
+
+    def test_keep_first_prediction_dedup(self):
+        # overlapping output windows (output_k=[1,2], cycle 1) predict the
+        # same leadtime at consecutive iterations; the store must hold
+        # each leadtime once, picking the chosen occurrence
+        from deepsphere_weather_tpu.engine.prediction import leadtime_slots
+
+        # offsets per iteration i: i*1 + [1, 2] for i=0..3
+        # flat:    0  1  2  3  4  5  6  7
+        # offset:  1  2  2  3  3  4  4  5
+        lead = np.asarray([1, 2, 2, 3, 3, 4, 4, 5])
+        uniq, slots_first = leadtime_slots(lead, keep_first_prediction=True)
+        assert list(uniq) == [1, 2, 3, 4, 5]
+        # earliest occurrence of each duplicated offset wins
+        assert slots_first == {0: 0, 1: 1, 3: 2, 5: 3, 7: 4}
+        _, slots_last = leadtime_slots(lead, keep_first_prediction=False)
+        # most recent occurrence wins
+        assert slots_last == {0: 0, 2: 1, 4: 2, 6: 3, 7: 4}
+        # without duplicates both policies are the identity mapping
+        lead2 = np.asarray([0, 1, 2, 3])
+        for kf in (True, False):
+            u2, s2 = leadtime_slots(lead2, kf)
+            assert list(u2) == [0, 1, 2, 3]
+            assert s2 == {i: i for i in range(4)}
+
+    def test_valid_time_subhourly(self, toy_setup, tmp_path):
+        s = toy_setup
+        frts = s["dyn"].time[[50]]
+        f = AutoregressivePredictions(
+            s["model"], s["params"],
+            data_dynamic=s["dyn"], data_bc=s["bc"], data_static=s["static"],
+            scaler=s["scaler"], input_k=[-3, -2, -1], output_k=[0],
+            forecast_cycle=1, ar_iterations=2,
+            forecast_reference_times=frts, batch_size=1,
+            zarr_fpath=tmp_path / "p.zarr")
+        # fractional-hour leadtimes must not truncate to whole hours
+        f.leadtime_hours = np.asarray([0.5, 1.5, 2.5])
+        vt = f.valid_time(0)
+        assert (vt - f.forecast_reference_time)[0] == np.timedelta64(1800, "s")
+
+    def test_bc_outrun_warns_and_generator_covers(self, toy_setup, tmp_path):
+        s = toy_setup
+        n_time = s["dyn"].n_time
+        frts = s["dyn"].time[[n_time - 5]]     # 4 future steps available
+        kw = dict(
+            data_dynamic=s["dyn"], data_static=s["static"], scaler=s["scaler"],
+            input_k=[-3, -2, -1], output_k=[0], forecast_cycle=1,
+            ar_iterations=10, forecast_reference_times=frts, batch_size=1)
+        # without a generator: last BC held, LOUD warning (was a silent clip)
+        with pytest.warns(UserWarning, match="boundary conditions"):
+            AutoregressivePredictions(
+                s["model"], s["params"], data_bc=s["bc"],
+                zarr_fpath=tmp_path / "p1.zarr", **kw)
+
+        from deepsphere_weather_tpu.data.toy import toa_solar_radiation
+        lat, lon = s["dyn"].lat, s["dyn"].lon
+
+        def gen(times):
+            return toa_solar_radiation(times, lat, lon)[..., None]
+
+        f = AutoregressivePredictions(
+            s["model"], s["params"], data_bc=s["bc"], bc_generator=gen,
+            zarr_fpath=tmp_path / "p2.zarr", **kw)
+        assert f.n_leadtime == 11
+        assert np.all(np.isfinite(f.read_leadtime(10)))
+
+    def test_infeasible_late_iteration_rejected(self, toy_setup, tmp_path):
+        # first infeasible input appears past iteration 8 — a truncated
+        # check accepted this config and produced stale forecasts
+        s = toy_setup
+        with pytest.raises(ValueError, match="infeasible"):
+            AutoregressivePredictions(
+                s["model"], s["params"],
+                data_dynamic=s["dyn"], data_static=s["static"],
+                input_k=[0], output_k=[17], forecast_cycle=2,
+                ar_iterations=12, batch_size=1,
+                zarr_fpath=tmp_path / "p.zarr")
+
+    def test_make_context_none_area_weights(self, toy_setup):
+        from deepsphere_weather_tpu.engine.step import make_context
+        ctx = make_context(toy_setup["model"], None)
+        assert ctx["area_w"] is None
+
+    def test_weighted_mse_unbatched_2d(self):
+        pred = jnp.ones((7, 3)) * 2.0
+        tgt = jnp.zeros((7, 3))
+        # mean over nodes/features of se=4 with unit weights == 4
+        assert float(weighted_mse(pred, tgt, None)) == pytest.approx(4.0)
