@@ -50,6 +50,15 @@ def main(data_dir, reference_period: Optional[Tuple[str, str]] = None,
     s.save(out_dir / "GlobalMinMaxScaler_dynamic.npz")
     log("GlobalMinMaxScaler fitted")
 
+    # --- boundary-condition scaler (raw TOA spans 0..1361 W/m^2 next to
+    # O(1) standardized dynamic features without it) -----------------------
+    bc_path = Path(data_dir) / "Data" / "bc" / "time_chunked" / "bc.zarr"
+    if bc_path.exists():
+        sbc = GlobalStandardScaler().fit_dataset(
+            SphericalDataset.open(bc_path))
+        sbc.save(out_dir / "GlobalStandardScaler_bc.npz")
+        log("GlobalStandardScaler (bc) fitted")
+
     # --- anomaly scalers (per-node, monthly/weekly, plain + standardized) --
     for groups, tag in (("month", "Monthly"), ("weekofyear", "Weekly")):
         for standardized, stag in ((False, ""), (True, "Std")):

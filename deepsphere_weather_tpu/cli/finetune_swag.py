@@ -57,6 +57,9 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
                    if static_path.exists() else None)
     scaler_path = data_dir / "Scalers" / "GlobalStandardScaler_dynamic.npz"
     scaler = load_scaler(scaler_path) if scaler_path.exists() else None
+    scaler_bc_path = data_dir / "Scalers" / "GlobalStandardScaler_bc.npz"
+    scaler_bc = (load_scaler(scaler_bc_path) if scaler_bc_path.exists()
+                 else None)
 
     tensor_info = get_ar_model_tensor_info(ar_settings, data_dynamic,
                                            data_static=data_static,
@@ -100,7 +103,7 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
         validation_data_dynamic=data_dynamic.subset(i_train, i_val),
         training_data_bc=data_bc.subset(0, i_train) if data_bc else None,
         validation_data_bc=data_bc.subset(i_train, i_val) if data_bc else None,
-        data_static=data_static, scaler=scaler,
+        data_static=data_static, scaler=scaler, scaler_bc=scaler_bc,
         input_k=ar_settings["input_k"], output_k=ar_settings["output_k"],
         forecast_cycle=ar_settings["forecast_cycle"],
         ar_iterations=ar_settings["ar_iterations"],
@@ -126,7 +129,7 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
         out_dir=model_dir / "model_predictions" / "swag",
         data_dynamic=test_dyn,
         data_bc=data_bc.subset(i_val, n) if data_bc else None,
-        data_static=data_static, scaler=scaler,
+        data_static=data_static, scaler=scaler, scaler_bc=scaler_bc,
         input_k=ar_settings["input_k"], output_k=ar_settings["output_k"],
         forecast_cycle=ar_settings["forecast_cycle"],
         ar_iterations=ar_iterations_prediction,

@@ -58,6 +58,9 @@ def main(model_dir, data_dir, forecast_reference_times=None,
                    if static_path.exists() else None)
     scaler_path = data_dir / "Scalers" / "GlobalStandardScaler_dynamic.npz"
     scaler = load_scaler(scaler_path) if scaler_path.exists() else None
+    scaler_bc_path = data_dir / "Scalers" / "GlobalStandardScaler_bc.npz"
+    scaler_bc = (load_scaler(scaler_bc_path) if scaler_bc_path.exists()
+                 else None)
 
     # tensor-layout guard (reference predict_state.py:162)
     tensor_info = get_ar_model_tensor_info(ar_settings, data_dynamic,
@@ -95,7 +98,7 @@ def main(model_dir, data_dir, forecast_reference_times=None,
         model, params,
         data_dynamic=data_dynamic, data_bc=data_bc,
         bc_generator=bc_generator, data_static=data_static,
-        scaler=scaler,
+        scaler=scaler, scaler_bc=scaler_bc,
         input_k=ar_settings["input_k"], output_k=ar_settings["output_k"],
         forecast_cycle=ar_settings["forecast_cycle"],
         ar_iterations=ar_iterations, ar_blocks=ar_blocks,

@@ -28,6 +28,8 @@ def main(out_dir, subdivisions: int = 16, n_timesteps: int = 1460,
     scaler_dir.mkdir(parents=True, exist_ok=True)
     GlobalStandardScaler().fit_dataset(dyn).save(
         scaler_dir / "GlobalStandardScaler_dynamic.npz")
+    GlobalStandardScaler().fit_dataset(bc).save(
+        scaler_dir / "GlobalStandardScaler_bc.npz")
     if verbose:
         print(f"toy data: {dyn.n_time} steps x {dyn.n_node} nodes "
               f"({dyn.feature_order}) -> {out_dir}")

@@ -98,6 +98,9 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         scaler = GlobalStandardScaler().fit_dataset(data_dynamic)
         scaler_path.parent.mkdir(parents=True, exist_ok=True)
         scaler.save(scaler_path)
+    scaler_bc_path = data_dir / "Scalers" / "GlobalStandardScaler_bc.npz"
+    scaler_bc = (load_scaler(scaler_bc_path) if scaler_bc_path.exists()
+                 else None)
 
     # --- time split (reference: 1980-2014 / 2015-16 / 2017-18,
     #     train_predict_state.py:217-219; fractional split works for any
@@ -190,7 +193,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         training_data_bc=train_bc,
         validation_data_bc=val_bc,
         data_static=data_static,
-        scaler=scaler,
+        scaler=scaler, scaler_bc=scaler_bc,
         input_k=ar_settings["input_k"],
         output_k=ar_settings["output_k"],
         forecast_cycle=ar_settings["forecast_cycle"],
@@ -224,7 +227,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         data_dynamic=test_dyn,
         data_bc=data_bc.subset(i_val, n) if data_bc else None,
         data_static=data_static,
-        scaler=scaler,
+        scaler=scaler, scaler_bc=scaler_bc,
         input_k=ar_settings["input_k"],
         output_k=ar_settings["output_k"],
         forecast_cycle=ar_settings["forecast_cycle"],

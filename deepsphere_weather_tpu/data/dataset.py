@@ -174,8 +174,12 @@ def save_dynamic(path, variables: Dict[str, np.ndarray], time: np.ndarray,
     names = sorted(variables)
     T, V = variables[names[0]].shape
     for n in names:
+        # chunk layout is permanent: always the canonical time_chunk even
+        # if the first ingest batch is shorter (zarr allows a chunk larger
+        # than the array; clamping to T froze tiny chunks for append-mode
+        # ingest that starts with a small batch)
         arr = g.create_array(n, shape=(T, V),
-                             chunks=(min(time_chunk, T), V),
+                             chunks=(time_chunk, V),
                              dtype=np.float32, compressor=compressor)
         arr[...] = variables[n].astype(np.float32)
     t = g.create_array("time", shape=(T,), chunks=(T,), dtype=np.int64,

@@ -11,7 +11,8 @@ forks).
 
 Batch dict layout (consumed by engine/):
 - 'dynamic' : [B, W, V, F_dyn]  scaled truth window (W = indexer window)
-- 'bc'      : [B, W, V, F_bc]   scaled boundary conditions (or None)
+- 'bc'      : [B, W, V, F_bc]   boundary conditions, scaled when a
+  scaler_bc is given (or None)
 - 'static'  : [V, F_static]     static features (or None)
 - 'window_time' : [B, W] int64 ns timestamps
 - 'forecast_start_time' : [B] int64 ns (first output time of iteration 0)
@@ -37,20 +38,22 @@ class AutoregressiveDataset:
 
     Mirrors xforecasting.AutoregressiveDataset: `update_AR_iterations`
     mutates the usable sample set mid-training
-    (reference: dev/w_debug_dataloader.py:486-516), and
-    `subset_timesteps` restricts reference times for prediction mode.
+    (reference: dev/w_debug_dataloader.py:486-516);
+    `subset_reference_positions` restricts reference times (prediction
+    mode lives in engine.AutoregressivePredictions, so the reference's
+    training_mode flag has no equivalent here).
     """
 
     def __init__(self, data_dynamic, indexer: ARIndexer,
                  data_bc=None, data_static=None, scaler=None,
-                 training_mode: bool = True,
+                 scaler_bc=None,
                  subset_reference_positions: Optional[np.ndarray] = None):
         self.data_dynamic = data_dynamic
         self.data_bc = data_bc
         self.data_static = data_static
         self.scaler = scaler
+        self.scaler_bc = scaler_bc
         self.indexer = indexer
-        self.training_mode = training_mode
         self.current_ar_iterations = indexer.ar_iterations
         self._subset = subset_reference_positions
         self._static_cache = (data_static.read_stacked()
@@ -91,6 +94,9 @@ class AutoregressiveDataset:
                .view(np.int64)}
         if self.data_bc is not None:
             bc = self.data_bc.read_stacked(t_idx).astype(np.float32)
+            if self.scaler_bc is not None:
+                bc = self.scaler_bc.transform(
+                    bc, time=times).astype(np.float32)
             out["bc"] = bc
         return out
 
@@ -111,7 +117,7 @@ class AutoregressiveDataLoader:
                  shuffle: bool = True, shuffle_seed: int = 69,
                  drop_last_batch: bool = True, num_workers: int = 4,
                  prefetch_factor: int = 2,
-                 autotune_num_workers: bool = False):
+                 autotune_num_workers: bool = False, epoch: int = 0):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
@@ -119,7 +125,11 @@ class AutoregressiveDataLoader:
         self.drop_last_batch = drop_last_batch
         self.num_workers = max(int(num_workers), 1)
         self.prefetch_factor = max(int(prefetch_factor), 1)
-        self._epoch = 0
+        # callers that rebuild the loader per epoch pass `epoch` so the
+        # shuffle permutation (seeded shuffle_seed + epoch) actually
+        # varies — otherwise every epoch trains the identical batch
+        # order and drop_last_batch drops the SAME samples every time
+        self._epoch = int(epoch)
         if autotune_num_workers:
             self.num_workers = self._autotune_num_workers()
 

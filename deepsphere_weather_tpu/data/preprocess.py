@@ -72,12 +72,23 @@ def reformat_pl(data: Dict[str, np.ndarray], plev_name: str = "level",
     """Unstack pressure levels into per-level features: z + 500 -> 'z500'
     (reference my_io.py:11-81). Input arrays are [time, level, ...]."""
     levels = np.asarray(data.get(plev_name, []), dtype=np.int64)
+    dims = data.get("__dims__", {})
     out = {}
     for name, arr in data.items():
         if name.startswith("__") or name == plev_name:
             continue
         arr = np.asarray(arr)
-        if arr.ndim >= 2 and len(levels) and arr.shape[1] == len(levels):
+        # a variable is level-stacked when its SECOND DIM IS the level
+        # dimension — by name when netCDF dimension metadata is available
+        # (a surface var whose second dim merely has the same length must
+        # not be unstacked), by length otherwise
+        var_dims = dims.get(name)
+        if var_dims is not None:
+            stacked = len(var_dims) >= 2 and var_dims[1] == plev_name
+        else:
+            stacked = arr.ndim >= 2 and len(levels) and \
+                arr.shape[1] == len(levels)
+        if stacked:
             wanted = (var_levels or {}).get(name, levels)
             for lv in wanted:
                 li = int(np.nonzero(levels == lv)[0][0])

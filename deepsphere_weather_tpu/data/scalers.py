@@ -90,9 +90,11 @@ class GlobalStandardScaler(_BaseScaler):
         self.feature_order = feature_order
 
     def fit(self, data: np.ndarray, feature_order=None) -> "GlobalStandardScaler":
-        """data: [T, V, F] (fits over time and node)."""
+        """data: [T, V, F] (fits over time and node). Constant features
+        (std 0) scale by 1 so transform stays finite."""
         self.mean = data.mean(axis=(0, 1)).astype(np.float64)
-        self.std = data.std(axis=(0, 1)).astype(np.float64)
+        std = data.std(axis=(0, 1)).astype(np.float64)
+        self.std = np.where(std > 0, std, 1.0)
         self.feature_order = feature_order
         return self
 
@@ -106,7 +108,8 @@ class GlobalStandardScaler(_BaseScaler):
             s1 = s1 + x.sum(axis=0)
             s2 = s2 + (x ** 2).sum(axis=0)
         self.mean = s1 / n
-        self.std = np.sqrt(np.maximum(s2 / n - self.mean ** 2, 0))
+        std = np.sqrt(np.maximum(s2 / n - self.mean ** 2, 0))
+        self.std = np.where(std > 0, std, 1.0)
         self.feature_order = list(ds.feature_order)
         return self
 
@@ -152,11 +155,16 @@ class GlobalMinMaxScaler(_BaseScaler):
         self.feature_order = list(ds.feature_order)
         return self
 
+    def _range(self):
+        d = np.asarray(self.vmax) - np.asarray(self.vmin)
+        # constant features (zero range) scale by 1 to stay finite
+        return np.where(d > 0, d, 1.0)
+
     def transform(self, x, time=None):
-        return (x - self.vmin) / (self.vmax - self.vmin)
+        return (x - self.vmin) / self._range()
 
     def inverse_transform(self, x, time=None):
-        return x * (self.vmax - self.vmin) + self.vmin
+        return x * self._range() + self.vmin
 
     def _state(self):
         return ({"feature_order": self.feature_order},
@@ -187,6 +195,7 @@ class AnomalyScaler(_BaseScaler):
         self.std = std
         self.feature_order = feature_order
         self.reference_period = reference_period
+        self.fitted = None        # [G] bool mask of groups seen at fit
 
     def fit(self, data: np.ndarray, time: np.ndarray, feature_order=None):
         time = np.asarray(time, dtype=_NS)
@@ -200,21 +209,38 @@ class AnomalyScaler(_BaseScaler):
         T, V, F = data.shape
         mean = np.zeros((G, V, F))
         std = np.ones((G, V, F))
+        fitted = np.zeros(G, dtype=bool)
         for g in range(G):
             sel = gidx == g
             if sel.any():
+                fitted[g] = True
                 mean[g] = data[sel].mean(axis=0)
                 s = data[sel].std(axis=0)
                 std[g] = np.where(s > 0, s, 1.0)
         self.mean, self.std = mean, std
+        self.fitted = fitted
         self.feature_order = feature_order
         return self
+
+    def _check_groups(self, g):
+        """Transforming a time group absent from the fit data would
+        silently return the RAW field (mean 0 / std 1) — error instead."""
+        if getattr(self, "fitted", None) is None:
+            return
+        bad = np.unique(np.asarray(g)[~self.fitted[np.asarray(g)]])
+        if bad.size:
+            raise ValueError(
+                f"AnomalyScaler({self.time_groups!r}): time group(s) "
+                f"{bad.tolist()} were absent from the fit data "
+                f"(reference_period={self.reference_period}); cannot "
+                f"transform timestamps in those groups")
 
     def _groups(self, time):
         return time_group_indices(np.asarray(time, dtype=_NS), self.time_groups)
 
     def transform(self, x, time=None):
         g = self._groups(time)
+        self._check_groups(g)
         out = x - self.mean[g]
         if self.standardized:
             out = out / self.std[g]
@@ -222,25 +248,32 @@ class AnomalyScaler(_BaseScaler):
 
     def inverse_transform(self, x, time=None):
         g = self._groups(time)
+        self._check_groups(g)
         out = x * self.std[g] if self.standardized else x
         return out + self.mean[g]
 
     def _state(self):
+        arrays = {"mean": self.mean, "std": self.std}
+        if getattr(self, "fitted", None) is not None:
+            arrays["fitted"] = self.fitted
         return ({"time_groups": self.time_groups,
                  "standardized": self.standardized,
                  "feature_order": self.feature_order,
                  "reference_period": list(self.reference_period)
                  if self.reference_period else None},
-                {"mean": self.mean, "std": self.std})
+                arrays)
 
     @classmethod
     def _from_state(cls, header, arrays):
-        return cls(time_groups=header["time_groups"],
-                   standardized=header["standardized"],
-                   mean=arrays["mean"], std=arrays["std"],
-                   feature_order=header.get("feature_order"),
-                   reference_period=tuple(header["reference_period"])
-                   if header.get("reference_period") else None)
+        obj = cls(time_groups=header["time_groups"],
+                  standardized=header["standardized"],
+                  mean=arrays["mean"], std=arrays["std"],
+                  feature_order=header.get("feature_order"),
+                  reference_period=tuple(header["reference_period"])
+                  if header.get("reference_period") else None)
+        if "fitted" in arrays:   # older files: assume all groups fitted
+            obj.fitted = arrays["fitted"].astype(bool)
+        return obj
 
 
 class Climatology(AnomalyScaler):

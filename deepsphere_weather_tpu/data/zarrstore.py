@@ -224,7 +224,8 @@ class ZarrArray:
         squeeze = []
         for d, (k, s) in enumerate(zip(key, self.shape)):
             if isinstance(k, (int, np.integer)):
-                k = slice(int(k), int(k) + 1)
+                i = int(k) + s if int(k) < 0 else int(k)   # arr[-1] etc.
+                k = slice(i, i + 1)
                 squeeze.append(d)
             start, stop, step = k.indices(s)
             if step != 1:

@@ -95,6 +95,7 @@ def AutoregressivePredictions(
     bc_generator=None,
     data_static=None,
     scaler=None,
+    scaler_bc=None,
     # AR settings
     input_k,
     output_k,
@@ -116,8 +117,9 @@ def AutoregressivePredictions(
     times outside `data_bc` (xforecasting's bc_generator parity,
     SURVEY.md §2.9) — multi-year free runs outlive the BC store; TOA solar
     is analytic (data.toy.toa_solar_radiation). Without a generator, a
-    rollout that outruns the BC data raises instead of silently freezing
-    the forcing at its last value.
+    rollout that outruns the BC data holds the last value and warns
+    loudly (frozen forcing drifts seasonally). `scaler_bc` transforms BC
+    the same way the training loader did.
 
     `keep_first_prediction`: when output windows overlap across AR
     iterations the same leadtime is predicted more than once; the store
@@ -226,8 +228,16 @@ def AutoregressivePredictions(
         t_in = t0 + offs
         in_range = (data_bc is not None and t_in[0] >= 0
                     and t_in[-1] < data_bc.n_time)
+        times = data_dynamic.time[t0] + offs * dt
+
+        def _scaled(bc_vals):
+            if scaler_bc is None:
+                return bc_vals
+            return np.asarray(scaler_bc.transform(bc_vals, time=times),
+                              dtype=np.float32)
+
         if in_range:
-            return data_bc.read_stacked(t_in)
+            return _scaled(data_bc.read_stacked(t_in))
         if bc_generator is None:
             if not bc_warned[0]:
                 bc_warned[0] = True
@@ -240,10 +250,9 @@ def AutoregressivePredictions(
                     f"long free runs pass bc_generator (e.g. analytic TOA "
                     f"solar) — frozen forcing drifts seasonally.",
                     stacklevel=3)
-            return data_bc.read_stacked(
-                np.clip(t_in, 0, data_bc.n_time - 1))
-        times = data_dynamic.time[t0] + offs * dt
-        return np.asarray(bc_generator(times), dtype=np.float32)
+            return _scaled(data_bc.read_stacked(
+                np.clip(t_in, 0, data_bc.n_time - 1)))
+        return _scaled(np.asarray(bc_generator(times), dtype=np.float32))
 
     for lo in range(0, len(t0s), batch_size):
         sel = t0s[lo: lo + batch_size]

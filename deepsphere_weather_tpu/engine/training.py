@@ -116,6 +116,7 @@ def AutoregressiveTraining(
     validation_data_bc=None,
     data_static=None,
     scaler=None,
+    scaler_bc=None,
     # AR settings
     input_k,
     output_k,
@@ -177,13 +178,13 @@ def AutoregressiveTraining(
 
     train_ds = AutoregressiveDataset(
         training_data_dynamic, indexer, data_bc=training_data_bc,
-        data_static=data_static, scaler=scaler)
+        data_static=data_static, scaler=scaler, scaler_bc=scaler_bc)
     train_ds.update_AR_iterations(ar_scheduler.current_ar_iterations)
     val_ds = None
     if validation_data_dynamic is not None:
         val_ds = AutoregressiveDataset(
             validation_data_dynamic, indexer, data_bc=validation_data_bc,
-            data_static=data_static, scaler=scaler)
+            data_static=data_static, scaler=scaler, scaler_bc=scaler_bc)
         val_ds.update_AR_iterations(ar_scheduler.current_ar_iterations)
 
     info = ARTrainingInfo()
@@ -216,7 +217,8 @@ def AutoregressiveTraining(
             train_ds, batch_size=training_batch_size, shuffle=shuffle,
             shuffle_seed=shuffle_seed, num_workers=num_workers,
             prefetch_factor=prefetch_factor,
-            autotune_num_workers=autotune_num_workers and epoch == 0)
+            autotune_num_workers=autotune_num_workers and epoch == 0,
+            epoch=epoch)
         if autotune_num_workers and epoch == 0:
             num_workers = loader.num_workers  # reuse tuned value onwards
         info.epoch_boundaries.append(update)

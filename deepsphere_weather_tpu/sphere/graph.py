@@ -23,7 +23,7 @@ from typing import Dict, Optional
 
 import numpy as np
 from scipy import sparse
-from scipy.spatial import SphericalVoronoi, cKDTree
+from scipy.spatial import cKDTree
 
 from .samplings import Sampling, build_sampling
 
@@ -37,7 +37,10 @@ class SphereGraph:
 
     sampling: Sampling
     k: int
-    W: sparse.csr_matrix          # symmetric adjacency (gaussian kernel weights)
+    # symmetric gaussian-kernel knn adjacency; None for cotan ('voronoi'/
+    # 'mesh') graph types, which build their operator from the
+    # triangulation instead
+    W: Optional[sparse.csr_matrix]
     L: sparse.csr_matrix          # normalized Laplacian, eigenvalues rescaled to [-1, 1]
     # knn and mesh Laplacians are symmetric; the voronoi (mass-lumped
     # M^-1 L cotan) operator is NOT — the block-sparse operator needs this
@@ -142,9 +145,14 @@ def prepare_laplacian(laplacian: sparse.spmatrix) -> sparse.csr_matrix:
 
 
 def triangulate(coords: np.ndarray):
-    """Spherical Delaunay triangulation via SphericalVoronoi (reference: layers.py:35-38)."""
-    sv = SphericalVoronoi(coords)
-    return sv.points, sv._simplices
+    """Spherical Delaunay triangulation (reference: layers.py:35-38).
+
+    For unit-sphere points the convex-hull facets ARE the spherical
+    Delaunay triangles; ConvexHull is public scipy API (SphericalVoronoi
+    derives its private _simplices from the same hull)."""
+    from scipy.spatial import ConvexHull
+
+    return np.asarray(coords), ConvexHull(coords).simplices
 
 
 def compute_cotan_laplacian(coords: np.ndarray, return_mass: bool = False):
@@ -203,10 +211,10 @@ def laplacian_to_ell(L: sparse.spmatrix, dtype=np.float32):
     width = int(deg.max())
     cols = np.zeros((n, width), dtype=np.int32)
     vals = np.zeros((n, width), dtype=dtype)
-    for i in range(n):
-        s, e = csr.indptr[i], csr.indptr[i + 1]
-        cols[i, : e - s] = csr.indices[s:e]
-        vals[i, : e - s] = csr.data[s:e]
+    rows = np.repeat(np.arange(n), deg)
+    offs = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], deg)
+    cols[rows, offs] = csr.indices
+    vals[rows, offs] = csr.data
     return cols, vals
 
 
@@ -227,8 +235,12 @@ def build_graph(name: str, sampling_kwargs: Dict, k: int = 20,
     if sampling is None:
         sampling = build_sampling(name, sampling_kwargs)
     coords = sampling.coords_3d
-    W = knn_adjacency(coords, k=k)
+    # the knn adjacency feeds only the knn Laplacian; building it for
+    # cotan graph types wastes a cKDTree query + an n x n sparse matrix
+    # (e.g. HEALPix-128: ~200k nodes) that nothing reads
+    W = None
     if graph_type == "knn":
+        W = knn_adjacency(coords, k=k)
         L0 = normalized_laplacian(W)
     elif graph_type == "voronoi":
         L0 = compute_cotan_laplacian(coords)

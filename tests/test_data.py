@@ -325,3 +325,66 @@ class TestLoaderBackpressure:
         assert len(assembled) <= max_expected, len(assembled)
         # the producer thread must have exited (no blocked q.put leak)
         assert threading.active_count() <= before + 1
+
+
+class TestScalerGuards:
+    def test_constant_feature_std_guard(self):
+        from deepsphere_weather_tpu.data.scalers import (
+            GlobalMinMaxScaler, GlobalStandardScaler)
+
+        data = np.random.default_rng(0).standard_normal((10, 5, 2))
+        data[..., 1] = 3.0                      # constant feature
+        s = GlobalStandardScaler().fit(data)
+        out = s.transform(data)
+        assert np.all(np.isfinite(out)) and np.allclose(out[..., 1], 0.0)
+        np.testing.assert_allclose(s.inverse_transform(out), data, atol=1e-9)
+        mm = GlobalMinMaxScaler().fit(data)
+        out = mm.transform(data)
+        assert np.all(np.isfinite(out))
+        np.testing.assert_allclose(mm.inverse_transform(out), data, atol=1e-9)
+
+    def test_anomaly_unseen_group_raises(self, tmp_path):
+        from deepsphere_weather_tpu.data.scalers import (
+            AnomalyScaler, load_scaler)
+
+        # fit on Jan-Jun only
+        time = np.arange(np.datetime64("2010-01-01"),
+                         np.datetime64("2010-07-01"),
+                         np.timedelta64(1, "D")).astype("datetime64[ns]")
+        data = np.random.default_rng(1).standard_normal(
+            (len(time), 4, 2)) + 50000.0
+        a = AnomalyScaler(time_groups="month").fit(data, time)
+        # in-sample months transform fine
+        assert np.all(np.isfinite(a.transform(data[:3], time=time[:3])))
+        dec = np.asarray([np.datetime64("2010-12-05")], dtype="datetime64[ns]")
+        with pytest.raises(ValueError, match="absent from the fit data"):
+            a.transform(data[:1], time=dec)
+        # the fitted-group mask survives save/load
+        a.save(tmp_path / "a.npz")
+        a2 = load_scaler(tmp_path / "a.npz")
+        with pytest.raises(ValueError, match="absent from the fit data"):
+            a2.transform(data[:1], time=dec)
+
+
+class TestReformatDims:
+    def test_surface_var_with_level_length_dim_not_unstacked(self):
+        from deepsphere_weather_tpu.data.preprocess import reformat_pl
+
+        levels = np.asarray([500, 850])
+        data = {
+            "level": levels,
+            # genuinely level-stacked: [time, level, node]
+            "z": np.random.default_rng(0).standard_normal((3, 2, 6)),
+            # surface var whose 2nd dim length == len(levels) by accident
+            "t2m": np.random.default_rng(1).standard_normal((3, 2)),
+            "__dims__": {"z": ("time", "level", "node"),
+                         "t2m": ("time", "latitude")},
+        }
+        out = reformat_pl(data)
+        assert "z500" in out and "z850" in out
+        assert "t2m" in out and out["t2m"].shape == (3, 2)
+        # without dim metadata the length heuristic still applies
+        data2 = {"level": levels,
+                 "z": data["z"]}
+        out2 = reformat_pl(data2)
+        assert "z500" in out2 and "z850" in out2
