@@ -26,7 +26,7 @@ from ..data.zarrstore import ZarrGroup, create_group
 from .step import make_rollout_block
 
 __all__ = ["AutoregressivePredictions", "ForecastDataset",
-           "rechunk_forecasts_for_verification"]
+           "make_bc_reader", "rechunk_forecasts_for_verification"]
 
 
 class ForecastDataset:
@@ -84,6 +84,51 @@ def leadtime_slots(lead_offsets, keep_first_prediction: bool):
             chosen[int(off)] = flat
     return uniq_offsets, {flat: slot_of_offset[off]
                           for off, flat in chosen.items()}
+
+
+def make_bc_reader(data_dynamic, data_bc, bc_generator=None, scaler_bc=None):
+    """Build `read_bc(t0, offs) -> [n_in, V, F_bc]` for rollout loops.
+
+    Reads `data_bc` where it covers the absolute offsets, calls
+    `bc_generator(times)` beyond it; without a generator the last
+    available BC is held with a LOUD one-time warning (a silent clip
+    froze seasonal forcing for multi-year runs). `scaler_bc` transforms
+    the result the same way the training loader did. Shared by
+    AutoregressivePredictions and prob.ensemble_rollout_predictions."""
+    dt = data_dynamic.timestep
+    warned = [False]
+
+    def read_bc(t0, offs):
+        t_in = t0 + offs
+        in_range = (data_bc is not None and t_in[0] >= 0
+                    and t_in[-1] < data_bc.n_time)
+        times = data_dynamic.time[t0] + offs * dt
+
+        def _scaled(bc_vals):
+            if scaler_bc is None:
+                return bc_vals
+            return np.asarray(scaler_bc.transform(bc_vals, time=times),
+                              dtype=np.float32)
+
+        if in_range:
+            return _scaled(data_bc.read_stacked(t_in))
+        if bc_generator is None:
+            if not warned[0]:
+                warned[0] = True
+                import warnings
+                warnings.warn(
+                    f"rollout needs boundary conditions at dataset offsets "
+                    f"up to {t_in.max()} but data_bc covers 0.."
+                    f"{data_bc.n_time - 1 if data_bc is not None else -1}: "
+                    f"holding the last available BC beyond the store. For "
+                    f"long free runs pass bc_generator (e.g. analytic TOA "
+                    f"solar) — frozen forcing drifts seasonally.",
+                    stacklevel=3)
+            return _scaled(data_bc.read_stacked(
+                np.clip(t_in, 0, data_bc.n_time - 1)))
+        return _scaled(np.asarray(bc_generator(times), dtype=np.float32))
+
+    return read_bc
 
 
 def AutoregressivePredictions(
@@ -217,42 +262,7 @@ def AutoregressivePredictions(
                if 0 < tail < ar_blocks and n_steps > ar_blocks else None)
     min_k = min(indexer.input_k)
     out_arrays = {name: g[name] for name in data_dynamic.feature_order}
-
-    bc_warned = [False]
-
-    def _read_bc(t0, offs):
-        """BC window at absolute offsets from reference index t0 —
-        data_bc where it covers, bc_generator beyond; without a generator
-        the last available BC is held, with a LOUD one-time warning (a
-        silent clip froze seasonal forcing for multi-year runs)."""
-        t_in = t0 + offs
-        in_range = (data_bc is not None and t_in[0] >= 0
-                    and t_in[-1] < data_bc.n_time)
-        times = data_dynamic.time[t0] + offs * dt
-
-        def _scaled(bc_vals):
-            if scaler_bc is None:
-                return bc_vals
-            return np.asarray(scaler_bc.transform(bc_vals, time=times),
-                              dtype=np.float32)
-
-        if in_range:
-            return _scaled(data_bc.read_stacked(t_in))
-        if bc_generator is None:
-            if not bc_warned[0]:
-                bc_warned[0] = True
-                import warnings
-                warnings.warn(
-                    f"rollout needs boundary conditions at dataset offsets "
-                    f"up to {t_in.max()} but data_bc covers 0.."
-                    f"{data_bc.n_time - 1 if data_bc is not None else -1}: "
-                    f"holding the last available BC beyond the store. For "
-                    f"long free runs pass bc_generator (e.g. analytic TOA "
-                    f"solar) — frozen forcing drifts seasonally.",
-                    stacklevel=3)
-            return _scaled(data_bc.read_stacked(
-                np.clip(t_in, 0, data_bc.n_time - 1)))
-        return _scaled(np.asarray(bc_generator(times), dtype=np.float32))
+    _read_bc = make_bc_reader(data_dynamic, data_bc, bc_generator, scaler_bc)
 
     for lo in range(0, len(t0s), batch_size):
         sel = t0s[lo: lo + batch_size]

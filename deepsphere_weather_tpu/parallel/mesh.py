@@ -39,8 +39,25 @@ def make_mesh(n_data: Optional[int] = None, n_member: int = 1,
     """
     if devices is None:
         devices = jax.devices()
+    if n_member * n_node > len(devices):
+        raise ValueError(
+            f"make_mesh: n_member*n_node = {n_member * n_node} exceeds the "
+            f"{len(devices)} available devices (a zero-device mesh would "
+            f"fail later with an opaque sharding error)")
     if n_data is None:
         n_data = len(devices) // (n_member * n_node)
+        if len(devices) % (n_member * n_node):
+            import warnings
+            warnings.warn(
+                f"make_mesh: {len(devices)} devices are not divisible by "
+                f"n_member*n_node = {n_member * n_node}; using "
+                f"{n_data * n_node * n_member} devices and leaving "
+                f"{len(devices) - n_data * n_node * n_member} idle",
+                stacklevel=2)
+    if n_data * n_node * n_member > len(devices):
+        raise ValueError(
+            f"make_mesh: {n_data}x{n_node}x{n_member} mesh needs "
+            f"{n_data * n_node * n_member} devices, have {len(devices)}")
     devs = np.asarray(devices[: n_data * n_node * n_member]).reshape(
         n_data, n_node, n_member)
     return Mesh(devs, axis_names=("data", "node", "member"))

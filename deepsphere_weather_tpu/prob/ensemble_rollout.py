@@ -69,12 +69,23 @@ def make_ensemble_rollout(model, indexer: ARIndexer, block_size: int,
 def ensemble_rollout_predictions(model, member_params, *,
                                  data_dynamic, indexer: ARIndexer,
                                  n_steps: int,
-                                 data_bc=None, data_static=None, scaler=None,
+                                 data_bc=None, bc_generator=None,
+                                 data_static=None, scaler=None,
+                                 scaler_bc=None, inverse_scale: bool = True,
                                  t0s: np.ndarray, batch_size: int = 8,
                                  mesh=None) -> np.ndarray:
     """All-member rollout -> predictions [M, n_frt, n_steps, n_out, V, F]
     (host memory; caller streams to stores). Used for moderate horizons
-    where the whole rollout fits one block."""
+    where the whole rollout fits one block.
+
+    BC handling matches engine.AutoregressivePredictions (shared
+    make_bc_reader): `scaler_bc` transforms BC exactly as the training
+    loader did, `bc_generator` covers rollouts beyond the BC store.
+    Outputs are inverse-transformed to PHYSICAL units when `scaler` is
+    given (disable with inverse_scale=False for scaled-space pipelines).
+    """
+    from ..engine.prediction import make_bc_reader
+
     n_members = jax.tree_util.tree_leaves(member_params)[0].shape[0]
     fn, H = make_ensemble_rollout(model, indexer, n_steps, mesh=mesh)
     geom = jax.device_put(model.geometry_pytree())
@@ -82,7 +93,11 @@ def ensemble_rollout_predictions(model, member_params, *,
               if data_static is not None else None)
     V = data_dynamic.n_node
     F = data_dynamic.n_feature
+    dt = data_dynamic.timestep
     min_k = min(indexer.input_k)
+    read_bc = make_bc_reader(data_dynamic, data_bc, bc_generator, scaler_bc)
+    in_offs = np.asarray(indexer.input_k)
+    out_offs = np.asarray(indexer.output_k)
     outs = []
     for lo in range(0, len(t0s), batch_size):
         sel = t0s[lo: lo + batch_size]
@@ -98,16 +113,21 @@ def ensemble_rollout_predictions(model, member_params, *,
         hist_m = jnp.broadcast_to(jnp.asarray(hist)[None],
                                   (n_members,) + hist.shape)
         bc_block = None
-        if data_bc is not None:
-            bc_np = np.zeros((B, n_steps, len(indexer.input_k), V,
-                              data_bc.n_feature), dtype=np.float32)
-            for b, t0 in enumerate(sel):
-                for i in range(n_steps):
-                    t_in = np.clip(
-                        t0 + i * indexer.forecast_cycle
-                        + np.asarray(indexer.input_k), 0, data_bc.n_time - 1)
-                    bc_np[b, i] = data_bc.read_stacked(t_in)
-            bc_block = jnp.asarray(bc_np)
+        if data_bc is not None or bc_generator is not None:
+            bc_rows = [read_bc(t0, i * indexer.forecast_cycle + in_offs)
+                       for t0 in sel for i in range(n_steps)]
+            bc_block = jnp.asarray(
+                np.asarray(bc_rows, dtype=np.float32).reshape(
+                    B, n_steps, len(in_offs), V, bc_rows[0].shape[-1]))
         _, preds = fn(member_params, hist_m, bc_block, static, geom)
-        outs.append(np.asarray(preds))
+        preds = np.asarray(preds)          # [M, B, n_steps, n_out, V, F]
+        if scaler is not None and inverse_scale:
+            for i in range(n_steps):
+                for oi in range(len(out_offs)):
+                    t_valid = (data_dynamic.time[sel]
+                               + (i * indexer.forecast_cycle
+                                  + out_offs[oi]) * dt)
+                    preds[:, :, i, oi] = scaler.inverse_transform(
+                        preds[:, :, i, oi], time=t_valid)
+        outs.append(preds)
     return np.concatenate(outs, axis=1)

@@ -179,10 +179,28 @@ class SWAG:
 
     def load_state_arrays(self, arrays: Dict[str, np.ndarray]):
         n_models, n_cols, head = (int(x) for x in arrays["scalars"])
+        cov = np.asarray(arrays["cov_cols"])
+        # reconcile the checkpoint's covariance-buffer geometry with this
+        # instance: sampling indexes rows [0, max_num_models), so a
+        # mismatched buffer would crash (or silently drop deviation
+        # columns) at sample() time rather than here
+        rows = 1 if self.no_cov_mat else self.max_num_models
+        if cov.shape[0] != rows:
+            if n_cols > min(cov.shape[0], rows):
+                raise ValueError(
+                    f"SWAG checkpoint has {n_cols} covariance columns in a "
+                    f"{cov.shape[0]}-row buffer but this instance holds "
+                    f"{rows} (max_num_models={self.max_num_models}, "
+                    f"no_cov_mat={self.no_cov_mat}); rebuild the SWAG "
+                    f"wrapper with the checkpoint's settings")
+            resized = np.zeros((rows, cov.shape[1]), dtype=cov.dtype)
+            keep = min(rows, cov.shape[0])
+            resized[:keep] = cov[:keep]
+            cov, head = resized, n_cols % rows
         self.state = SWAGState(
             mean=jnp.asarray(arrays["mean"]),
             sq_mean=jnp.asarray(arrays["sq_mean"]),
-            cov_cols=jnp.asarray(arrays["cov_cols"]),
+            cov_cols=jnp.asarray(cov),
             n_models=n_models, n_cols=n_cols, col_head=head)
 
     def save(self, path):

@@ -167,6 +167,12 @@ def deterministic(forecast, obs_dataset, forecast_type: str = "continuous",
     """
     if aggregating_dim != "time":
         raise NotImplementedError("only aggregating_dim='time' implemented")
+    if list(forecast.feature_order) != list(obs_dataset.feature_order):
+        raise ValueError(
+            f"feature order mismatch: forecast {forecast.feature_order} vs "
+            f"observations {obs_dataset.feature_order} — comparison is "
+            f"positional, so skills would score the wrong variables")
+    L = forecast.n_leadtime
     if forecast_type == "continuous":
         metric_fn = deterministic_metrics
     elif forecast_type == "categorical_binary":
@@ -176,7 +182,6 @@ def deterministic(forecast, obs_dataset, forecast_type: str = "continuous",
         raise NotImplementedError(
             f"forecast_type {forecast_type!r}: use 'continuous' or "
             "'categorical_binary'")
-    L = forecast.n_leadtime
     skills: Dict[str, List[np.ndarray]] = {k: [] for k in
                                            metric_fn(
                                                np.zeros((2, 1)),
@@ -202,31 +207,30 @@ def global_summary(skill: SkillDataset, area_weights: np.ndarray) -> SkillDatase
     """Area-weighted aggregation over nodes (xverif.global_summary parity)."""
     w = np.asarray(area_weights, dtype=np.float64)
     w = w / w.sum()
+    def nanwmean(v):
+        # NaN-aware weighted mean: renormalize weights over valid nodes;
+        # an all-NaN (leadtime, feature) stays NaN — nan_to_num here
+        # reported MSE/RMSE = 0 ("perfect") for unmatched leadtimes
+        valid = ~np.isnan(v)
+        num = np.einsum("lvf,v->lf", np.where(valid, v, 0.0), w)
+        den = np.einsum("lvf,v->lf", valid.astype(np.float64), w)
+        return num / np.where(den > 0, den, np.nan)
+
     out = {}
     for k, v in skill.skills.items():
         if k in ("MSE",):
-            out[k] = np.einsum("lvf,v->lf", np.nan_to_num(v), w)
+            out[k] = nanwmean(v)
             continue
         if k == "RMSE" and "MSE" in skill.skills:
-            mse = np.einsum("lvf,v->lf", np.nan_to_num(skill.skills["MSE"]), w)
-            out[k] = np.sqrt(mse)
+            out[k] = np.sqrt(nanwmean(skill.skills["MSE"]))
             continue
         if "RMSE" in k:
             # RMSE-like without a stored MSE (e.g. ensemble RMSE_mean):
             # aggregate as sqrt of the weighted mean of squares so global
             # values are comparable with the deterministic RMSE
-            out[k] = np.sqrt(np.einsum("lvf,v->lf", np.nan_to_num(v) ** 2, w))
+            out[k] = np.sqrt(nanwmean(v ** 2))
             continue
-        if np.isnan(v).any():
-            # NaN-aware weighted mean (e.g. spread_skill_ratio is NaN
-            # where RMSE == 0): renormalize weights over valid nodes
-            # instead of counting NaNs as zeros
-            valid = ~np.isnan(v)
-            num = np.einsum("lvf,v->lf", np.where(valid, v, 0.0), w)
-            den = np.einsum("lvf,v->lf", valid.astype(np.float64), w)
-            out[k] = num / np.where(den > 0, den, np.nan)
-            continue
-        out[k] = np.einsum("lvf,v->lf", v, w)
+        out[k] = nanwmean(v)
     return SkillDataset(out, skill.leadtime_hours, skill.feature_order)
 
 
@@ -238,8 +242,12 @@ def _banded_summary(skill: SkillDataset, coord: np.ndarray, res: float,
     w = (np.ones_like(coord) if area_weights is None
          else np.asarray(area_weights, dtype=np.float64))
     out = {k: [] for k in skill.skills}
-    for e0, e1 in zip(edges[:-1], edges[1:]):
+    for bi, (e0, e1) in enumerate(zip(edges[:-1], edges[1:])):
         sel = (coord >= e0) & (coord < e1)
+        if bi == len(edges) - 2:
+            # last band is CLOSED so a node exactly at the max coordinate
+            # (e.g. the lat=90 pole on a band edge) is not dropped
+            sel = (coord >= e0) & (coord <= e1)
         ws = w[sel]
         ws = ws / ws.sum() if ws.sum() > 0 else ws
         for k, v in skill.skills.items():

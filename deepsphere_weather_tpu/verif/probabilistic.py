@@ -73,21 +73,46 @@ def rank_histogram(members: np.ndarray, obs: np.ndarray) -> np.ndarray:
 def probabilistic(ensemble, obs_dataset) -> SkillDataset:
     """Verify an EnsembleForecastDataset: CRPS, spread, spread/skill per
     (leadtime, node, feature)."""
+    if list(ensemble.feature_order) != list(obs_dataset.feature_order):
+        raise ValueError(
+            f"feature order mismatch: ensemble {ensemble.feature_order} vs "
+            f"observations {obs_dataset.feature_order} — comparison is "
+            f"positional, so skills would score the wrong variables")
     M = ensemble.n_member
     L = ensemble.group["leadtime"].shape[0]
     frt = np.asarray(ensemble.group["forecast_reference_time"][...]).view(
         "datetime64[ns]")
     lt_hours = np.asarray(ensemble.group["leadtime"][...])
     obs_time = obs_dataset.time
+    n_frt = len(frt)
+    V = len(obs_dataset.lat)
+    F = len(ensemble.feature_order)
+    # member chunks span (1, n_frt, L, V): slicing one leadtime inside the
+    # lt loop would decompress every member chunk L*F times. Preload each
+    # (member, feature) array ONCE when the ensemble fits a host-memory
+    # budget; fall back to per-slice reads beyond it.
+    preload = M * F * n_frt * L * V * 4 <= (4 << 30)
+    cache = ({(m, n): np.asarray(ensemble.variables[n][m])
+              for m in range(M) for n in ensemble.feature_order}
+             if preload else None)
+
+    def member_slice(m, n, lt):
+        if cache is not None:
+            return cache[(m, n)][:, lt, :]
+        return ensemble.variables[n][m, :, lt, :]
+
     skills = {"CRPS": [], "spread": [], "RMSE_mean": [],
               "spread_skill_ratio": []}
     for lt in range(L):
-        valid = frt + lt_hours[lt].astype("timedelta64[h]")
+        # rounded-seconds leadtimes: float .astype('timedelta64[h]')
+        # TRUNCATES fractional hours (0.5h -> 0h) and would mismatch every
+        # sub-hourly observation (same fix as ForecastDataset.valid_time)
+        valid = frt + np.round(lt_hours[lt] * 3600.0).astype("timedelta64[s]")
         sidx = np.searchsorted(obs_time, valid)
         ok = sidx < len(obs_time)
         ok &= obs_time[np.minimum(sidx, len(obs_time) - 1)] == valid
         mem = np.stack([
-            np.stack([ensemble.variables[n][m, :, lt, :]
+            np.stack([member_slice(m, n, lt)
                       for n in ensemble.feature_order], axis=-1)[ok]
             for m in range(M)])                      # [M, T, V, F]
         obs = obs_dataset.read_stacked(sidx[ok])      # [T, V, F]

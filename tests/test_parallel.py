@@ -228,3 +228,20 @@ class TestReproducibility:
         for a, b in zip(jax.tree_util.tree_leaves(p1),
                         jax.tree_util.tree_leaves(p2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestMeshValidation:
+    def test_indivisible_and_oversized(self):
+        import warnings
+
+        from deepsphere_weather_tpu.parallel import make_mesh
+
+        with pytest.raises(ValueError, match="exceeds"):
+            make_mesh(n_member=64)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            mesh = make_mesh(n_member=3)   # 8 devices % 3 != 0
+        assert any("idle" in str(x.message) for x in w)
+        assert mesh.devices.size == 6
+        with pytest.raises(ValueError, match="needs"):
+            make_mesh(n_data=8, n_member=3)

@@ -167,3 +167,28 @@ class TestEnsemblePredictions:
         m1 = out["members"][1].read_leadtime(0)
         np.testing.assert_allclose(x, np.median(np.stack([m0, m1]), axis=0),
                                    rtol=1e-6)
+
+
+class TestSWAGLoadReconcile:
+    def test_mismatched_buffer_geometry(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from deepsphere_weather_tpu.prob import SWAG
+
+        tmpl = {"w": jnp.zeros((5,))}
+        src = SWAG(tmpl, max_num_models=4)
+        for i in range(3):
+            src.collect_model({"w": jnp.full((5,), float(i))})
+        src.save(tmp_path / "swag.npz")
+
+        # larger buffer: zero-padded, sampling works
+        dst = SWAG(tmpl, max_num_models=8)
+        dst.load(tmp_path / "swag.npz")
+        s = dst.sample(jax.random.key(0), scale=0.5, cov=True)
+        assert s["w"].shape == (5,) and np.all(np.isfinite(np.asarray(s["w"])))
+
+        # smaller buffer than stored columns: loud error
+        tiny = SWAG(tmpl, max_num_models=2)
+        with pytest.raises(ValueError, match="covariance columns"):
+            tiny.load(tmp_path / "swag.npz")

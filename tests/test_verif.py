@@ -99,3 +99,42 @@ class TestCRPS:
         assert rh.shape == (21,)
         # roughly flat histogram
         assert rh.max() < 2.5 * rh.min() + 10
+
+
+class TestVerifReviewRegressions:
+    def test_global_summary_all_nan_leadtime_stays_nan(self):
+        from deepsphere_weather_tpu.verif.deterministic import (
+            SkillDataset, global_summary)
+
+        mse = np.ones((3, 4, 2))
+        mse[1] = np.nan                 # leadtime with no matched samples
+        sd = SkillDataset({"MSE": mse, "RMSE": np.sqrt(mse)},
+                          np.asarray([1.0, 2.0, 3.0]), ["a", "b"])
+        gs = global_summary(sd, np.ones(4))
+        # an unmatched leadtime must NOT report 0 ("perfect") skill
+        assert np.isnan(gs["MSE"][1]).all() and np.isnan(gs["RMSE"][1]).all()
+        assert np.allclose(gs["MSE"][0], 1.0)
+
+    def test_banded_summary_includes_max_edge_node(self):
+        from deepsphere_weather_tpu.verif.deterministic import (
+            SkillDataset, latitudinal_summary)
+
+        lat = np.asarray([-90.0, -45.0, 0.0, 45.0, 90.0])
+        v = np.arange(5, dtype=np.float64).reshape(1, 5, 1)
+        sd = SkillDataset({"BIAS": v}, np.asarray([1.0]), ["a"],
+                          lat=lat, lon=np.zeros(5))
+        bands = latitudinal_summary(sd, lat_res=5)
+        # every node lands in some band — the lat=90 pole included
+        # (5-degree bands put each node alone in its band, so the band
+        # means must sum to the node values' sum)
+        assert np.nansum(bands["skills"]["BIAS"]) == v.sum()
+
+    def test_deterministic_feature_order_guard(self, toy_forecast_setup=None):
+        from deepsphere_weather_tpu.verif.deterministic import deterministic
+
+        class FakeF:
+            feature_order = ["z500", "t850"]
+        class FakeO:
+            feature_order = ["t850", "z500"]
+        with pytest.raises(ValueError, match="feature order mismatch"):
+            deterministic(FakeF(), FakeO())
