@@ -143,7 +143,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     # --- experiment dir ---------------------------------------------------
     model_name = get_model_name(cfg)
     exp_path = create_experiment_directories(exp_dir, model_name,
-                                             force=force or resume)
+                                             force=force, resume=resume)
     write_config_file(cfg, exp_path / "config.json")
     (exp_path / "tensor_info.json").write_text(
         json.dumps(tensor_info, indent=1, default=str))

@@ -251,7 +251,13 @@ def get_model_name(cfg: Dict) -> str:
             pieces.append(f"k{ms['knn']}")
         else:
             pieces.append("Image")
-        pieces.append(f"{str(ms['pool_method']).capitalize()}Pooling")
+        # canonical casing (str.capitalize would fold MaxVal -> 'Maxval',
+        # splitting experiment names from the reference scheme)
+        _pool_names = {"max": "Max", "avg": "Avg", "interp": "Interp",
+                       "maxval": "MaxVal", "maxarea": "MaxArea",
+                       "learn": "Learn"}
+        pm = str(ms["pool_method"])
+        pieces.append(f"{_pool_names.get(pm.lower(), pm.capitalize())}Pooling")
         name = "-".join(pieces)
     prefix = ms.get("model_name_prefix")
     suffix = ms.get("model_name_suffix")
@@ -263,13 +269,24 @@ def get_model_name(cfg: Dict) -> str:
 
 
 def create_experiment_directories(exp_dir, model_name: str,
-                                  force: bool = False) -> Path:
+                                  force: bool = False,
+                                  resume: bool = False) -> Path:
     """Scaffold the experiment directory contract
-    (reference layout, utils_config.py:539-581)."""
+    (reference layout, utils_config.py:539-581).
+
+    force=True DELETES an existing experiment dir first — leaving stale
+    artifacts (old checkpoints, prediction chunks, skills) in place made
+    a later --resume silently continue the previous run and mixed old
+    prediction chunks into the new run's stores. resume=True keeps the
+    existing directory (its checkpoint IS the point)."""
     exp_dir = Path(exp_dir) / model_name
-    if exp_dir.exists() and not force:
-        raise FileExistsError(
-            f"experiment dir {exp_dir} exists; use force=True to overwrite")
+    if exp_dir.exists() and not resume:
+        if not force:
+            raise FileExistsError(
+                f"experiment dir {exp_dir} exists; use force=True to "
+                f"overwrite")
+        import shutil
+        shutil.rmtree(exp_dir)
     for sub in ("model_weights", "figs/skills", "figs/training_info",
                 "model_predictions/space_chunked",
                 "model_predictions/forecast_chunked",

@@ -25,8 +25,9 @@ from ..ops.conv2d import equiangular_conv2d
 __all__ = ["get_activation", "init_cheb_weight", "ConvBlock", "ResBlock"]
 
 _RELU_FAMILY = {
-    "relu", "celu", "selu", "prelu", "hardswish", "mish", "silu", "gelu",
-    "softplus", "softmax", "logsigmoid", "relu6", "rrlu", "leaky_relu", "elu",
+    "relu", "celu", "selu", "prelu", "hardswish", "mish", "silu", "swish",
+    "gelu", "softplus", "softmax", "logsigmoid", "relu6", "rrelu", "rrlu",
+    "leaky_relu", "elu",
 }
 _LINEAR_FAMILY = {
     "linear", "identity", "hardshrink", "sigmoid", "hardsigmoid", "tanh",
@@ -58,7 +59,9 @@ _ACT_MAP = {
     # is a fixed-slope leaky relu. RReLU in eval mode uses the mean slope
     # (1/8 + 1/3) / 2 (torch defaults).
     "prelu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.25),
-    "rrlu": lambda x: jax.nn.leaky_relu(
+    "rrelu": lambda x: jax.nn.leaky_relu(
+        x, negative_slope=(1 / 8 + 1 / 3) / 2),
+    "rrlu": lambda x: jax.nn.leaky_relu(        # legacy misspelled alias
         x, negative_slope=(1 / 8 + 1 / 3) / 2),
     "linear": lambda x: x,
     "identity": lambda x: x,

@@ -126,18 +126,35 @@ class UNetSpherical:
                 kw["nlat"], kw["nlon"] = samp_kw["nlat"], samp_kw["nlon"]
             return ResBlock(cin, couts, geometry.cheb_ops[level], kw)
 
+        # skip-connection mode: 'stack' (reference concat, :530), 'sum',
+        # 'avg', or 'none' — encoder/decoder widths already match at each
+        # level, so sum/avg/none only narrow the decoder conv inputs
+        # (previously the argument was accepted but silently ignored)
+        from ..sphere.samplings import check_skip_connection
+        self.skip_connection = check_skip_connection(skip_connection)
+        mult = 2 if self.skip_connection == "stack" else 1
+
         # Channel plan (reference my_models_graph.py:438-485)
         self.conv1 = res(0, self.input_channels, (32 * 2, 64 * 2))
         self.conv2 = res(1, 64 * 2, (96 * 2, 128 * 2))
         self.conv3 = res(2, 128 * 2, (256 * 2, 128 * 2))
-        self.uconv2 = res(1, 256 * 2, (128 * 2, 64 * 2))
-        self.uconv1 = res(0, 128 * 2, (64 * 2, 32 * 2))
+        self.uconv2 = res(1, 128 * 2 * mult, (128 * 2, 64 * 2))
+        self.uconv1 = res(0, 64 * 2 * mult, (64 * 2, 32 * 2))
         self.uconv1_final = res(0, 32 * 2, self.output_channels)
         self._blocks = {
             "conv1": self.conv1, "conv2": self.conv2, "conv3": self.conv3,
             "uconv2": self.uconv2, "uconv1": self.uconv1,
             "uconv1_final": self.uconv1_final,
         }
+
+    def _skip(self, h, enc):
+        if self.skip_connection == "stack":
+            return jnp.concatenate((h, enc), axis=2)
+        if self.skip_connection == "sum":
+            return h + enc
+        if self.skip_connection == "avg":
+            return (h + enc) * 0.5
+        return h                                       # 'none'
 
     # ------------------------------------------------------------------
     def init(self, rng) -> Dict:
@@ -202,12 +219,12 @@ class UNetSpherical:
         ops, unpools = geom["cheb_ops"], geom["unpools"]
         h = (unpools[1](x_enc3, idx2, w=params["unpool1"])
              if "unpool1" in params else unpools[1](x_enc3, idx2))
-        h = jnp.concatenate((h, x_enc2), axis=2)       # stack skip (reference :530)
+        h = self._skip(h, x_enc2)                     # reference :530
         h = self.uconv2.apply(params["uconv2"], h, cheb_op=ops[1])
 
         h = (unpools[0](h, idx1, w=params["unpool0"])
              if "unpool0" in params else unpools[0](h, idx1))
-        h = jnp.concatenate((h, x_enc1), axis=2)
+        h = self._skip(h, x_enc1)
         h = self.uconv1.apply(params["uconv1"], h, cheb_op=ops[0])
         h = self.uconv1_final.apply(params["uconv1_final"], h, cheb_op=ops[0])
 

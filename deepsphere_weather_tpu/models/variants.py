@@ -45,6 +45,7 @@ class _SingleLevelModel:
                  batch_norm_before_activation: bool = False,
                  activation: bool = True, activation_fun: str = "relu",
                  dense_threshold: int = 8192, use_pallas=None,
+                 numeric_precision: str = "float32",
                  **_ignored):
         self.input_n_feature = tensor_info["input_n_feature"]
         self.output_n_feature = tensor_info["output_n_feature"]
@@ -55,6 +56,15 @@ class _SingleLevelModel:
         self.input_channels = self.input_n_feature * self.input_n_time
         self.output_channels = self.output_n_feature * self.output_n_time
         self.increment_learning = False
+        # same mixed-precision contract as UNetSpherical: fp32 params and
+        # loss/AR feedback, compute in bf16 when requested ('float16'
+        # maps to bf16 — TPUs have no fp16 units). Silently ignoring the
+        # flag ran these architectures at 2x the requested HBM traffic.
+        import jax.numpy as _jnp
+        self.compute_dtype = {
+            "float32": _jnp.float32, "float64": _jnp.float32,
+            "bfloat16": _jnp.bfloat16, "float16": _jnp.bfloat16,
+        }[str(numeric_precision)]
 
         self.geometry = build_model_geometry(
             sampling=sampling, sampling_kwargs={**sampling_kwargs},
@@ -87,10 +97,12 @@ class _SingleLevelModel:
     def _reshape_in(self, x):
         B = x.shape[0]
         return jnp.transpose(x, (0, 2, 1, 3)).reshape(
-            B, self.input_n_node, self.input_channels)
+            B, self.input_n_node, self.input_channels).astype(
+                self.compute_dtype)
 
     def _reshape_out(self, h):
         B = h.shape[0]
+        h = h.astype(jnp.float32)     # fp32 loss / AR feedback contract
         h = h.reshape(B, self.output_n_node, self.output_n_time,
                       self.output_n_feature)
         return jnp.transpose(h, (0, 2, 1, 3))
@@ -181,6 +193,7 @@ class DownscalingNetSpherical:
                  activation: bool = True, activation_fun: str = "relu",
                  kernel_size_pooling: int = 4,
                  dense_threshold: int = 8192, use_pallas=None,
+                 numeric_precision: str = "float32",
                  **_ignored):
         self.input_n_feature = tensor_info["input_n_feature"]
         self.output_n_feature = tensor_info["output_n_feature"]
@@ -191,6 +204,11 @@ class DownscalingNetSpherical:
         self.input_channels = self.input_n_feature * self.input_n_time
         self.output_channels = self.output_n_feature * self.output_n_time
         self.increment_learning = False
+        import jax.numpy as _jnp
+        self.compute_dtype = {
+            "float32": _jnp.float32, "float64": _jnp.float32,
+            "bfloat16": _jnp.bfloat16, "float16": _jnp.bfloat16,
+        }[str(numeric_precision)]
 
         # depth=2 pyramid over the FINE sampling: level 0 = fine (output),
         # level 1 = coarse (input); unpools[0] interpolates coarse -> fine.
@@ -255,7 +273,8 @@ class DownscalingNetSpherical:
         ops, unpools = geom["cheb_ops"], geom["unpools"]
         B = x.shape[0]
         h = jnp.transpose(x, (0, 2, 1, 3)).reshape(
-            B, self.input_n_node, self.input_channels)
+            B, self.input_n_node, self.input_channels).astype(
+                self.compute_dtype)
         h = self._blocks["conv_coarse1"].apply(params["conv_coarse1"], h,
                                                cheb_op=ops[1])
         h = self._blocks["conv_coarse2"].apply(params["conv_coarse2"], h,
@@ -265,6 +284,7 @@ class DownscalingNetSpherical:
                                            cheb_op=ops[0])
         h = self._blocks["conv_final"].apply(params["conv_final"], h,
                                              cheb_op=ops[0])
+        h = h.astype(jnp.float32)     # fp32 loss / AR feedback contract
         h = h.reshape(B, self.output_n_node, self.output_n_time,
                       self.output_n_feature)
         return jnp.transpose(h, (0, 2, 1, 3))

@@ -57,9 +57,8 @@ def available() -> bool:
 def conservative_weights(src, dst):
     """C++-accelerated counterpart of remap._conservative_weights_numpy."""
     from scipy import sparse
-    from scipy.spatial import cKDTree
-
-    from ..sphere.remap import clean_polygon, voronoi_cells
+    from ..sphere.remap import (_regions_as_arrays, candidate_pairs,
+                                poly_radii, voronoi_cells)
 
     lib = _load()
     assert lib is not None
@@ -69,39 +68,29 @@ def conservative_weights(src, dst):
     src_area = sv_src.calculate_areas()
     dst_area = sv_dst.calculate_areas()
 
-    def flatten(sv, centers):
-        # duplicate Voronoi vertices (degenerate generators) must be removed
-        # before clipping, exactly like the numpy path
-        polys = [clean_polygon(np.asarray(sv.vertices[r], dtype=np.float64), c)
-                 for r, c in zip(sv.regions, centers)]
-        offsets = np.zeros(len(polys) + 1, dtype=np.int64)
-        offsets[1:] = np.cumsum([len(p) for p in polys])
-        flat = np.concatenate(polys, axis=0) if polys else np.zeros((0, 3))
-        return np.ascontiguousarray(flat), offsets
-
     src_centers = np.ascontiguousarray(src.coords_3d, dtype=np.float64)
     dst_centers = np.ascontiguousarray(dst.coords_3d, dtype=np.float64)
-    src_flat, src_off = flatten(sv_src, src_centers)
-    dst_flat, dst_off = flatten(sv_dst, dst_centers)
+    # polygon prep and candidate pruning are SHARED with the numpy
+    # backend (sphere.remap) so the two paths cannot drift; only the
+    # clipping kernel itself is native
+    src_polys = _regions_as_arrays(sv_src, src_centers)
+    dst_polys = _regions_as_arrays(sv_dst, dst_centers)
 
-    # Candidate pairs via KDTree ball queries (same pruning as numpy path)
-    def poly_radius(flat, off, centers):
-        r = np.zeros(len(off) - 1)
-        for i in range(len(off) - 1):
-            p = flat[off[i]:off[i + 1]]
-            if len(p):
-                r[i] = np.sqrt(max(2 - 2 * float(np.min(p @ centers[i])), 0.0))
-        return r
+    def flatten(polys):
+        offsets = np.zeros(len(polys) + 1, dtype=np.int64)
+        offsets[1:] = np.cumsum([len(p) for p in polys])
+        flat = (np.concatenate(polys, axis=0) if polys
+                else np.zeros((0, 3)))
+        return np.ascontiguousarray(flat, dtype=np.float64), offsets
 
-    r_src = poly_radius(src_flat, src_off, src_centers)
-    r_dst = poly_radius(dst_flat, dst_off, dst_centers)
-    tree = cKDTree(src_centers)
-    r_max = float(r_src.max()) if len(r_src) else 0.0
-    pairs = []
-    for d in range(dst_centers.shape[0]):
-        for s in tree.query_ball_point(dst_centers[d], r_dst[d] + r_max + 1e-9):
-            pairs.append((d, s))
-    pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
+    src_flat, src_off = flatten(src_polys)
+    dst_flat, dst_off = flatten(dst_polys)
+    r_src = poly_radii(src_polys, src_centers)
+    r_dst = poly_radii(dst_polys, dst_centers)
+    dst_idx, src_idx = candidate_pairs(src_centers, dst_centers,
+                                       r_src, r_dst)
+    pairs = np.ascontiguousarray(
+        np.stack([dst_idx, src_idx], axis=1).astype(np.int64))
     out = np.zeros(len(pairs), dtype=np.float64)
 
     def ptr(a, t):

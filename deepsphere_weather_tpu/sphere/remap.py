@@ -170,6 +170,34 @@ def _regions_as_arrays(sv: SphericalVoronoi, centers: np.ndarray):
     ]
 
 
+def poly_radii(polys, centers) -> np.ndarray:
+    """Chordal radius of each cell polygon around its center."""
+    return np.array([
+        np.sqrt(np.maximum(2 - 2 * np.min(p @ c), 0)) if len(p) else 0.0
+        for p, c in zip(polys, centers)
+    ])
+
+
+def candidate_pairs(src_centers, dst_centers, r_src, r_dst):
+    """(dst_idx, src_idx) of cell pairs that can overlap: src centers
+    within r_dst[d] + max(r_src) of each dst center. One vectorized
+    multi-point KDTree query (workers=-1) — a per-destination Python loop
+    cost ~50k round-trips at HEALPix-64. Shared by the numpy and native
+    conservative-weight backends so their pruning cannot drift."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(src_centers)
+    r_max = float(np.max(r_src)) if len(r_src) else 0.0
+    lists = tree.query_ball_point(dst_centers, np.asarray(r_dst) + r_max + 1e-9,
+                                  workers=-1)
+    counts = [len(l) for l in lists]
+    dst_idx = np.repeat(np.arange(len(dst_centers)), counts)
+    src_idx = (np.concatenate([np.asarray(l, dtype=np.int64)
+                               for l in lists])
+               if dst_idx.size else np.zeros(0, dtype=np.int64))
+    return dst_idx, src_idx
+
+
 def compute_interpolation_weights(src: Sampling, dst: Sampling,
                                   normalization: str = "fracarea"
                                   ) -> Tuple[sparse.csr_matrix, np.ndarray, np.ndarray]:
@@ -213,26 +241,16 @@ def _conservative_weights_numpy(src: Sampling, dst: Sampling):
     src_polys = _regions_as_arrays(sv_src, src_centers)
     dst_polys = _regions_as_arrays(sv_dst, dst_centers)
 
-    # Candidate pairs: src centers within (r_src_max + r_dst_i) of each dst center.
-    def poly_radius(polys, centers):
-        return np.array([
-            np.sqrt(np.maximum(2 - 2 * np.min(p @ c), 0)) if len(p) else 0.0
-            for p, c in zip(polys, centers)
-        ])
-
-    r_src = poly_radius(src_polys, src_centers)
-    r_dst = poly_radius(dst_polys, dst_centers)
-    tree = cKDTree(src_centers)
+    r_src = poly_radii(src_polys, src_centers)
+    r_dst = poly_radii(dst_polys, dst_centers)
+    dst_idx, src_idx = candidate_pairs(src_centers, dst_centers, r_src, r_dst)
     rows, cols, vals = [], [], []
-    r_src_max = float(r_src.max())
-    for d in range(dst_centers.shape[0]):
-        cand = tree.query_ball_point(dst_centers[d], r_dst[d] + r_src_max + 1e-9)
-        for s in cand:
-            a = clip_spherical_polygons(dst_polys[d], src_polys[s], src_centers[s])
-            if a > 1e-16:
-                rows.append(d)
-                cols.append(s)
-                vals.append(a)
+    for d, s in zip(dst_idx, src_idx):
+        a = clip_spherical_polygons(dst_polys[d], src_polys[s], src_centers[s])
+        if a > 1e-16:
+            rows.append(d)
+            cols.append(s)
+            vals.append(a)
     W = sparse.csr_matrix((vals, (rows, cols)),
                           shape=(dst_centers.shape[0], src_centers.shape[0]))
     return W, src_area, dst_area

@@ -323,3 +323,34 @@ class TestRuntimeSettings:
         monkeypatch.delenv("DSW_COMPILE_CACHE", raising=False)
         monkeypatch.setattr(jax, "default_backend", lambda: "axon")
         assert runtime.enable_compilation_cache() == ""
+
+
+class TestConfigReviewRegressions:
+    def test_model_name_preserves_pool_casing(self):
+        from deepsphere_weather_tpu.config import get_model_name
+
+        cfg = {
+            "model_settings": {
+                "sampling_name": "Healpix_400km", "sampling": "healpix",
+                "sampling_kwargs": {"subdivisions": 16, "nest": True},
+                "architecture_name": "UNetSpherical", "knn": 20,
+                "pool_method": "MaxVal", "conv_type": "graph",
+                "graph_type": "knn"},
+            "training_settings": {"ar_training_strategy": "RNN"},
+            "ar_settings": {"input_k": [-3, -2, -1], "output_k": [0],
+                            "forecast_cycle": 1, "ar_iterations": 6},
+        }
+        assert get_model_name(cfg).endswith("MaxValPooling")
+
+    def test_force_removes_stale_artifacts(self, tmp_path):
+        from deepsphere_weather_tpu.config import create_experiment_directories
+
+        d = create_experiment_directories(tmp_path, "m1")
+        stale = d / "model_weights" / "model.npz"
+        stale.write_bytes(b"old")
+        d2 = create_experiment_directories(tmp_path, "m1", force=True)
+        assert d2 == d and not stale.exists()
+        # resume keeps the directory and its checkpoint
+        stale.write_bytes(b"ckpt")
+        d3 = create_experiment_directories(tmp_path, "m1", resume=True)
+        assert d3 == d and stale.read_bytes() == b"ckpt"

@@ -224,3 +224,68 @@ class TestProfiling:
         assert "peak_memory_bytes" in out or "flops" in out
         s = summarize_model(m, m.init(jax.random.key(0)))
         assert "TOTAL" in s
+
+
+class TestModelsReviewRegressions:
+    def test_swish_and_rrelu_init(self):
+        from deepsphere_weather_tpu.models.layers import (
+            _he_scale, get_activation)
+
+        # advertised activations must have an init scale (swish crashed)
+        for name in ("swish", "rrelu", "rrlu"):
+            get_activation(name)
+            assert _he_scale(name) > 0
+
+    def test_skip_connection_modes(self, tiny_tensor_info=None):
+        import jax
+        import jax.numpy as jnp
+
+        from deepsphere_weather_tpu.models import UNetSpherical
+
+        info = {
+            "input_n_feature": 3, "output_n_feature": 2,
+            "input_n_time": 2, "output_n_time": 1,
+            "input_shape_info": {"dynamic": {"node": 192}},
+            "output_shape_info": {"dynamic": {"node": 192}},
+            "dim_order": {"dynamic": ["sample", "time", "node", "feature"]},
+        }
+        x = jnp.ones((2, 2, 192, 3))
+        outs = {}
+        for sc in ("stack", "sum", "avg", "none"):
+            m = UNetSpherical(
+                tensor_info=info, sampling="healpix",
+                sampling_kwargs={"subdivisions": 4, "nest": True}, knn=8,
+                pool_method="interp", skip_connection=sc)
+            p = m.init(jax.random.key(0))
+            y = m.apply(p, x)
+            assert y.shape == (2, 1, 192, 2)
+            outs[sc] = np.asarray(y)
+        # the modes are genuinely different architectures
+        assert not np.allclose(outs["stack"], outs["none"])
+        assert not np.allclose(outs["sum"], outs["none"])
+        with pytest.raises(ValueError):
+            UNetSpherical(
+                tensor_info=info, sampling="healpix",
+                sampling_kwargs={"subdivisions": 4, "nest": True}, knn=8,
+                pool_method="interp", skip_connection="bogus")
+
+    def test_variants_honor_numeric_precision(self):
+        import jax
+        import jax.numpy as jnp
+
+        from deepsphere_weather_tpu.models import get_model
+
+        info = {
+            "input_n_feature": 3, "output_n_feature": 2,
+            "input_n_time": 2, "output_n_time": 1,
+            "input_shape_info": {"dynamic": {"node": 192}},
+            "output_shape_info": {"dynamic": {"node": 192}},
+            "dim_order": {"dynamic": ["sample", "time", "node", "feature"]},
+        }
+        m = get_model("ResNetSpherical", info, sampling="healpix",
+                      sampling_kwargs={"subdivisions": 4, "nest": True},
+                      knn=8, numeric_precision="bfloat16")
+        assert m.compute_dtype == jnp.bfloat16
+        y = m.apply(m.init(jax.random.key(0)), jnp.ones((1, 2, 192, 3)))
+        assert y.dtype == jnp.float32    # fp32 at the model boundary
+        assert np.all(np.isfinite(np.asarray(y)))
