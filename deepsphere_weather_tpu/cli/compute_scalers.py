@@ -67,10 +67,9 @@ def main(data_dir, reference_period: Optional[Tuple[str, str]] = None,
                 data, ds.time, feature_order=ds.feature_order)
             a.save(out_dir / f"{tag}{stag}AnomalyScaler_dynamic.npz")
             log(f"{tag}{stag}AnomalyScaler fitted")
-        # MinMax of standardized anomalies (reference 04a pattern)
-        a = AnomalyScaler(time_groups=groups, standardized=True,
-                          reference_period=reference_period).fit(
-            data, ds.time, feature_order=ds.feature_order)
+        # MinMax of standardized anomalies (reference 04a pattern) —
+        # `a` still holds the standardized scaler from the loop's last
+        # iteration; refitting doubled the most expensive pass
         anom = a.transform(data, time=ds.time)
         mm = GlobalMinMaxScaler().fit(anom, feature_order=ds.feature_order)
         mm.save(out_dir / f"{tag}MinMaxStdAnomalyScaler_dynamic.npz")

@@ -144,7 +144,9 @@ def run_deep_ensemble(cfg_path, data_dir, exp_dir, n_members: int = 5,
     data_dynamic = SphericalDataset.open(
         Path(data_dir) / "Data" / "dynamic" / "time_chunked" / "dynamic.zarr")
     n = data_dynamic.n_time
-    test_dyn = data_dynamic.subset(int(n * 0.85), n)
+    from ..data import train_val_test_split_indices
+    _, i_val = train_val_test_split_indices(n)
+    test_dyn = data_dynamic.subset(i_val, n)
     ms = cfg["model_settings"]
     samp = build_sampling(ms["sampling"], dict(ms["sampling_kwargs"]))
     skill = deterministic(median, test_dyn)
@@ -170,7 +172,7 @@ def run_deep_ensemble(cfg_path, data_dir, exp_dir, n_members: int = 5,
 REFERENCE_ACTIVATION_FUNS = [
     "relu", "celu", "selu", "prelu", "hardswish", "mish",
     "silu", "gelu", "softplus", "softmax", "logsigmoid",
-    "relu6", "rrlu", "leaky_relu", "elu",
+    "relu6", "rrelu", "leaky_relu", "elu",
     "linear", "hardshrink",
     "sigmoid", "hardsigmoid",
     "tanh", "hardtanh", "softsign",

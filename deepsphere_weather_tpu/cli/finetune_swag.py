@@ -77,8 +77,8 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
     swag.collect_model(params)
 
     n = data_dynamic.n_time
-    i_train = int(n * 0.7)
-    i_val = int(n * 0.85)
+    from ..data import train_val_test_split_indices
+    i_train, i_val = train_val_test_split_indices(n)
     samp = build_sampling(model_settings["sampling"],
                           dict(model_settings["sampling_kwargs"]))
     area_w = AreaWeights(samp)
@@ -116,7 +116,11 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
         scoring_interval=training_settings["scoring_interval"],
         ar_scheduler=ar_scheduler,
         swag=True, swag_model=swag, swag_freq=swag_freq, swa_start=swa_start,
-        exp_dir=model_dir, num_workers=2, verbose=verbose,
+        # fine-tune checkpoints land in their OWN subdirectory: pointing
+        # exp_dir at model_dir overwrote the pretrained experiment's
+        # model.npz/opt_state/state.json with fine-tuned state, silently
+        # destroying the original weights that predict.py would later load
+        exp_dir=model_dir / "swag_finetune", num_workers=2, verbose=verbose,
     )
     swag.save(model_dir / "model_weights" / "model_swag.npz")
 

@@ -106,8 +106,8 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     #     train_predict_state.py:217-219; fractional split works for any
     #     time range) ------------------------------------------------------
     n = data_dynamic.n_time
-    i_train = int(n * 0.7)
-    i_val = int(n * 0.85)
+    from ..data import train_val_test_split_indices
+    i_train, i_val = train_val_test_split_indices(n)
     train_dyn = data_dynamic.subset(0, i_train)
     val_dyn = data_dynamic.subset(i_train, i_val)
     test_dyn = data_dynamic.subset(i_val, n)
@@ -153,6 +153,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     #     which restarts from scratch — SURVEY.md §5.3) -------------------
     initial_opt_state = None
     resumed_scheduler = None
+    resumed_early_stopping = None
     if resume:
         ck = Checkpointer(exp_path)
         if not ck.has_checkpoint():
@@ -163,11 +164,19 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         params = ck.load_model(params)
         sched_state = ck.load_scheduler_state()
         if sched_state is not None:
-            from ..engine import ARScheduler
+            from ..engine import ARScheduler, EarlyStopping
             opt_tmpl = optax.adam(
                 training_settings["learning_rate"], eps=1e-7).init(params)
             initial_opt_state, _state = ck.load_training_state(opt_tmpl)
             resumed_scheduler = ARScheduler.from_state_dict(sched_state)
+            # early-stopping state (best loss, patience counter) is part
+            # of the saved training state — a fresh EarlyStopping would
+            # forget the plateau and train up to a full extra patience
+            # window after the crash
+            es_state = _state.get("early_stopping")
+            if es_state is not None:
+                resumed_early_stopping = EarlyStopping.from_state_dict(
+                    es_state)
         if verbose:
             print(f"resuming {model_name} from checkpoint")
 
@@ -181,8 +190,11 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         if training_settings["ar_training_strategy"] == "RNN" else [],
         initial_ar_absolute_weights=[1, 1],
         max_ar_iterations=ar_settings["ar_iterations"])
-    early_stopping = EarlyStopping(
-        patience=500 // max(training_settings["scoring_interval"], 1),
+    # patience floor of 1: an interval > 500 made patience 0, which
+    # trips 'counter >= patience' on EVERY check and silently truncates
+    # training right after minimum_iterations
+    early_stopping = resumed_early_stopping or EarlyStopping(
+        patience=max(1, 500 // max(training_settings["scoring_interval"], 1)),
         minimum_iterations=4)
 
     # --- training ---------------------------------------------------------

@@ -1,7 +1,8 @@
 """Data engine: chunked store, labeled datasets, AR indexing, scalers, loaders."""
 
 from .zarrstore import ZarrArray, ZarrGroup, create_group, open_group  # noqa: F401
-from .dataset import (  # noqa: F401
+from .dataset import (
+    train_val_test_split_indices,  # noqa: F401
     DatasetView,
     SphericalDataset,
     StaticDataset,

@@ -23,7 +23,7 @@ import numpy as np
 
 from .zarrstore import ZarrArray, ZarrGroup, create_group, open_group
 
-__all__ = ["SphericalDataset", "StaticDataset", "save_dynamic", "save_static"]
+__all__ = ["SphericalDataset", "StaticDataset", "save_dynamic", "save_static", "train_val_test_split_indices"]
 
 _NS = "datetime64[ns]"
 
@@ -154,6 +154,21 @@ class StaticDataset:
         for f, name in enumerate(self.feature_order):
             out[:, f] = self.variables[name][...]
         return out
+
+
+def train_val_test_split_indices(n_time: int,
+                                 train_frac: float = 0.7,
+                                 val_frac: float = 0.15):
+    """(i_train, i_val) boundaries of the train/val/test time split.
+
+    One shared definition (reference: fixed-year split,
+    train_predict_state.py:217-219; fractional split works for any time
+    range) — the drivers previously hard-coded 0.7/0.85 independently,
+    so a change in one would silently leak train data into another
+    driver's test window."""
+    i_train = int(n_time * train_frac)
+    i_val = int(n_time * (train_frac + val_frac))
+    return i_train, i_val
 
 
 # ---------------------------------------------------------------------------

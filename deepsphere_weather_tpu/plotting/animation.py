@@ -32,6 +32,11 @@ def _render_frames(frame_fn, n_frames, out_path, fps: int = 4):
     out_path.parent.mkdir(parents=True, exist_ok=True)
     tmp_dir = out_path.parent / (out_path.stem + "_frames")
     tmp_dir.mkdir(exist_ok=True)
+    # clear stale frames: ffmpeg consumes the whole contiguous
+    # frame_%04d sequence, so leftovers from a previous longer/crashed
+    # run would be appended to this animation
+    for stale in tmp_dir.glob("frame_*.png"):
+        stale.unlink()
     paths = []
     for i in range(n_frames):
         fig = frame_fn(i)
@@ -67,13 +72,27 @@ def create_gif_forecast_error(forecast, obs_dataset, out_path,
     lat, lon = forecast.lat, _lon180(forecast.lon)
     L = forecast.n_leadtime
 
-    preds, obs = [], []
+    preds, obs, kept = [], [], []
     for lt in range(L):
-        preds.append(forecast.read_leadtime(lt)[frt_index, :, f])
         valid = forecast.valid_time(lt)[frt_index]
         ti = np.searchsorted(obs_dataset.time, valid)
-        ti = min(ti, obs_dataset.n_time - 1)
+        # EXACT valid-time match only: clamping to the last observation
+        # silently rendered 'error' panels against stale truth for
+        # leadtimes beyond the obs store
+        if ti >= obs_dataset.n_time or obs_dataset.time[ti] != valid:
+            continue
+        kept.append(lt)
+        preds.append(forecast.read_leadtime(lt)[frt_index, :, f])
         obs.append(obs_dataset.read_stacked([ti])[0, :, f])
+    if len(kept) < L:
+        import warnings
+        warnings.warn(
+            f"forecast-error animation: dropped {L - len(kept)}/{L} "
+            f"leadtimes whose valid times have no matching observation",
+            stacklevel=2)
+    if not preds:
+        raise ValueError("no forecast leadtime matches an observation "
+                         "timestep; nothing to animate")
     preds, obs = np.stack(preds), np.stack(obs)
     err = preds - obs
     vmin, vmax = np.percentile(obs, 1), np.percentile(obs, 99)
@@ -92,13 +111,14 @@ def create_gif_forecast_error(forecast, obs_dataset, out_path,
             ax.set_ylim(-90, 90)
             ax.set_xticks([])
             ax.set_yticks([])
-            ax.set_title(f"{title} +{forecast.leadtime_hours[i]:.0f}h",
-                         fontsize=9)
+            ax.set_title(
+                f"{title} +{forecast.leadtime_hours[kept[i]]:.0f}h",
+                fontsize=9)
             plt.colorbar(sc, ax=ax, shrink=0.75)
         fig.tight_layout()
         return fig
 
-    return _render_frames(frame, L, out_path, fps=fps)
+    return _render_frames(frame, len(kept), out_path, fps=fps)
 
 
 def create_gif_forecast_anom_error(forecast, obs_dataset, scaler, out_path,
@@ -117,16 +137,21 @@ def create_gif_forecast_anom_error(forecast, obs_dataset, scaler, out_path,
     lat, lon = forecast.lat, _lon180(forecast.lon)
     L = forecast.n_leadtime
 
-    preds, obs = [], []
+    preds, obs, kept = [], [], []
     for lt in range(L):
         valid = forecast.valid_time(lt)[frt_index]
         ti = np.searchsorted(obs_dataset.time, valid)
-        ti = min(ti, obs_dataset.n_time - 1)
+        if ti >= obs_dataset.n_time or obs_dataset.time[ti] != valid:
+            continue      # no matching observation for this leadtime
+        kept.append(lt)
         t = np.asarray([valid])
         pred_lt = forecast.read_leadtime(lt)[frt_index][None]   # [1, V, F]
         obs_lt = obs_dataset.read_stacked([ti])                 # [1, V, F]
         preds.append(scaler.transform(pred_lt, time=t)[0, :, f])
         obs.append(scaler.transform(obs_lt, time=t)[0, :, f])
+    if not preds:
+        raise ValueError("no forecast leadtime matches an observation "
+                         "timestep; nothing to animate")
     preds, obs = np.stack(preds), np.stack(obs)
     err = preds - obs
 
@@ -145,13 +170,14 @@ def create_gif_forecast_anom_error(forecast, obs_dataset, scaler, out_path,
             ax.set_ylim(-90, 90)
             ax.set_xticks([])
             ax.set_yticks([])
-            ax.set_title(f"{title} +{forecast.leadtime_hours[i]:.0f}h",
-                         fontsize=9)
+            ax.set_title(
+                f"{title} +{forecast.leadtime_hours[kept[i]]:.0f}h",
+                fontsize=9)
             plt.colorbar(sc, ax=ax, shrink=0.75, extend="both")
         fig.tight_layout()
         return fig
 
-    return _render_frames(frame, L, out_path, fps=fps)
+    return _render_frames(frame, len(kept), out_path, fps=fps)
 
 
 def create_gif_forecast_evolution(forecast, out_path, frt_index: int = 0,

@@ -33,6 +33,10 @@ def hovmoller_data(values: np.ndarray, coord: np.ndarray,
     out = np.full((values.shape[0], len(centers)), np.nan)
     for i, (e0, e1) in enumerate(zip(edges[:-1], edges[1:])):
         sel = (coord >= e0) & (coord < e1)
+        if i == len(edges) - 2:
+            # last bin is CLOSED so nodes exactly at the max coordinate
+            # (e.g. the 355-degree meridian with 5-degree bins) are kept
+            sel = (coord >= e0) & (coord <= e1)
         if sel.any():
             ws = w[sel] / w[sel].sum()
             out[:, i] = values[:, sel] @ ws
@@ -47,13 +51,18 @@ def plot_hovmoller(values: np.ndarray, time: np.ndarray, coord: np.ndarray,
     if ax is None:
         _, ax = plt.subplots(figsize=(10, 4))
     hov, centers = hovmoller_data(values, coord, bin_res, area_weights)
-    t = np.asarray(time, dtype="datetime64[ns]").astype("datetime64[D]")
+    # FULL-resolution mesh coordinates: truncating to days collapsed all
+    # sub-daily samples of one day onto a single x position (zero-width
+    # quads for 3 of every 4 columns of 6-hourly data); days appear only
+    # in the tick labels
+    t = np.asarray(time, dtype="datetime64[ns]")
     mesh = ax.pcolormesh(t.astype("datetime64[s]").astype(float),
                          centers, hov.T, cmap=cmap, shading="auto")
     n_ticks = 6
     ticks = np.linspace(0, len(t) - 1, n_ticks).astype(int)
     ax.set_xticks(t[ticks].astype("datetime64[s]").astype(float))
-    ax.set_xticklabels([str(x) for x in t[ticks]], rotation=30, fontsize=7)
+    ax.set_xticklabels([str(x) for x in t[ticks].astype("datetime64[D]")],
+                       rotation=30, fontsize=7)
     ax.set_ylabel(bin_dim)
     ax.set_title(title, fontsize=9)
     plt.colorbar(mesh, ax=ax, shrink=0.9)
@@ -102,16 +111,17 @@ class HovmollerDiagram:
     def plot(self, ax=None, cmap: str = "RdBu_r", title: str = ""):
         if ax is None:
             _, ax = plt.subplots(figsize=(10, 4))
-        t = np.asarray(self.time, dtype="datetime64[ns]").astype(
-            "datetime64[D]")
+        # full-resolution x coordinates; days only in the tick labels
+        # (day-truncated coordinates collapsed sub-daily columns)
+        t = np.asarray(self.time, dtype="datetime64[ns]")
         mesh = ax.pcolormesh(
             t.astype("datetime64[s]").astype(float), self.bins, self.data.T,
             cmap=cmap, shading="auto")
         # date tick labels (same formatting as plot_hovmoller)
         ticks = np.linspace(0, len(t) - 1, 6).astype(int)
         ax.set_xticks(t[ticks].astype("datetime64[s]").astype(float))
-        ax.set_xticklabels([str(x) for x in t[ticks]], rotation=30,
-                           fontsize=7)
+        ax.set_xticklabels([str(x) for x in t[ticks].astype("datetime64[D]")],
+                           rotation=30, fontsize=7)
         ax.set_ylabel(self.bin_dim)
         ax.set_title(title, fontsize=9)
         plt.colorbar(mesh, ax=ax, shrink=0.9)

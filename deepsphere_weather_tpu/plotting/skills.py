@@ -88,10 +88,12 @@ def plot_skill_maps(skill_ds, fig_dir, skills: Optional[List[str]] = None,
     if leadtime_indices is None:
         leadtime_indices = sorted(set([0, L // 2, L - 1]))
     for f, var in enumerate(skill_ds.feature_order):
+        # squeeze=False keeps axes 2-D (atleast_2d gave (1, n) for a
+        # single-leadtime column, crashing axes[i, 0] for i > 0)
         fig, axes = plt.subplots(len(skills), len(leadtime_indices),
                                  figsize=(4.2 * len(leadtime_indices),
-                                          2.6 * len(skills)))
-        axes = np.atleast_2d(axes)
+                                          2.6 * len(skills)),
+                                 squeeze=False)
         for i, sk in enumerate(skills):
             vals_all = skill_ds[sk][:, :, f]
             style = _style_for(sk, vals_all)

@@ -167,3 +167,50 @@ class TestHovmollerAndAnimation:
         gif2 = create_gif_forecast_anom_error(
             fc, dyn, anom, tmp_path / "anom_err.gif", variable="z500")
         assert gif2.exists() and gif2.stat().st_size > 1000
+
+
+class TestPlottingReviewRegressions:
+    def test_skill_maps_single_leadtime(self, tmp_path):
+        from deepsphere_weather_tpu.plotting.skills import plot_skill_maps
+        from deepsphere_weather_tpu.verif.deterministic import SkillDataset
+
+        rng = np.random.default_rng(0)
+        sd = SkillDataset(
+            {"BIAS": rng.standard_normal((1, 48, 1)),
+             "RMSE": np.abs(rng.standard_normal((1, 48, 1)))},
+            np.asarray([6.0]), ["z500"],
+            lat=rng.uniform(-90, 90, 48), lon=rng.uniform(0, 360, 48))
+        # one leadtime column x several skill rows crashed with IndexError
+        plot_skill_maps(sd, tmp_path, skills=["BIAS", "RMSE"],
+                        leadtime_indices=[0])
+        assert any(tmp_path.glob("**/*.png"))
+
+    def test_hovmoller_keeps_max_edge_and_subdaily_axis(self):
+        from deepsphere_weather_tpu.plotting.hovmoller import hovmoller_data
+
+        lon = np.asarray([0.0, 90.0, 180.0, 270.0, 355.0])
+        vals = np.ones((2, 5))
+        hov, centers = hovmoller_data(vals, lon, bin_res=5.0)
+        # the 355-degree meridian (max coordinate on a bin edge) is kept
+        covered = ~np.isnan(hov[0])
+        assert covered.sum() == 5
+
+    def test_render_frames_clears_stale(self, tmp_path):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from deepsphere_weather_tpu.plotting.animation import _render_frames
+
+        def frame(i):
+            fig, ax = plt.subplots(figsize=(1, 1))
+            ax.plot([0, i])
+            return fig
+
+        out = tmp_path / "anim.gif"
+        # plant a stale frame from a "previous longer run"
+        stale_dir = tmp_path / "anim_frames"
+        stale_dir.mkdir()
+        (stale_dir / "frame_0005.png").write_bytes(b"junk")
+        _render_frames(frame, 2, out)
+        assert not (stale_dir / "frame_0005.png").exists()
