@@ -86,6 +86,14 @@ def main() -> int:
                                                 interpret=interpret)
             check(f"super R={R} {name}", mv(op, x), tol)
 
+    # 2b. mixed dtypes: bf16-stored A with fp32 activations exercises the
+    # kernel's A-row casts and the branch-doubled VMEM copy model
+    # (regression: this combination OOMed scoped VMEM at compile time)
+    op = BlockSparseOperator.from_scipy(g.L, symmetric=True,
+                                        dtype=jnp.bfloat16,
+                                        interpret=interpret)
+    check("super bf16-A/fp32-x", mv(op, jnp.asarray(x_np)), 2e-2)
+
     # 3. backward (fp32, small width)
     xg = jnp.asarray(x_np[:, :256])
     op = BlockSparseOperator.from_scipy(g.L, symmetric=True,
