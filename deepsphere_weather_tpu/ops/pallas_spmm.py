@@ -27,8 +27,11 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec
 
 __all__ = ["BlockSparseOperator", "bcsr_from_scipy",
            "bcsr_super_from_scipy"]
@@ -426,6 +429,9 @@ def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
                  precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """y = A @ x with A in padded BCSR; x: [n_pad, M] (M multiple of m_tile).
 
+    Output has n_rb*bs rows — A's row extent, which under SPMD row
+    sharding is the LOCAL slice while x stays replicated (full rows).
+
     Grid order (row_block, m_tile, nz_slot): the accumulation dimension is
     INNERMOST so every revisit of an output block is consecutive — the
     Pallas output-revisiting contract for accumulate-in-VMEM patterns.
@@ -460,7 +466,7 @@ def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
         kernel = pl.pallas_call(
             _spmm_kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_pad, M), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_rb * bs, M), jnp.float32),
             interpret=True,
             cost_estimate=cost,
         )
@@ -494,10 +500,148 @@ def _bcsr_matmul(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray,
         functools.partial(_spmm_kernel_dma, precision=precision,
                           out_dtype=out_dtype),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, M), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n_rb * bs, M), out_dtype),
         cost_estimate=cost,
     )
     return kernel(cols, vals, x)
+
+
+def _pick_tile(m_local: int, cap: int) -> int:
+    """Largest lane-aligned m-tile <= cap dividing m_local.
+
+    The cap is the globally-chosen tile (VMEM-budgeted for the super
+    kernel by `_super_m_tile`; every smaller lane tile fits the same
+    budget, so re-picking for a shard's narrower local M stays safe)."""
+    return max(t for t in (1024, 512, 256, 128)
+               if t <= max(cap, 128) and m_local % t == 0)
+
+
+def _shard_axes(spec, dim, mesh, extent):
+    """Mesh axes a proposed PartitionSpec shards `dim` over, or None.
+
+    Returns None (replicate) when the dim is unsharded, when `extent`
+    does not divide evenly over the axes, or when any axis is missing
+    from the mesh (manual/auto axes)."""
+    if spec is None or len(spec) <= dim or spec[dim] is None:
+        return None
+    axes = spec[dim] if isinstance(spec[dim], tuple) else (spec[dim],)
+    try:
+        n = int(np.prod([mesh.shape[a] for a in axes]))
+    except KeyError:
+        return None
+    return spec[dim] if n > 1 and extent % n == 0 else None
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_spmm(kind: str, w: int, m_cap: int, interpret: bool,
+                      precision):
+    """Build the SPMD-partitionable (and vmappable) SpMM entry point.
+
+    The Pallas launchers are opaque to XLA's sharding propagation: without
+    this wrapper a node- (row-) or data- (column-) sharded activation
+    forces a fully replicated SpMM on every device — the exact regime
+    (HEALPix-64+) where spatial sharding matters (SURVEY.md §5.7). The
+    `custom_partitioning` rule declares the op's true algebra instead:
+
+    - rows: x rows, A rows (axis 0 of svals/vals and ucols/cols) and out
+      rows all carry one factor `s` — a row-sharded activation yields a
+      row-sharded output, each shard holding its row-slice of A. The
+      per-shard lowering needs the FULL x (ucols/cols hold global block
+      columns), so `partition` declares x row-replicated and the SPMD
+      partitioner inserts the all-gather (ICI-ring on a TPU mesh).
+    - columns: factor `m` passes through — a batch-sharded x keeps each
+      device on its own column slice (the matvec is columnwise
+      independent) instead of replicating the whole matmul.
+
+    vmap (ensemble members over one shared operator) folds the mapped
+    axis into the columns via `custom_vmap` — the matvec is linear per
+    column, so this is exact, and wide M is the kernel's best regime.
+
+    Cached per static config: the returned callable is reused across
+    traces so jit caches stay warm.
+    """
+    if kind == "super":
+        def local_fn(a0, a1, x):
+            mt = _pick_tile(x.shape[1], m_cap)
+            return _bcsr_super_matmul(a0, None, None, a1, None, x, mt,
+                                      precision)
+    else:
+        def local_fn(a0, a1, x):
+            mt = _pick_tile(x.shape[1], m_cap)
+            return _bcsr_matmul(a0, a1, x, mt, interpret, precision)
+
+    f = custom_partitioning(local_fn)
+
+    def _axes(arg_shapes, result_shape, mesh):
+        def spec_of(s):
+            sharding = getattr(s, "sharding", None)
+            return getattr(sharding, "spec", None)
+        n_s = arg_shapes[0].shape[0]
+        m = arg_shapes[2].shape[1]
+        row = (_shard_axes(spec_of(arg_shapes[2]), 0, mesh, n_s)
+               or _shard_axes(spec_of(result_shape), 0, mesh, n_s)
+               or _shard_axes(spec_of(arg_shapes[0]), 0, mesh, n_s))
+        # column shards must leave a lane-aligned local M
+        def col_ok(axes):
+            if axes is None:
+                return None
+            t = axes if isinstance(axes, tuple) else (axes,)
+            n = int(np.prod([mesh.shape[a] for a in t]))
+            return axes if (m // n) % 128 == 0 else None
+        col = (col_ok(_shard_axes(spec_of(arg_shapes[2]), 1, mesh, m))
+               or col_ok(_shard_axes(spec_of(result_shape), 1, mesh, m)))
+        # one mesh axis cannot shard both dims
+        rowset = set(row if isinstance(row, tuple) else (row,))
+        colset = set(col if isinstance(col, tuple) else (col,))
+        if rowset & colset - {None}:
+            col = None
+        return row, col
+
+    def partition(mesh, arg_shapes, result_shape):
+        row, col = _axes(arg_shapes, result_shape, mesh)
+        arg_shardings = (
+            NamedSharding(mesh, PartitionSpec(row, None, None, None)),
+            NamedSharding(mesh, PartitionSpec(row, None)),
+            NamedSharding(mesh, PartitionSpec(None, col)),
+        )
+        out_sharding = NamedSharding(mesh, PartitionSpec(row, col))
+
+        def lower_fn(a0, a1, x):
+            return local_fn(a0, a1, x)
+
+        return mesh, lower_fn, out_sharding, arg_shardings
+
+    def infer(mesh, arg_shapes, result_shape):
+        # GSPMD fallback (shardy uses sharding_rule instead)
+        row, col = _axes(arg_shapes, result_shape, mesh)
+        return NamedSharding(mesh, PartitionSpec(row, col))
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="s a b c, s q, (s w) m -> (s w) m",
+        need_replication_factors=("a", "b", "c", "q"),
+        w=w,
+    )
+
+    @custom_vmap
+    def g(a0, a1, x):
+        return f(a0, a1, x)
+
+    @g.def_vmap
+    def _vmap_rule(axis_size, in_batched, a0, a1, x):
+        a0_b, a1_b, x_b = in_batched
+        if a0_b or a1_b or not x_b:
+            raise NotImplementedError(
+                "vmap over BlockSparseOperator arrays themselves is not "
+                "supported (one shared operator per vmap is: the mapped "
+                "axis folds into the matvec columns)")
+        k = axis_size
+        n, m = x.shape[1], x.shape[2]
+        y = g(a0, a1, jnp.moveaxis(x, 0, 1).reshape(n, k * m))
+        return jnp.moveaxis(y.reshape(y.shape[0], k, m), 1, 0), True
+
+    return g
 
 
 class BlockSparseOperator:
@@ -630,15 +774,33 @@ jax.tree_util.register_pytree_node(
 # The operator arrays are EXPLICIT custom_vjp arguments (not closed over):
 # geometry flows through jitted steps as an argument pytree, so vals/cols
 # are tracers there — closing over tracers inside custom_vjp is illegal.
+def _fit_rows(x: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """Zero-pad or truncate axis 0 to exactly `rows`."""
+    if x.shape[0] == rows:
+        return x
+    if x.shape[0] > rows:
+        return x[:rows]
+    return jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)))
+
+
 def _run_mv(static, vals, cols, sup, x_pad, n_out):
-    """Dispatch one matvec: super-row kernel when available, else v2.
-    Output truncated/padded to n_out rows (the super kernel may emit extra
-    padded super-rows)."""
+    """Dispatch one matvec: super-row kernel when available, else v2 —
+    both through the SPMD-partitionable `_partitioned_spmm` wrappers.
+    x is first padded/truncated to the operator's own row count (the
+    partitioning rule ties x rows, A rows and out rows to one factor;
+    mixed super-forward/plain-backward row counts differ by super-row
+    padding only, and the extra rows are zeros no block references).
+    Output padded/truncated to n_out rows."""
     m_tile, interpret, precision, _xdt, use_super = static
     if use_super and sup is not None:
-        out = _bcsr_super_matmul(*sup, x_pad, m_tile, precision)
-        return out[: n_out]
-    return _bcsr_matmul(vals, cols, x_pad, m_tile, interpret, precision)
+        svals, _use, _wait_row, ucols, _ucount = sup
+        rows = svals.shape[0] * svals.shape[1] * svals.shape[2]
+        mm = _partitioned_spmm("super", svals.shape[1] * svals.shape[2],
+                               m_tile, False, precision)
+        return _fit_rows(mm(svals, ucols, _fit_rows(x_pad, rows)), n_out)
+    rows = vals.shape[0] * vals.shape[2]
+    mm = _partitioned_spmm("v2", vals.shape[2], m_tile, interpret, precision)
+    return _fit_rows(mm(vals, cols, _fit_rows(x_pad, rows)), n_out)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

@@ -450,3 +450,66 @@ class TestBlockSparseDispatch:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="unknown ChebOperator mode"):
             ChebOperator.from_graph(graph, mode="bscr")
+
+
+class TestBlockSparsePartitioned:
+    """The SPMD/vmap wrapper around the BCSR kernels: row (node)
+    sharding, column (batch) sharding and ensemble vmap must all match
+    the scipy reference (the Pallas launchers are opaque to XLA's
+    sharding propagation; `_partitioned_spmm` declares the op's
+    algebra — SURVEY.md §5.7 node-dimension sharding)."""
+
+    def _op(self, graph):
+        return BlockSparseOperator.from_scipy(graph.L, symmetric=True,
+                                              m_tile=128, interpret=True)
+
+    def test_row_sharded_matvec(self, graph):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        op = self._op(graph)
+        rng = np.random.default_rng(11)
+        # pre-pad rows to the operator's padded extent so the node split
+        # lands on 128-row block boundaries (2 blocks over 2 devices)
+        x = np.zeros((op.n_pad, 256), np.float32)
+        x[: graph.n_nodes] = rng.standard_normal(
+            (graph.n_nodes, 256)).astype(np.float32)
+        mesh = Mesh(np.array(jax.devices()[:2]), ("node",))
+        sh = NamedSharding(mesh, P("node", None))
+        out = jax.jit(op.matvec, in_shardings=sh, out_shardings=sh)(
+            jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(out)[: graph.n_nodes],
+            graph.L @ x[: graph.n_nodes], atol=1e-4)
+
+    def test_column_sharded_matvec(self, graph):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        op = self._op(graph)
+        rng = np.random.default_rng(12)
+        x = rng.standard_normal((graph.n_nodes, 256)).astype(np.float32)
+        mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+        sh = NamedSharding(mesh, P(None, "data"))
+        out = jax.jit(op.matvec, in_shardings=sh)(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), graph.L @ x, atol=1e-4)
+
+    def test_vmap_members_matches_loop(self, graph):
+        # ensemble members over ONE shared operator: custom_vmap folds
+        # the member axis into the matvec columns (exact — linear per
+        # column); this is the SWAG/DeepEnsemble member-parallel path
+        op = self._op(graph)
+        rng = np.random.default_rng(13)
+        xs = rng.standard_normal((3, graph.n_nodes, 128)).astype(np.float32)
+        out = jax.vmap(op.matvec)(jnp.asarray(xs))
+        assert out.shape == xs.shape
+        for i in range(3):
+            np.testing.assert_allclose(np.asarray(out[i]),
+                                       graph.L @ xs[i], atol=1e-4)
+
+    def test_vmap_grad(self, graph):
+        op = self._op(graph)
+        xs = jnp.ones((2, graph.n_nodes, 64))
+        g = jax.vmap(jax.grad(lambda x: jnp.sum(op.matvec(x) ** 2)))(xs)
+        expected = 2 * graph.L.T @ (graph.L @ np.ones(
+            (graph.n_nodes, 64), dtype=np.float32))
+        for i in range(2):
+            np.testing.assert_allclose(np.asarray(g[i]), expected, atol=1e-3)
