@@ -198,6 +198,13 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         minimum_iterations=4)
 
     # --- training ---------------------------------------------------------
+    # dp x sp mesh from the config's mesh settings (None on 1x1: plain jit)
+    from ..parallel import training_mesh
+    mesh = training_mesh(training_settings.get("n_data_parallel", 1),
+                         training_settings.get("n_node_parallel", 1))
+    if mesh is not None and verbose:
+        print(f"training mesh: {dict(mesh.shape)}")
+
     params, opt_state, info = AutoregressiveTraining(
         model, params,
         training_data_dynamic=train_dyn,
@@ -222,6 +229,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         scoring_interval=training_settings["scoring_interval"],
         save_model_each_epoch=training_settings["save_model_each_epoch"],
         exp_dir=exp_path,
+        mesh=mesh,
         num_workers=dl_settings["num_workers"],
         prefetch_factor=dl_settings["prefetch_factor"],
         autotune_num_workers=dl_settings.get("autotune_num_workers", False),

@@ -91,8 +91,13 @@ def get_default_training_settings() -> Dict:
         "deterministic_training": False,
         "seed_model_weights": 100,
         "seed_random_shuffling": 120,
-        # TPU mesh settings (replace the reference's GPU knobs)
+        # TPU mesh settings (replace the reference's GPU knobs):
+        # n_data_parallel shards the batch axis over the 'data' mesh axis,
+        # n_node_parallel shards the sphere's node axis over 'node' (the
+        # context-parallel analog for resolutions exceeding one chip,
+        # SURVEY.md §5.7); their product must not exceed jax.device_count()
         "n_data_parallel": 1,
+        "n_node_parallel": 1,
     }
 
 

@@ -26,7 +26,7 @@ import optax
 
 from ..data.ar import ARIndexer
 from ..data.loader import AutoregressiveDataLoader, AutoregressiveDataset
-from ..parallel.mesh import shard_batch
+from ..parallel.mesh import replicated_sharding, shard_batch
 from ..utils.checkpoint import Checkpointer
 from .scheduler import ARScheduler, EarlyStopping
 from .step import make_context, make_train_step, make_validation_fn
@@ -193,6 +193,15 @@ def AutoregressiveTraining(
     # device-resident geometry + loss-weight context (uploaded ONCE;
     # closure constants would re-upload per call on tunneled runtimes)
     ctx = make_context(model, area_weights)
+
+    # explicit replication on a mesh: batches arrive sharded (shard_batch
+    # below) and GSPMD would otherwise be free to pick param placements
+    # per compiled step
+    if mesh is not None:
+        rsh = replicated_sharding(mesh)
+        params = jax.device_put(params, rsh)
+        opt_state = jax.device_put(opt_state, rsh)
+        ctx = jax.device_put(ctx, rsh)
 
     # per-AR-stage compiled steps (cached across growth events)
     step_cache: Dict[int, tuple] = {}

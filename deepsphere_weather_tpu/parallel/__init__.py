@@ -6,4 +6,5 @@ from .mesh import (  # noqa: F401
     node_sharding,
     replicated_sharding,
     shard_batch,
+    training_mesh,
 )

@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "batch_sharding", "node_sharding",
-           "replicated_sharding", "shard_batch"]
+           "replicated_sharding", "shard_batch", "training_mesh"]
 
 
 def make_mesh(n_data: Optional[int] = None, n_member: int = 1,
@@ -61,6 +61,33 @@ def make_mesh(n_data: Optional[int] = None, n_member: int = 1,
     devs = np.asarray(devices[: n_data * n_node * n_member]).reshape(
         n_data, n_node, n_member)
     return Mesh(devs, axis_names=("data", "node", "member"))
+
+
+def training_mesh(n_data_parallel: int = 1, n_node_parallel: int = 1,
+                  n_member: int = 1) -> Optional[Mesh]:
+    """Mesh from the config's mesh settings; None for the 1x1x1 case.
+
+    `None` keeps single-chip runs on the plain (mesh-free) jit path —
+    identical math, no GSPMD pass. Raises if the requested layout needs
+    more devices than `jax.devices()` provides (the config validated only
+    the types; device count is a runtime property of the host).
+    """
+    import jax
+
+    n_data = max(int(n_data_parallel), 1)
+    n_node = max(int(n_node_parallel), 1)
+    n_member = max(int(n_member), 1)
+    if n_data * n_node * n_member == 1:
+        return None
+    have = len(jax.devices())
+    need = n_data * n_node * n_member
+    if need > have:
+        raise RuntimeError(
+            f"training mesh {n_data}(data) x {n_node}(node) x "
+            f"{n_member}(member) needs {need} devices; this host has "
+            f"{have} (set n_data_parallel/n_node_parallel to fit, or run "
+            "under more chips)")
+    return make_mesh(n_data=n_data, n_node=n_node, n_member=n_member)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -264,6 +264,36 @@ class TestEndToEndDriver:
             main(cfg3, data_dir, tmp_path / "exp", resume=True,
                  ar_iterations_prediction=2, verbose=False)
 
+    def test_mesh_training_from_config(self, tmp_path):
+        """n_data_parallel / n_node_parallel in training_settings drive a
+        ('data','node') mesh through the full CLI (dp x sp layout,
+        SURVEY.md §2.14); the reference's nearest analog is the dead
+        dataparallel_training flag (utils_config.py:74)."""
+        import jax
+
+        from deepsphere_weather_tpu.cli.train_predict import main
+        from deepsphere_weather_tpu.data import generate_toy_data
+
+        data_dir = tmp_path / "data"
+        generate_toy_data(data_dir,
+                          sampling_kwargs={"subdivisions": 4, "nest": True},
+                          n_timesteps=200, seed=6)
+        cfg_path, cfg = make_config(tmp_path, model_name="mesh-train")
+        cfg["training_settings"]["n_data_parallel"] = 2
+        cfg["training_settings"]["n_node_parallel"] = 2
+        write_config_file(cfg, cfg_path)
+        exp_path, gs = main(cfg_path, data_dir, tmp_path / "exp",
+                            force=True, ar_iterations_prediction=2,
+                            verbose=False)
+        assert (exp_path / "model_weights" / "model.npz").exists()
+        assert np.all(np.isfinite(gs["RMSE"]))
+        # an oversized mesh must fail loudly, not silently undersubscribe
+        cfg["training_settings"]["n_data_parallel"] = 2 * len(jax.devices())
+        write_config_file(cfg, cfg_path)
+        with pytest.raises(RuntimeError, match="mesh"):
+            main(cfg_path, data_dir, tmp_path / "exp", force=True,
+                 ar_iterations_prediction=2, verbose=False)
+
     def test_experiment_orchestrators(self, tmp_path):
         """Sweep + DeepEnsemble launchers (reference 0X_exp_* scripts)."""
         from deepsphere_weather_tpu.cli.experiments import (
