@@ -97,8 +97,14 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
                   f" AR iterations, weights "
                   f"{np.round(ar_scheduler.ar_weights, 3)}")
 
+    # same dp x sp mesh settings as the main trainer (None on 1x1)
+    from ..parallel import training_mesh
+    mesh = training_mesh(training_settings.get("n_data_parallel", 1),
+                         training_settings.get("n_node_parallel", 1))
+
     params, _, info = AutoregressiveTraining(
         model, params,
+        mesh=mesh,
         training_data_dynamic=data_dynamic.subset(0, i_train),
         validation_data_dynamic=data_dynamic.subset(i_train, i_val),
         training_data_bc=data_bc.subset(0, i_train) if data_bc else None,

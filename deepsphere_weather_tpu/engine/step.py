@@ -155,12 +155,12 @@ def make_member_train_step(model, indexer: ARIndexer,
     member-stacked params/opt_state and a shared batch:
     (member_params, member_opt_state, batch, ar_weights, ctx).
 
-    Operator note: vmap cannot batch the compiled Pallas BCSR operator
-    (its HBM-resident x input rejects a batched block spec — a loud
-    error, not silent wrongness). For member-parallel use at 12k+ nodes
-    build the model with `use_pallas=False` (XLA ELL path, vmappable) or
-    shard members across chips with shard_map, where each member's
-    compute is unbatched and the BCSR kernel applies as-is.
+    Operator note: the Pallas BCSR operator batches under vmap via its
+    custom_vmap rule (member axis folded into the matvec columns of the
+    shared operator), so member-parallel training works with
+    `use_pallas=True` at 12k+ nodes too; only member-stacked operator
+    arrays (per-member Laplacians) are unsupported, and the geometry ctx
+    is shared across members here.
     """
     loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations,
                               ar_training_strategy)

@@ -26,10 +26,12 @@ def make_ensemble_rollout(model, indexer: ARIndexer, block_size: int,
                           mesh=None):
     """Build a vmapped (member-stacked) block rollout function.
 
-    Operator note: the compiled Pallas BCSR operator (12k+ node models)
-    does not batch under vmap (loud lowering error); build such models
-    with `use_pallas=False` for this path, or shard members over the
-    'member' mesh axis via shard_map (per-member compute stays unbatched).
+    Operator note: the Pallas BCSR operator batches under vmap via its
+    custom_vmap rule — the member axis folds into the matvec columns of
+    ONE shared operator (exact: the matvec is linear per column, and wide
+    column counts are the kernel's best regime). Member-stacked operator
+    ARRAYS (per-member Laplacians) are rejected loudly; all members share
+    the geometry here, so that never triggers.
 
 
     Returns (fn, history_size) with

@@ -505,6 +505,23 @@ class TestBlockSparsePartitioned:
             np.testing.assert_allclose(np.asarray(out[i]),
                                        graph.L @ xs[i], atol=1e-4)
 
+    def test_cheb_conv_bcsr_vmaps_over_members(self, graph):
+        # the DeepEnsemble/SWAG member-parallel path: member-stacked
+        # weights AND activations vmapped over ONE shared BCSR operator
+        # (previously required use_pallas=False; the custom_vmap rule
+        # lifted that)
+        op = ChebOperator(bcsr=self._op(graph))
+        rng = np.random.default_rng(14)
+        M, B, V, Fin, K, Fout = 3, 2, graph.n_nodes, 4, 3, 5
+        xs = rng.standard_normal((M, B, V, Fin)).astype(np.float32)
+        ws = rng.standard_normal((M, Fin, K, Fout)).astype(np.float32) * 0.1
+        out = jax.vmap(cheb_conv, in_axes=(None, 0, 0))(
+            op, jnp.asarray(xs), jnp.asarray(ws))
+        for m in range(M):
+            expected = _numpy_cheb_conv(graph.L.toarray(), xs[m], ws[m])
+            np.testing.assert_allclose(np.asarray(out[m]), expected,
+                                       atol=2e-4)
+
     def test_vmap_grad(self, graph):
         op = self._op(graph)
         xs = jnp.ones((2, graph.n_nodes, 64))
