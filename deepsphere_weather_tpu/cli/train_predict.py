@@ -230,6 +230,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         save_model_each_epoch=training_settings["save_model_each_epoch"],
         exp_dir=exp_path,
         mesh=mesh,
+        remat=bool(training_settings.get("remat", False)),
         num_workers=dl_settings["num_workers"],
         prefetch_factor=dl_settings["prefetch_factor"],
         autotune_num_workers=dl_settings.get("autotune_num_workers", False),

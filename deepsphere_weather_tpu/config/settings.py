@@ -98,6 +98,11 @@ def get_default_training_settings() -> Dict:
         # SURVEY.md §5.7); their product must not exceed jax.device_count()
         "n_data_parallel": 1,
         "n_node_parallel": 1,
+        # remat=True recomputes each AR iteration's activations in the
+        # backward pass (jax.checkpoint): peak HBM drops by ~the AR depth
+        # for one extra forward per iteration — enables member-parallel
+        # ensembles / larger batches at HEALPix-64+ on one chip
+        "remat": False,
     }
 
 

@@ -76,12 +76,20 @@ def make_context(model, area_w: jnp.ndarray) -> Dict:
 
 def make_ar_loss_fn(model, indexer: ARIndexer,
                     n_scan_iterations: int,
-                    ar_training_strategy: str = "RNN") -> Callable:
+                    ar_training_strategy: str = "RNN",
+                    remat: bool = False) -> Callable:
     """Build loss(params, batch, ar_weights, ctx) -> (total, per_iter).
 
     `n_scan_iterations` is static (= current AR iterations + 1); the AR
     weight vector is a traced [n_scan_iterations] array; ctx comes from
     make_context.
+
+    `remat=True` wraps each AR iteration in `jax.checkpoint`: the backward
+    pass recomputes that iteration's UNet internals instead of keeping
+    them live, cutting peak activation HBM by ~the AR depth at the cost of
+    one extra forward per iteration. Use it when the footprint exceeds the
+    chip — e.g. member-parallel ensembles at HEALPix-64+, or large batches
+    at HEALPix-128 (SURVEY.md §7 'jax.checkpoint / rematerialisation').
     """
     if ar_training_strategy not in ("RNN", "AR"):
         raise ValueError("ar_training_strategy must be 'RNN' or 'AR'")
@@ -107,7 +115,8 @@ def make_ar_loss_fn(model, indexer: ARIndexer,
 
         # fully unrolled: AR depth is small (<= ~20) and unrolling lets XLA
         # overlap/fuse across iterations (measured ~7% step-time win)
-        _, losses = jax.lax.scan(step, dyn, jnp.arange(n_scan_iterations),
+        step_fn = jax.checkpoint(step) if remat else step
+        _, losses = jax.lax.scan(step_fn, dyn, jnp.arange(n_scan_iterations),
                                  unroll=True)
         w = ar_weights[:n_scan_iterations]
         w = w / jnp.maximum(w.sum(), 1e-12)
@@ -119,11 +128,12 @@ def make_ar_loss_fn(model, indexer: ARIndexer,
 def make_train_step(model, indexer: ARIndexer,
                     optimizer: optax.GradientTransformation,
                     n_scan_iterations: int,
-                    ar_training_strategy: str = "RNN") -> Callable:
+                    ar_training_strategy: str = "RNN",
+                    remat: bool = False) -> Callable:
     """Jitted train step: (params, opt_state, batch, ar_weights, ctx) ->
     (params, opt_state, total_loss, per_iter_losses)."""
     loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations,
-                              ar_training_strategy)
+                              ar_training_strategy, remat=remat)
 
     # params/opt_state are rebound by the caller every step — donate both
     # (in-place Adam updates, no spurious HBM copies). The batch is NOT
@@ -143,7 +153,8 @@ def make_train_step(model, indexer: ARIndexer,
 def make_member_train_step(model, indexer: ARIndexer,
                            optimizer: optax.GradientTransformation,
                            n_scan_iterations: int,
-                           ar_training_strategy: str = "RNN") -> Callable:
+                           ar_training_strategy: str = "RNN",
+                           remat: bool = False) -> Callable:
     """MEMBER-PARALLEL train step: every DeepEnsemble member advances in
     one jitted executable.
 
@@ -163,7 +174,7 @@ def make_member_train_step(model, indexer: ARIndexer,
     is shared across members here.
     """
     loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations,
-                              ar_training_strategy)
+                              ar_training_strategy, remat=remat)
 
     def one_member(params, opt_state, batch, ar_weights, ctx):
         (total, per_iter), grads = jax.value_and_grad(

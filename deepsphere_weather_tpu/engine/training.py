@@ -139,6 +139,7 @@ def AutoregressiveTraining(
     # infra
     exp_dir=None,
     mesh=None,
+    remat: bool = False,
     num_workers: int = 4,
     prefetch_factor: int = 2,
     autotune_num_workers: bool = False,
@@ -211,7 +212,7 @@ def AutoregressiveTraining(
             n_scan = n_iters + 1
             step_cache[n_iters] = (
                 make_train_step(model, indexer, optimizer,
-                                n_scan, ar_training_strategy),
+                                n_scan, ar_training_strategy, remat=remat),
                 make_validation_fn(model, indexer, n_scan),
             )
         return step_cache[n_iters]

@@ -94,6 +94,26 @@ def main() -> int:
                                         interpret=interpret)
     check("super bf16-A/fp32-x", mv(op, jnp.asarray(x_np)), 2e-2)
 
+    # 2c. compiled vmap (ensemble-member) path: the custom_vmap rule folds
+    # the member axis into the matvec columns of ONE shared operator —
+    # this is the SWAG/DeepEnsemble member-parallel regime
+    op = BlockSparseOperator.from_scipy(g.L, symmetric=True,
+                                        interpret=interpret)
+    xm = jnp.asarray(np.stack([x_np[:, :256]] * 3) *
+                     np.array([1.0, -0.5, 2.0],
+                              np.float32)[:, None, None])
+    # op goes through as a jit ARGUMENT (closing over it would bake the
+    # operator arrays into the HLO as constants — oversized compile
+    # payloads on tunneled runtimes)
+    ym = jax.jit(jax.vmap(lambda o, v: o.matvec(v),
+                          in_axes=(None, 0)))(op, xm)
+    refm = np.stack([g.L @ np.asarray(xm[i]) for i in range(3)])
+    errm = np.abs(np.asarray(ym) - refm).max() / np.abs(refm).max()
+    okm = errm < 1e-5
+    failures += not okm
+    print(f"vmap x3 members fp32: rel_err {errm:.2e} "
+          f"{'OK' if okm else 'FAIL'}", flush=True)
+
     # 3. backward (fp32, small width)
     xg = jnp.asarray(x_np[:, :256])
     op = BlockSparseOperator.from_scipy(g.L, symmetric=True,

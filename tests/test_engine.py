@@ -159,6 +159,40 @@ class TestARLoss:
             assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
 
 
+    def test_remat_matches_plain_gradients(self, toy_setup):
+        # remat=True (jax.checkpoint per AR iteration) must be a pure
+        # memory/FLOPs trade: same loss, same gradients
+        s = toy_setup
+        ix = ARIndexer.build(**s["ar_settings"])
+        from deepsphere_weather_tpu.data import (AutoregressiveDataset,
+                                                 AutoregressiveDataLoader)
+        from deepsphere_weather_tpu.engine import make_context
+        ds = AutoregressiveDataset(s["dyn"], ix, data_bc=s["bc"],
+                                   data_static=s["static"],
+                                   scaler=s["scaler"])
+        batch = next(iter(AutoregressiveDataLoader(ds, batch_size=2,
+                                                   shuffle=False,
+                                                   num_workers=1)))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k in ("dynamic", "bc", "static")}
+        ctx = make_context(s["model"], s["area_w"])
+        w = jnp.asarray([1.0, 0.7, 0.3])
+        for strategy in ("RNN", "AR"):
+            plain = make_ar_loss_fn(s["model"], ix, 3, strategy)
+            remat = make_ar_loss_fn(s["model"], ix, 3, strategy, remat=True)
+            (l0, p0), g0 = jax.value_and_grad(plain, has_aux=True)(
+                s["params"], batch, w, ctx)
+            (l1, p1), g1 = jax.value_and_grad(remat, has_aux=True)(
+                s["params"], batch, w, ctx)
+            assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+            np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
+                                       rtol=1e-6)
+            for a, b in zip(jax.tree_util.tree_leaves(g0),
+                            jax.tree_util.tree_leaves(g1)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-7)
+
+
 class TestTrainingLoop:
     def test_reproducibility_regimes(self, toy_setup):
         # parity with the reference's reproducibility experiment oracle
