@@ -201,6 +201,35 @@ class TestBlockSparse:
                               if wait_row[s, u] < R}
                 assert used_slots == real_slots
 
+    def test_bcsr_builds_bf16(self, graph):
+        # the builders take a vectorized bit-level path for bf16 (integer
+        # views for the cast / nonzero-block mask / block fill — ml_dtypes
+        # elementwise ops are ~100x slower); the result must equal a plain
+        # astype of the fp32 build
+        import ml_dtypes
+
+        bf16 = np.dtype(ml_dtypes.bfloat16)
+        vals32, cols32, n_pad32 = bcsr_from_scipy(graph.L)
+        vals16, cols16, n_pad16 = bcsr_from_scipy(graph.L, dtype=bf16)
+        assert vals16.dtype == bf16 and n_pad16 == n_pad32
+        np.testing.assert_array_equal(cols16, cols32)
+        np.testing.assert_array_equal(
+            np.asarray(vals16, dtype=np.float32),
+            np.asarray(vals32.astype(bf16), dtype=np.float32))
+
+        from deepsphere_weather_tpu.ops.pallas_spmm import (
+            bcsr_super_from_scipy,
+        )
+        s32 = bcsr_super_from_scipy(graph.L, rows_per_super=2)
+        s16 = bcsr_super_from_scipy(graph.L, rows_per_super=2, dtype=bf16)
+        svals32, svals16 = s32[0], s16[0]
+        assert svals16.dtype == bf16
+        np.testing.assert_array_equal(
+            np.asarray(svals16, dtype=np.float32),
+            np.asarray(svals32.astype(bf16), dtype=np.float32))
+        for a32, a16 in zip(s32[1:], s16[1:]):
+            np.testing.assert_array_equal(np.asarray(a32), np.asarray(a16))
+
     def test_pallas_spmm_interpret(self, graph):
         op = BlockSparseOperator.from_scipy(graph.L, symmetric=True,
                                             m_tile=128, interpret=True)
