@@ -143,7 +143,11 @@ def main() -> int:
         print(f"backward non-symmetric (voronoi): rel_err {errv:.2e} "
               f"{'OK' if okv else 'FAIL'}")
 
-    # 4. timing (informational; chained matvecs, device-synchronized)
+    # 4. timing (informational; chained matvecs). A scalar device->host
+    # fetch is the only real sync on tunneled runtimes — bare
+    # block_until_ready returns before execution and measures nothing
+    # (utils.profiling._force_sync).
+    from deepsphere_weather_tpu.utils.profiling import _force_sync
     xb = jnp.asarray(x_np, dtype=jnp.bfloat16)
     chain = jax.jit(lambda o, v: o.matvec(o.matvec(o.matvec(o.matvec(v)))))
     for tag, R in [("super R=2", 2), ("v2", 0)]:
@@ -151,14 +155,15 @@ def main() -> int:
                                             dtype=jnp.bfloat16,
                                             rows_per_super=R,
                                             interpret=interpret)
-        r = chain(op, xb)
-        jax.block_until_ready(r)
+        _force_sync(chain(op, xb))        # compile + queue drain
         t0 = time.perf_counter()
+        r = xb
         for _ in range(20):
-            r = chain(op, xb)
-        jax.block_until_ready(r)
+            r = chain(op, r)
+        _force_sync(r)
         print(f"{tag} bf16: {(time.perf_counter()-t0)/20/4*1e3:.2f} "
-              f"ms/matvec", flush=True)
+              f"ms/matvec (incl. one sync RTT over 80 matvecs)",
+              flush=True)
 
     print("ALL OK" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
