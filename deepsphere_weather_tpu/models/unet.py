@@ -63,7 +63,7 @@ class UNetSpherical:
         increment_learning: bool = False,
         # TPU options
         numeric_precision: str = "float32",
-        dense_threshold: int = 8192,
+        dense_threshold: Optional[int] = None,
         use_pallas=None,
         geometry: Optional[ModelGeometry] = None,
     ):

@@ -44,7 +44,7 @@ class _SingleLevelModel:
                  batch_norm: bool = False,
                  batch_norm_before_activation: bool = False,
                  activation: bool = True, activation_fun: str = "relu",
-                 dense_threshold: int = 8192, use_pallas=None,
+                 dense_threshold: Optional[int] = None, use_pallas=None,
                  numeric_precision: str = "float32",
                  **_ignored):
         self.input_n_feature = tensor_info["input_n_feature"]
@@ -192,7 +192,7 @@ class DownscalingNetSpherical:
                  batch_norm_before_activation: bool = False,
                  activation: bool = True, activation_fun: str = "relu",
                  kernel_size_pooling: int = 4,
-                 dense_threshold: int = 8192, use_pallas=None,
+                 dense_threshold: Optional[int] = None, use_pallas=None,
                  numeric_precision: str = "float32",
                  **_ignored):
         self.input_n_feature = tensor_info["input_n_feature"]

@@ -66,10 +66,14 @@ class ChebOperator:
         self.bcsr = bcsr
 
     @classmethod
-    def from_graph(cls, graph, mode: str = "auto", dense_threshold: int = 8192,
+    def from_graph(cls, graph, mode: str = "auto", dense_threshold=None,
                    use_pallas: bool = True, dtype=jnp.float32):
         n = graph.n_nodes
         if mode == "auto":
+            if dense_threshold is None:
+                # BCSR beats dense above ~2k nodes on TPU (measured at
+                # HEALPix-16); the CPU ELL gather fallback does not
+                dense_threshold = 2048 if use_pallas else 8192
             mode = "dense" if n <= dense_threshold else (
                 "bcsr" if use_pallas else "ell")
         if mode == "dense":
