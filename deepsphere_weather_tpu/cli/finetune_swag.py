@@ -67,6 +67,11 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
     model_kwargs = {k: v for k, v in model_settings.items()
                     if k != "architecture_name"}
     model_kwargs["pool_method"] = str(model_kwargs["pool_method"]).lower()
+    # run at the precision the model was trained with (train_predict
+    # plumbs training_settings.numeric_precision the same way; without it
+    # a bf16-trained model silently fine-tunes in fp32)
+    model_kwargs["numeric_precision"] = training_settings.get(
+        "numeric_precision", "float32")
     model = get_model(model_settings["architecture_name"], tensor_info,
                       **model_kwargs)
     template = model.init(jax.random.key(0))

@@ -36,7 +36,8 @@ def main(model_dir, data_dir, forecast_reference_times=None,
     enable_compilation_cache()
 
     from ..config import (check_same_dict, get_ar_settings,
-                          get_model_settings, read_config_file)
+                          get_model_settings, get_training_settings,
+                          read_config_file)
     from ..data import (SphericalDataset, StaticDataset,
                         get_ar_model_tensor_info, load_scaler)
     from ..engine import AutoregressivePredictions
@@ -75,6 +76,11 @@ def main(model_dir, data_dir, forecast_reference_times=None,
     model_kwargs = {k: v for k, v in model_settings.items()
                     if k != "architecture_name"}
     model_kwargs["pool_method"] = str(model_kwargs["pool_method"]).lower()
+    # run at the precision the model was trained with (train_predict
+    # plumbs training_settings.numeric_precision the same way; without it
+    # a bf16-trained model silently predicts in fp32)
+    model_kwargs["numeric_precision"] = get_training_settings(cfg).get(
+        "numeric_precision", "float32")
     model = get_model(model_settings["architecture_name"], tensor_info,
                       **model_kwargs)
     template = model.init(jax.random.key(0))

@@ -372,7 +372,7 @@ def _spmm_kernel_super(ucols_ref, a_ref, x_hbm, o_ref,
 
 def _super_m_tile(max_u: int, R: int, bs: int, m_pad: int,
                   x_dtype, a_dtype, cap: int,
-                  budget: int = 14 << 20) -> int:
+                  budget: int = 15 << 20) -> int:
     """Largest lane-aligned m-tile whose VMEM footprint fits the budget.
 
     Terms: ping-pong union x buffers, double-buffered A super-row,
@@ -386,16 +386,20 @@ def _super_m_tile(max_u: int, R: int, bs: int, m_pad: int,
     dtype), and the resulting value copies are allocated in BOTH parity
     branches of the ping-pong kernel (Mosaic sizes the scoped stack as
     the sum over `pl.when` branches: a bf16-A/fp32-x compile measured
-    20.8M of stack against the 16M limit with single-branch terms), so
-    mismatched dtypes double every copy term. Matched dtypes keep the
-    single-branch model, which is hardware-validated (fp32->256 and
-    bf16->1024 at HEALPix-64 both compile and run)."""
+    20.8M of stack against the 16M limit with single-branch terms).
+    Branch doubling applies to every dtype combination EXCEPT matched
+    bf16: an fp32/fp32 compile at HEALPix-16 (max_u=10, mt=512) measured
+    16.34M of stack — exactly the single-branch model (12.84M) plus a
+    second set of x/A copies (the fp32 MXU's multi-pass matmul is the
+    suspected source) — while matched-bf16 mt=1024 at HEALPix-64
+    compiles and runs within the limit, confirming its single-branch
+    lowering."""
     x_dt, a_dt = jnp.dtype(x_dtype), jnp.dtype(a_dtype)
     xb, ab = x_dt.itemsize, a_dt.itemsize
     # mirrors the cast selection in _spmm_kernel_super (matvec picks
     # Precision.HIGHEST exactly when x is not bf16)
     a_cast_b = 0 if a_dt == x_dt else xb
-    branches = 1 if a_dt == x_dt else 2
+    branches = 1 if a_dt == x_dt == jnp.dtype(jnp.bfloat16) else 2
     a_bytes = 2 * R * max_u * bs * bs * ab
     a_copy = branches * R * max_u * bs * bs * (ab + a_cast_b)
     for mt in (1024, 512, 256, 128):

@@ -230,6 +230,24 @@ class TestBlockSparse:
         for a32, a16 in zip(s32[1:], s16[1:]):
             np.testing.assert_array_equal(np.asarray(a32), np.asarray(a16))
 
+    def test_super_m_tile_vmem_model(self):
+        # regression for a scoped-VMEM OOM: Mosaic doubles the kernel's
+        # stack copies across the ping-pong parity branches for every
+        # dtype combination except matched bf16, so fp32/fp32 must pick a
+        # smaller m-tile (an fp32 HEALPix-16 SWAG fine-tune compiled
+        # 16.34M of stack against the 16M limit when the model assumed
+        # single-branch for matched dtypes)
+        import jax.numpy as jnp
+        from deepsphere_weather_tpu.ops.pallas_spmm import _super_m_tile
+
+        f32, bf16 = jnp.float32, jnp.bfloat16
+        # the failing case: HEALPix-16 fp32 operator, max_u=10
+        assert _super_m_tile(10, 2, 128, 1024, f32, f32, 1024) <= 256
+        # hardware-validated choices must be preserved
+        assert _super_m_tile(13, 2, 128, 1024, f32, f32, 1024) == 256
+        assert _super_m_tile(13, 2, 128, 1024, bf16, bf16, 1024) == 1024
+        assert _super_m_tile(13, 2, 128, 1024, f32, bf16, 1024) == 256
+
     def test_pallas_spmm_interpret(self, graph):
         op = BlockSparseOperator.from_scipy(graph.L, symmetric=True,
                                             m_tile=128, interpret=True)
