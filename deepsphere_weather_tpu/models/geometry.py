@@ -82,11 +82,14 @@ def build_model_geometry(
     Laplacian blocks (bf16 halves their HBM traffic for bf16-activation
     models; None keeps fp32).
 
-    `dense_threshold=None` resolves per backend: 2048 with the Pallas BCSR
-    kernel (HEALPix-16 AR6 train step measured 23.7 ms with the 3072-node
-    level sparse vs 27.8 ms dense — the O(V^2) dense matvec FLOPs outgrow
-    the MXU win above ~2k nodes; 768-node levels still favor dense), 8192
-    on CPU where the ELL gather fallback would lose to dense matmul."""
+    `dense_threshold=None` resolves per backend AND operator dtype: 2048
+    with the Pallas BCSR kernel on bf16 operators (HEALPix-16 AR6 train
+    step measured 23.7 ms with the 3072-node level sparse vs 27.8 ms
+    dense — the O(V^2) dense matvec FLOPs outgrow the MXU win above ~2k
+    nodes; 768-node levels still favor dense), 8192 otherwise: the fp32
+    kernel's branch-doubled VMEM copies force m_tile 256 and measured
+    60.8 ms vs 52.5 ms dense at HEALPix-16, and the CPU ELL gather
+    fallback would lose to dense matmul too."""
     sampling = check_sampling(sampling)
     conv_type = check_conv_type(conv_type, sampling)
     pool_method = check_pool_method(pool_method)
@@ -96,7 +99,10 @@ def build_model_geometry(
         import jax
         use_pallas = jax.default_backend() == "tpu"
     if dense_threshold is None:
-        dense_threshold = 2048 if use_pallas else 8192
+        import jax.numpy as _jnp
+        op_bf16 = (operator_dtype is not None
+                   and _jnp.dtype(operator_dtype) == _jnp.dtype(_jnp.bfloat16))
+        dense_threshold = 2048 if (use_pallas and op_bf16) else 8192
 
     coarsening = int(np.sqrt(kernel_size_pooling))
     kwargs_list = [dict(sampling_kwargs)]

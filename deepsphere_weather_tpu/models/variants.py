@@ -70,7 +70,10 @@ class _SingleLevelModel:
             sampling=sampling, sampling_kwargs={**sampling_kwargs},
             depth=1, knn=knn, graph_type=graph_type, conv_type=conv_type,
             pool_method="interp" if conv_type == "graph" else "avg",
-            dense_threshold=dense_threshold, use_pallas=use_pallas)
+            dense_threshold=dense_threshold, use_pallas=use_pallas,
+            operator_dtype=(_jnp.bfloat16
+                            if self.compute_dtype == _jnp.bfloat16
+                            else None))
 
         self.convblock_kwargs = dict(
             kernel_size=kernel_size_conv, conv_type=self.geometry.conv_type,
@@ -217,7 +220,10 @@ class DownscalingNetSpherical:
             depth=2, knn=knn, graph_type=graph_type, conv_type=conv_type,
             pool_method="interp" if conv_type == "graph" else "avg",
             kernel_size_pooling=kernel_size_pooling,
-            dense_threshold=dense_threshold, use_pallas=use_pallas)
+            dense_threshold=dense_threshold, use_pallas=use_pallas,
+            operator_dtype=(_jnp.bfloat16
+                            if self.compute_dtype == _jnp.bfloat16
+                            else None))
         assert self.geometry.n_nodes[1] == self.input_n_node, (
             f"coarse sampling nodes {self.geometry.n_nodes[1]} != "
             f"tensor_info input node {self.input_n_node}")

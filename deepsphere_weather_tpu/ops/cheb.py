@@ -71,9 +71,11 @@ class ChebOperator:
         n = graph.n_nodes
         if mode == "auto":
             if dense_threshold is None:
-                # BCSR beats dense above ~2k nodes on TPU (measured at
-                # HEALPix-16); the CPU ELL gather fallback does not
-                dense_threshold = 2048 if use_pallas else 8192
+                # bf16 BCSR beats dense above ~2k nodes on TPU (measured
+                # at HEALPix-16); fp32 BCSR (VMEM-limited m_tile) and the
+                # CPU ELL gather fallback do not
+                bf16 = jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16)
+                dense_threshold = 2048 if (use_pallas and bf16) else 8192
             mode = "dense" if n <= dense_threshold else (
                 "bcsr" if use_pallas else "ell")
         if mode == "dense":
