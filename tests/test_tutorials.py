@@ -3,11 +3,11 @@
 The tutorials are the user-facing equivalents of the reference's
 notebooks (tutorials/*.ipynb, SURVEY.md §2 'Tutorials'); executing their
 code blocks keeps them honest against API drift. Blocks in one file share
-a namespace (later blocks may use earlier imports/variables). Tutorial 03
-(training) and 04 (remote storage) are shell/how-to documents whose
-snippets need real experiment dirs or object stores, so only their pure
-python blocks run — the extractor skips blocks marked ```bash etc.
-automatically since it matches ```python fences only.
+a namespace (later blocks may use earlier imports/variables). Tutorials 03
+(training), 04 (remote storage) and 05 (serving) are shell/how-to
+documents whose snippets need real experiment dirs, object stores or
+exported artifacts, so they get the lighter check: every `python -m`
+entry point they mention must be importable.
 """
 
 import re
@@ -45,7 +45,8 @@ def test_training_tutorial_commands_reference_real_entry_points():
     # mention must be importable
     import importlib
 
-    for name in ["03_training_forecasting.md", "04_remote_storage.md"]:
+    for name in ["03_training_forecasting.md", "04_remote_storage.md",
+                 "05_serving.md"]:
         src = (DOCS / name).read_text()
         for mod in re.findall(r"python -m ([\w.]+)", src):
             importlib.import_module(mod)
