@@ -18,9 +18,9 @@ serve-anywhere.
   experiment directory; `cli.serve` exposes the service over stdlib HTTP.
 """
 
-from .export import (ExportedRollout, export_rollout, load_artifact,
-                     save_artifact)
+from .export import (ExportedRollout, export_ensemble_rollout,
+                     export_rollout, load_artifact, save_artifact)
 from .service import ForecastService
 
-__all__ = ["ExportedRollout", "export_rollout", "save_artifact",
-           "load_artifact", "ForecastService"]
+__all__ = ["ExportedRollout", "export_rollout", "export_ensemble_rollout",
+           "save_artifact", "load_artifact", "ForecastService"]

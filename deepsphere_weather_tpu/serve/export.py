@@ -37,8 +37,8 @@ import numpy as np
 
 from ..data.ar import ARIndexer
 
-__all__ = ["ExportedRollout", "export_rollout", "save_artifact",
-           "load_artifact"]
+__all__ = ["ExportedRollout", "export_rollout", "export_ensemble_rollout",
+           "save_artifact", "load_artifact"]
 
 _ARTIFACT_NAME = "rollout.jaxexport"
 _META_NAME = "meta.json"
@@ -126,6 +126,90 @@ def export_rollout(model, params, *, input_k: Sequence[int],
         "format_version": 1,
         "jax_version": jax.__version__,
         "platforms": list(plats),
+        "batch_size": batch_size,
+        "block_size": block_size,
+        "history_size": H,
+        "n_node": V,
+        "n_dynamic_features": f_dyn,
+        "n_bc_features": n_bc_features,
+        "n_static_features": 0 if static_arr is None else
+                             int(static_arr.shape[-1]),
+        "n_input_k": len(input_k),
+        "input_k": [int(k) for k in input_k],
+        "output_k": [int(k) for k in output_k],
+        "forecast_cycle": int(forecast_cycle),
+        "timestep_hours": timestep_hours,
+        "feature_order": list(feature_order) if feature_order else None,
+    }
+    return ExportedRollout(exported=exported, meta=meta)
+
+
+def export_ensemble_rollout(model, member_params, *, input_k: Sequence[int],
+                            output_k: Sequence[int], forecast_cycle: int,
+                            batch_size: int, block_size: int,
+                            static: Optional[np.ndarray] = None,
+                            n_bc_features: int = 0,
+                            timestep_hours: Optional[float] = None,
+                            feature_order: Optional[Sequence[str]] = None,
+                            platforms: Optional[Sequence[str]] = None
+                            ) -> ExportedRollout:
+    """Export a member-stacked (vmapped) ensemble rollout.
+
+    `member_params` is a params pytree with a leading member axis (from
+    `prob.SWAG.sample_members` or stacked DeepEnsemble checkpoints). The
+    exported callable rolls ALL members in one device program — the
+    TPU-parallel replacement for the reference's sequential member loop
+    (reference: modules/swag_predictions.py:59-91):
+
+        f(hist [M, B, H, V, F] (, bc_block [B, S, n_in, V, Fb]))
+            -> (new_hist [M, ...], preds [M, B, S, n_out, V, F])
+
+    Members consume the SAME boundary conditions; each member's own
+    predictions feed back into its history slice. Serving starts every
+    member from one analysis state by broadcasting the initial history
+    (ForecastService does this automatically).
+    """
+    from jax import export as jexport
+
+    from ..engine.step import make_rollout_block
+
+    leaves = jax.tree_util.tree_leaves(member_params)
+    if not leaves:
+        raise ValueError("member_params is empty")
+    n_members = int(leaves[0].shape[0])
+    indexer = ARIndexer.build(list(input_k), list(output_k),
+                              forecast_cycle, 1)
+    rollout, H = make_rollout_block(model, indexer, block_size, jit=False)
+    vmapped = jax.vmap(rollout, in_axes=(0, 0, None, None, None))
+
+    V = model.input_n_node
+    f_dyn = model.output_n_feature
+    geom = model.geometry_pytree()
+    static_arr = None if static is None else np.asarray(static, np.float32)
+
+    hist_spec = jax.ShapeDtypeStruct(
+        (n_members, batch_size, H, V, f_dyn), np.float32)
+    if n_bc_features > 0:
+        def fn(hist, bc_block):
+            return vmapped(member_params, hist, bc_block, static_arr, geom)
+        specs = (hist_spec, jax.ShapeDtypeStruct(
+            (batch_size, block_size, len(input_k), V, n_bc_features),
+            np.float32))
+    else:
+        def fn(hist):
+            return vmapped(member_params, hist, None, static_arr, geom)
+        specs = (hist_spec,)
+
+    plats = tuple(platforms) if platforms else (jax.default_backend(),)
+    disabled = [jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+    exported = jexport.export(jax.jit(fn), platforms=plats,
+                              disabled_checks=disabled)(*specs)
+
+    meta = {
+        "format_version": 1,
+        "jax_version": jax.__version__,
+        "platforms": list(plats),
+        "n_members": n_members,
         "batch_size": batch_size,
         "block_size": block_size,
         "history_size": H,

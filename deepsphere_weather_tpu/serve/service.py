@@ -108,12 +108,19 @@ class ForecastService:
         return np.asarray(self.scaler_bc.transform(bc, time=times),
                           np.float32)
 
+    @property
+    def n_members(self) -> int:
+        """> 0 for ensemble artifacts (member-stacked vmapped rollout)."""
+        return int(self.meta.get("n_members", 0))
+
     def _run_blocks(self, hist_scaled: np.ndarray, bc_scaled,
                     n_steps: int) -> np.ndarray:
-        """hist [B<=batch, H, V, F] scaled -> preds [B, n_steps, n_out, V, F]
-        (still scaled)."""
+        """hist [B<=batch, H, V, F] scaled -> preds (still scaled):
+        [B, n_steps, n_out, V, F], or [M, B, n_steps, n_out, V, F] for
+        ensemble artifacts (every member starts from the same history)."""
         m = self.meta
-        bs, block = m["batch_size"], m["block_size"]
+        bs, block, M = m["batch_size"], m["block_size"], self.n_members
+        batch_axis = 1 if M else 0
         B = hist_scaled.shape[0]
         if B > bs:
             # split oversized batches sequentially
@@ -121,7 +128,7 @@ class ForecastService:
                                      None if bc_scaled is None
                                      else bc_scaled[i:i + bs], n_steps)
                     for i in range(0, B, bs)]
-            return np.concatenate(outs, axis=0)
+            return np.concatenate(outs, axis=batch_axis)
         pad = bs - B
         if pad:
             hist_scaled = np.concatenate(
@@ -137,6 +144,8 @@ class ForecastService:
                 bc_scaled = np.concatenate(
                     [bc_scaled, np.repeat(bc_scaled[-1:], pad, axis=0)])
         hist = hist_scaled
+        if M:   # broadcast the analysis state to every member's carry
+            hist = np.broadcast_to(hist[None], (M,) + hist.shape)
         chunks = []
         for b in range(n_blocks):
             if bc_scaled is None:
@@ -145,7 +154,10 @@ class ForecastService:
                 hist, preds = self._fn(
                     hist, bc_scaled[:, b * block:(b + 1) * block])
             chunks.append(preds)
-        preds = np.concatenate([np.asarray(c) for c in chunks], axis=1)
+        preds = np.concatenate([np.asarray(c) for c in chunks],
+                               axis=batch_axis + 1)
+        if M:
+            return preds[:, :B, :n_steps]
         return preds[:B, :n_steps]
 
     # ------------------------------------------------------------------
@@ -158,7 +170,8 @@ class ForecastService:
         bc: [B, n_steps, n_input_k, V, F_bc] physical units, when the
         artifact uses boundary conditions. Returns predictions in physical
         units, [B, n_steps, n_out, V, F_dyn] (batch axis squeezed when the
-        input was unbatched).
+        input was unbatched). Ensemble artifacts prepend a member axis —
+        [M, (B,) n_steps, n_out, V, F_dyn]; reduce with `summarize`.
         """
         history, bc, squeeze = self._validate(history, bc, n_steps)
         if not scaled:
@@ -168,7 +181,20 @@ class ForecastService:
         if not scaled and self.scaler is not None:
             preds = np.asarray(self.scaler.inverse_transform(preds),
                                np.float32)
-        return preds[0] if squeeze else preds
+        if not squeeze:
+            return preds
+        return preds[:, 0] if self.n_members else preds[0]
+
+    @staticmethod
+    def summarize(members: np.ndarray, axis: int = 0) -> dict:
+        """Ensemble member reductions: mean, median (the reference's
+        ensemble product, modules/swag_predictions.py:159-166) and spread
+        (std over members)."""
+        members = np.asarray(members)
+        ddof = 1 if members.shape[axis] > 1 else 0
+        return {"mean": members.mean(axis=axis),
+                "median": np.median(members, axis=axis),
+                "spread": members.std(axis=axis, ddof=ddof)}
 
     def leadtimes(self, n_steps: int) -> np.ndarray:
         """Leadtimes [n_steps, n_out] — hours when the artifact records
@@ -229,7 +255,9 @@ class ForecastService:
                     preds = np.asarray(
                         self.scaler.inverse_transform(preds), np.float32)
                 for i, r in enumerate(batch):
-                    r.future.set_result(preds[i, :r.n_steps])
+                    r.future.set_result(
+                        preds[:, i, :r.n_steps] if self.n_members
+                        else preds[i, :r.n_steps])
             except Exception as e:  # noqa: BLE001 — fail the whole batch
                 for r in batch:
                     if not r.future.done():

@@ -41,12 +41,23 @@ def _model(n_feat_in):
         knn=KNN, pool_method="max", increment_learning=True)
 
 
+def _randomized(params, seed):
+    """Perturb freshly-initialized params: increment-learning models init
+    res_increment=0, making the untrained net output exactly x_last —
+    identical for every member and trivial for roundtrip checks."""
+    rng = np.random.default_rng(seed)
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x)
+        + rng.standard_normal(np.shape(x)).astype(np.float32) * 0.05,
+        params)
+
+
 @pytest.fixture(scope="module")
 def artifact(tmp_path_factory):
     """Exported artifact (bc + static + scalers) and its build ingredients."""
     rng = np.random.default_rng(0)
     model = _model(F_IN)
-    params = model.init(jax.random.key(0))
+    params = _randomized(model.init(jax.random.key(0)), 11)
     static = rng.standard_normal((V, F_STATIC)).astype(np.float32)
     scaler = GlobalStandardScaler().fit(
         rng.standard_normal((50, V, F_DYN)) * 3.0 + 5.0)
@@ -193,6 +204,69 @@ class TestForecastService:
         with pytest.raises(ValueError, match="n_steps"):
             svc.predict(np.zeros((H, V, F_DYN), np.float32), 0,
                         np.zeros((1, len(INPUT_K), V, F_BC), np.float32))
+
+
+class TestEnsembleServing:
+    @pytest.fixture(scope="class")
+    def ens_artifact(self, artifact, tmp_path_factory):
+        """2-member ensemble artifact sharing the single-model fixture's
+        geometry, static fields and scalers."""
+        from deepsphere_weather_tpu.serve import export_ensemble_rollout
+
+        model = artifact["model"]
+        p0 = artifact["params"]
+        p1 = _randomized(model.init(jax.random.key(42)), 12)
+        member_params = jax.tree_util.tree_map(
+            lambda a, b: np.stack([np.asarray(a), np.asarray(b)]), p0, p1)
+        rollout = export_ensemble_rollout(
+            model, member_params, input_k=INPUT_K, output_k=OUTPUT_K,
+            forecast_cycle=FC, batch_size=BATCH, block_size=BLOCK,
+            static=artifact["static"], n_bc_features=F_BC,
+            timestep_hours=6.0)
+        path = tmp_path_factory.mktemp("ens") / "model"
+        save_artifact(path, rollout, scaler=artifact["scaler"],
+                      scaler_bc=artifact["scaler_bc"])
+        return dict(path=path, members=[p0, p1], model=model,
+                    static=artifact["static"])
+
+    def test_matches_per_member_rollouts(self, ens_artifact):
+        a = ens_artifact
+        exported, _, _ = load_artifact(a["path"])
+        assert exported.meta["n_members"] == 2
+        rng = np.random.default_rng(8)
+        H = exported.meta["history_size"]
+        hist = rng.standard_normal((2, BATCH, H, V, F_DYN)).astype(np.float32)
+        bc = rng.standard_normal(
+            (BATCH, BLOCK, len(INPUT_K), V, F_BC)).astype(np.float32)
+        _, preds = exported.call(hist, bc)
+        for m, pm in enumerate(a["members"]):
+            want = _direct_rollout(a["model"], pm, hist[m], bc,
+                                   a["static"], BLOCK)
+            np.testing.assert_allclose(np.asarray(preds)[m], want,
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_service_member_axis_and_summary(self, ens_artifact):
+        svc = ForecastService.from_dir(ens_artifact["path"],
+                                       max_batch_delay_s=0.02)
+        assert svc.n_members == 2
+        rng = np.random.default_rng(9)
+        H = svc.meta["history_size"]
+        hist = (rng.standard_normal((H, V, F_DYN)) * 3 + 5).astype(np.float32)
+        bc = (rng.standard_normal((BLOCK + 1, len(INPUT_K), V, F_BC)) * 2
+              + 1).astype(np.float32)
+        n_steps = BLOCK + 1                         # forces a second block
+        fc = svc.predict(hist, n_steps, bc)         # unbatched request
+        assert fc.shape == (2, n_steps, len(OUTPUT_K), V, F_DYN)
+        # members differ (independent param draws)
+        assert np.abs(fc[0] - fc[1]).max() > 1e-3
+        s = svc.summarize(fc)
+        np.testing.assert_allclose(s["mean"], fc.mean(0), rtol=1e-6)
+        assert s["median"].shape == fc[0].shape
+        assert (s["spread"] >= 0).all()
+        # micro-batcher keeps the member axis per request
+        got = svc.submit(hist, n_steps, bc).result(timeout=60)
+        np.testing.assert_allclose(got, fc, rtol=1e-5, atol=1e-5)
+        svc.close()
 
 
 class TestHTTPServer:
