@@ -47,7 +47,8 @@ class AutoregressiveDataset:
     def __init__(self, data_dynamic, indexer: ARIndexer,
                  data_bc=None, data_static=None, scaler=None,
                  scaler_bc=None,
-                 subset_reference_positions: Optional[np.ndarray] = None):
+                 subset_reference_positions: Optional[np.ndarray] = None,
+                 preload="auto"):
         self.data_dynamic = data_dynamic
         self.data_bc = data_bc
         self.data_static = data_static
@@ -59,6 +60,42 @@ class AutoregressiveDataset:
         self._static_cache = (data_static.read_stacked()
                               if data_static is not None else None)
         self._refresh_positions()
+        # In-RAM pre-scaled mirror: scale ONCE per timestep instead of
+        # once per window (stride-1 AR windows re-transform every timestep
+        # ~W times), and let the loader gather whole batches with one
+        # fancy-index. Cuts host batch-assembly from ~20 ms to ~2 ms at
+        # HEALPix-16 — the producer-side cost that was pacing training.
+        # 'auto' preloads when the scaled mirror fits DSW_PRELOAD_BYTES
+        # (default 2 GB); big stores (HEALPix-64 ERA5 is ~30 GB) fall back
+        # to windowed reads through the decompressed-chunk cache.
+        self._mirror = None
+        if preload is True or preload == "auto":
+            import os
+            budget = int(os.environ.get("DSW_PRELOAD_BYTES", 2 << 30))
+            nbytes = (data_dynamic.n_time * data_dynamic.n_node
+                      * data_dynamic.n_feature * 4)
+            if data_bc is not None:
+                nbytes += (data_bc.n_time * data_bc.n_node
+                           * data_bc.n_feature * 4)
+            if preload is True or nbytes <= budget:
+                self._build_mirror()
+
+    def _build_mirror(self):
+        t_all = np.arange(self.data_dynamic.n_time)
+        times = self.data_dynamic.time[t_all]
+        dyn = self.data_dynamic.read_stacked(t_all).astype(np.float32)
+        if self.scaler is not None:
+            dyn = np.asarray(self.scaler.transform(dyn, time=times),
+                             dtype=np.float32)
+        bc = None
+        if self.data_bc is not None:
+            bc = self.data_bc.read_stacked(t_all).astype(np.float32)
+            if self.scaler_bc is not None:
+                bc = np.asarray(self.scaler_bc.transform(bc, time=times),
+                                dtype=np.float32)
+        self._mirror = (dyn, bc,
+                        np.asarray(times, dtype="datetime64[ns]")
+                        .view(np.int64))
 
     def _refresh_positions(self):
         if self._subset is not None:
@@ -78,6 +115,21 @@ class AutoregressiveDataset:
         return len(self.reference_positions)
 
     # ------------------------------------------------------------------
+    def get_batch(self, idx) -> Optional[Dict[str, np.ndarray]]:
+        """Vectorized gather of a whole batch from the preloaded mirror
+        (one fancy-index per field instead of per-sample reads + np.stack).
+        Returns None when no mirror is loaded."""
+        if self._mirror is None:
+            return None
+        t0s = self.reference_positions[np.asarray(idx, dtype=np.int64)]
+        t_idx = np.clip(t0s[:, None] + self.indexer.rel_offsets[None, :],
+                        0, self.data_dynamic.n_time - 1)   # [B, W]
+        dyn_all, bc_all, time_ns = self._mirror
+        batch = {"dynamic": dyn_all[t_idx], "window_time": time_ns[t_idx]}
+        if bc_all is not None:
+            batch["bc"] = bc_all[t_idx]
+        return batch
+
     def get_sample(self, i: int) -> Dict[str, np.ndarray]:
         t0 = int(self.reference_positions[i])
         # The window is sized for the indexer's MAX AR iterations; positions
@@ -85,6 +137,13 @@ class AutoregressiveDataset:
         # is current+1), so clamping keeps reduced-AR samples in-bounds.
         t_idx = np.clip(self.indexer.window_time_indices(t0), 0,
                         self.data_dynamic.n_time - 1)
+        if self._mirror is not None:
+            dyn_all, bc_all, time_ns = self._mirror
+            out = {"dynamic": dyn_all[t_idx],
+                   "window_time": time_ns[t_idx]}
+            if bc_all is not None:
+                out["bc"] = bc_all[t_idx]
+            return out
         times = self.data_dynamic.time[t_idx]
         dyn = self.data_dynamic.read_stacked(t_idx)          # [W, V, Fd]
         if self.scaler is not None:
@@ -117,7 +176,8 @@ class AutoregressiveDataLoader:
                  shuffle: bool = True, shuffle_seed: int = 69,
                  drop_last_batch: bool = True, num_workers: int = 4,
                  prefetch_factor: int = 2,
-                 autotune_num_workers: bool = False, epoch: int = 0):
+                 autotune_num_workers: bool = False, epoch: int = 0,
+                 transfer=None):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
@@ -125,6 +185,14 @@ class AutoregressiveDataLoader:
         self.drop_last_batch = drop_last_batch
         self.num_workers = max(int(num_workers), 1)
         self.prefetch_factor = max(int(prefetch_factor), 1)
+        # host->device transfer (e.g. parallel.shard_batch) applied in the
+        # producer thread so upload overlaps the consumer's compute — the
+        # TPU equivalent of the reference's prefetch_in_gpu /
+        # asyncronous_gpu_transfer loader options (utils_config.py:91-103).
+        # Measured on the tunneled TPU runtime: per-step synchronous
+        # device_put caps flagship training at ~98 samples/s; transferring
+        # in the producer thread lifts the cap to the device step rate.
+        self._transfer = transfer
         # callers that rebuild the loader per epoch pass `epoch` so the
         # shuffle permutation (seeded shuffle_seed + epoch) actually
         # varies — otherwise every epoch trains the identical batch
@@ -184,13 +252,15 @@ class AutoregressiveDataLoader:
         return batches
 
     def _assemble(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
-        samples = [self.dataset.get_sample(int(i)) for i in idx]
-        batch = {
-            "dynamic": np.stack([s["dynamic"] for s in samples]),
-            "window_time": np.stack([s["window_time"] for s in samples]),
-        }
-        if "bc" in samples[0]:
-            batch["bc"] = np.stack([s["bc"] for s in samples])
+        batch = self.dataset.get_batch(idx)
+        if batch is None:                      # no mirror: per-sample reads
+            samples = [self.dataset.get_sample(int(i)) for i in idx]
+            batch = {
+                "dynamic": np.stack([s["dynamic"] for s in samples]),
+                "window_time": np.stack([s["window_time"] for s in samples]),
+            }
+            if "bc" in samples[0]:
+                batch["bc"] = np.stack([s["bc"] for s in samples])
         st = self.dataset.static
         if st is not None:
             batch["static"] = st
@@ -202,7 +272,7 @@ class AutoregressiveDataLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._batch_indices()
         self._epoch += 1
-        if self.num_workers <= 1:
+        if self.num_workers <= 1 and self._transfer is None:
             for idx in batches:
                 yield self._assemble(idx)
             return
@@ -222,6 +292,16 @@ class AutoregressiveDataLoader:
                     continue
             return False
 
+        def _job(idx):
+            item = self._assemble(idx)
+            if self._transfer is not None:
+                # device upload in the pool worker: concurrent uploads
+                # overlap their tunnel round-trips with each other AND
+                # with the consumer's step dispatch (async device_put —
+                # the runtime resolves the dependency at first use)
+                item = self._transfer(item)
+            return item
+
         def producer():
             # bounded in-flight submission: eager submission of every
             # batch made prefetch_factor meaningless (the pool assembled
@@ -236,7 +316,7 @@ class AutoregressiveDataLoader:
                             idx = next(it, None)
                             if idx is None:
                                 break
-                            inflight.append(pool.submit(self._assemble, idx))
+                            inflight.append(pool.submit(_job, idx))
                         if not inflight:
                             break
                         try:

@@ -22,15 +22,97 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import shutil
+import threading
 import zlib
+from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
 __all__ = ["ZarrArray", "ZarrGroup", "open_group", "create_group",
-           "memory_size", "disk_size", "profile_zarr_io"]
+           "memory_size", "disk_size", "profile_zarr_io",
+           "set_chunk_cache_bytes", "chunk_cache_stats"]
+
+
+class _ChunkCache:
+    """Process-wide LRU of DECOMPRESSED chunks, bounded by bytes.
+
+    Why it exists: the AR training loader reads small time windows
+    (~10 steps) from stores chunked {time: 168, node: -1}, so every sample
+    read inflates a full multi-MB chunk per variable to use a few percent
+    of it. Uncached, the host pipeline measures ~20 samples/s against a
+    ~680 samples/s device step at HEALPix-16 — a 34x input bottleneck.
+    Cached, repeat window reads become memcpy and the pipeline keeps the
+    MXU fed (SURVEY.md §7 hard part 6).
+
+    Entries are read-only arrays keyed by (store path, chunk index);
+    writers invalidate. Thread-safe (loader worker threads share it).
+    """
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = int(max_bytes)
+        self._d: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self._bytes = 0
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        with self._lock:
+            arr = self._d.get(key)
+            if arr is not None:
+                self._d.move_to_end(key)
+                self.hits += 1
+            else:
+                self.misses += 1
+            return arr
+
+    def put(self, key, arr: np.ndarray):
+        nb = arr.nbytes
+        if nb > self.max_bytes:
+            return
+        arr = arr.copy() if not arr.flags.owndata else arr
+        arr.setflags(write=False)
+        with self._lock:
+            old = self._d.pop(key, None)
+            if old is not None:
+                self._bytes -= old.nbytes
+            self._d[key] = arr
+            self._bytes += nb
+            while self._bytes > self.max_bytes and self._d:
+                _, ev = self._d.popitem(last=False)
+                self._bytes -= ev.nbytes
+
+    def invalidate(self, key):
+        with self._lock:
+            old = self._d.pop(key, None)
+            if old is not None:
+                self._bytes -= old.nbytes
+
+    def clear(self):
+        with self._lock:
+            self._d.clear()
+            self._bytes = 0
+
+
+_chunk_cache = _ChunkCache(
+    int(os.environ.get("DSW_CHUNK_CACHE_BYTES", 512 * 1024 * 1024)))
+
+
+def set_chunk_cache_bytes(n: int):
+    """Resize (0 disables) the process-wide decompressed-chunk cache."""
+    _chunk_cache.max_bytes = int(n)
+    if n <= 0:
+        _chunk_cache.clear()
+
+
+def chunk_cache_stats() -> Dict:
+    return {"hits": _chunk_cache.hits, "misses": _chunk_cache.misses,
+            "bytes": _chunk_cache._bytes,
+            "max_bytes": _chunk_cache.max_bytes}
 
 
 def _dtype_to_str(dt: np.dtype) -> str:
@@ -205,11 +287,28 @@ class ZarrArray:
             raw = zlib.decompress(raw)
         return np.frombuffer(raw, dtype=self.dtype).reshape(cshape).copy()
 
+    def _cache_key(self, idx: Tuple[int, ...]):
+        """Local chunks key on (file, mtime, size): rewriting or
+        re-creating a store at the same path changes the key, so stale
+        entries become unreachable and age out of the LRU — no explicit
+        cross-array invalidation needed. Remote (_FsPath) chunks key on
+        the path alone (a stat per read would cost a network round-trip);
+        same-process writers invalidate explicitly in _write_chunk."""
+        p = self._chunk_path(idx)
+        if isinstance(p, Path):
+            try:
+                st = p.stat()
+                return (str(p), st.st_mtime_ns, st.st_size)
+            except OSError:
+                return (str(p), -1, -1)
+        return (str(self.path), idx)
+
     def _write_chunk(self, idx: Tuple[int, ...], data: np.ndarray):
         raw = np.ascontiguousarray(data, dtype=self.dtype).tobytes()
         if self.compressor == "zlib":
             raw = zlib.compress(raw, 1)
         self._chunk_path(idx).write_bytes(raw)
+        _chunk_cache.invalidate(self._cache_key(idx))
 
     # ------------------------------------------------------------------
     def _norm_key(self, key) -> Tuple[slice, ...]:
@@ -251,10 +350,30 @@ class ZarrArray:
     _BULK_BATCH_BYTES = 256 * 1024 * 1024
 
     def _read_chunks_bulk(self, idxs):
-        """Read many chunks — through the native parallel reader
-        (libdsw_chunkio.so: thread-pooled pread + zlib inflate, no Python
-        per-chunk overhead) when it is built and the store is local;
-        otherwise the pure-Python per-chunk path. Yields (idx, chunk)."""
+        """Read many chunks — decompressed-chunk cache first, then the
+        native parallel reader (libdsw_chunkio.so: thread-pooled pread +
+        zlib inflate, no Python per-chunk overhead) when it is built and
+        the store is local; otherwise the pure-Python per-chunk path.
+        Yields (idx, chunk)."""
+        if _chunk_cache.max_bytes > 0:
+            missing, miss_keys = [], {}
+            for i in idxs:
+                key = self._cache_key(i)
+                hit = _chunk_cache.get(key)
+                if hit is not None:
+                    yield i, hit
+                else:
+                    missing.append(i)
+                    miss_keys[i] = key
+            if not missing:
+                return
+            for i, chunk in self._read_chunks_uncached(missing):
+                _chunk_cache.put(miss_keys[i], chunk)
+                yield i, chunk
+            return
+        yield from self._read_chunks_uncached(idxs)
+
+    def _read_chunks_uncached(self, idxs):
         use_native = len(idxs) > 1 and isinstance(self.path, Path)
         if use_native:
             from ..native import chunkio

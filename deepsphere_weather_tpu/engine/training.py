@@ -26,7 +26,8 @@ import optax
 
 from ..data.ar import ARIndexer
 from ..data.loader import AutoregressiveDataLoader, AutoregressiveDataset
-from ..parallel.mesh import replicated_sharding, shard_batch
+from ..parallel.mesh import (TRAIN_BATCH_KEYS, replicated_sharding,
+                             shard_batch)
 from ..utils.checkpoint import Checkpointer
 from .scheduler import ARScheduler, EarlyStopping
 from .step import make_context, make_train_step, make_validation_fn
@@ -228,17 +229,31 @@ def AutoregressiveTraining(
             shuffle_seed=shuffle_seed, num_workers=num_workers,
             prefetch_factor=prefetch_factor,
             autotune_num_workers=autotune_num_workers and epoch == 0,
-            epoch=epoch)
+            epoch=epoch,
+            # device upload happens in the loader's producer thread,
+            # overlapped with this loop's step dispatch (prefetch_in_gpu
+            # parity; see loader.py)
+            transfer=lambda b: shard_batch(b, mesh))
         if autotune_num_workers and epoch == 0:
             num_workers = loader.num_workers  # reuse tuned value onwards
         info.epoch_boundaries.append(update)
         t_interval = time.perf_counter()
         steps_in_interval = 0
+        w = w_host = None
         for batch in loader:
             n_iters = ar_scheduler.current_ar_iterations
             train_step, _ = get_steps(n_iters)
-            w = jax.numpy.asarray(ar_scheduler.padded_weights(n_iters + 1))
-            dev_batch = shard_batch(batch, mesh)
+            # AR weights change only at scoring intervals — re-upload the
+            # device copy only then, not one tiny H2D dispatch per step
+            w_now = ar_scheduler.padded_weights(n_iters + 1)
+            if w is None or not np.array_equal(w_now, w_host):
+                w_host = w_now
+                w = jax.numpy.asarray(w_now)
+            # already device-resident (loader transfer); host-side time
+            # arrays are stripped — passing them into jit would upload
+            # them on every call
+            dev_batch = {k: batch[k] for k in TRAIN_BATCH_KEYS
+                         if k in batch}
             # No host sync here: steps are enqueued back-to-back so the
             # device pipeline hides dispatch latency; the loss scalar is
             # fetched only at scoring intervals (a per-step sync costs a
@@ -272,10 +287,12 @@ def AutoregressiveTraining(
                     _, val_fn = get_steps(n_iters)
                     vloader = AutoregressiveDataLoader(
                         val_ds, batch_size=validation_batch_size,
-                        shuffle=False, num_workers=num_workers)
+                        shuffle=False, num_workers=num_workers,
+                        transfer=lambda b: shard_batch(b, mesh))
                     tot, per, nb = 0.0, None, 0
                     for vb in vloader:
-                        vt, vp = val_fn(params, shard_batch(vb, mesh), w, ctx)
+                        vb = {k: vb[k] for k in TRAIN_BATCH_KEYS if k in vb}
+                        vt, vp = val_fn(params, vb, w, ctx)
                         tot += float(vt)
                         per = np.asarray(vp) if per is None else per + np.asarray(vp)
                         nb += 1

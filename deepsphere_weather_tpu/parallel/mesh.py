@@ -120,18 +120,29 @@ def _mesh_axis_size(mesh: Mesh, name: str) -> int:
         return 1
 
 
+# batch keys the jitted train/validation steps consume (engine/step.py
+# loss_fn); the loader's time arrays stay host-side — uploading them costs
+# two extra tunnel round-trips per batch for data the device never reads
+TRAIN_BATCH_KEYS = ("dynamic", "bc", "static")
+
+
 def shard_batch(batch: Dict, mesh: Optional[Mesh]) -> Dict:
     """device_put a loader batch: batched arrays sharded over 'data' (and
     the node axis over 'node' when that mesh axis is >1), shared arrays
-    (static) replicated (or node-sharded)."""
+    (static) replicated (or node-sharded). Only float arrays (the keys the
+    device steps read) are transferred; integer/time arrays pass through
+    as host numpy."""
     if mesh is None:
-        return {k: jax.numpy.asarray(v) for k, v in batch.items()}
+        return {k: (jax.numpy.asarray(v) if k in TRAIN_BATCH_KEYS else v)
+                for k, v in batch.items()}
     with_node = _mesh_axis_size(mesh, "node") > 1
     bsh = batch_sharding(mesh)
     rsh = replicated_sharding(mesh)
     out = {}
     for k, v in batch.items():
-        if k == "static":
+        if k not in TRAIN_BATCH_KEYS:
+            out[k] = v
+        elif k == "static":
             # [V, F]
             out[k] = jax.device_put(
                 v, NamedSharding(mesh, P("node")) if with_node else rsh)

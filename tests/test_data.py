@@ -53,6 +53,37 @@ class TestZarrStore:
         assert meta["zarr_format"] == 2
         assert meta["compressor"] == {"id": "zlib", "level": 1}
 
+    def test_chunk_cache_hits_and_write_invalidation(self, tmp_path):
+        from deepsphere_weather_tpu.data.zarrstore import (
+            chunk_cache_stats, set_chunk_cache_bytes)
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((64, 16)).astype(np.float32)
+        arr = ZarrArray.create(tmp_path / "a", shape=(64, 16),
+                               chunks=(16, 16), dtype=np.float32,
+                               compressor="zlib")
+        arr[...] = x
+        np.testing.assert_array_equal(arr[3:10], x[3:10])   # warms chunk 0
+        h0 = chunk_cache_stats()["hits"]
+        np.testing.assert_array_equal(arr[5:12], x[5:12])   # cache hit
+        assert chunk_cache_stats()["hits"] > h0
+        # writes must not serve stale data (mtime-keyed local entries)
+        x[0:16] = 42.0
+        arr[0:16] = 42.0
+        np.testing.assert_array_equal(arr[3:10], x[3:10])
+        # store re-created at the same path: fresh files, fresh keys
+        arr2 = ZarrArray.create(tmp_path / "a", shape=(64, 16),
+                                chunks=(16, 16), dtype=np.float32,
+                                compressor="zlib", overwrite=True)
+        arr2[...] = x + 1.0
+        np.testing.assert_array_equal(arr2[3:10], x[3:10] + 1.0)
+        # disabling the cache keeps reads correct
+        set_chunk_cache_bytes(0)
+        try:
+            np.testing.assert_array_equal(arr2[3:10], x[3:10] + 1.0)
+        finally:
+            set_chunk_cache_bytes(512 * 1024 * 1024)
+
 
 @pytest.fixture(scope="module")
 def toy(tmp_path_factory):
