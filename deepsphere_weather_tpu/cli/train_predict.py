@@ -234,6 +234,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         num_workers=dl_settings["num_workers"],
         prefetch_factor=dl_settings["prefetch_factor"],
         autotune_num_workers=dl_settings.get("autotune_num_workers", False),
+        device_cache=dl_settings.get("device_cache", "auto"),
         initial_opt_state=initial_opt_state,
         shuffle=dl_settings["random_shuffling"],
         shuffle_seed=int(training_settings["seed_random_shuffling"]),

@@ -123,6 +123,11 @@ def get_default_dataloader_settings() -> Dict:
         "prefetch_factor": 2,
         "num_workers": 8,
         "autotune_num_workers": False,
+        # cache the pre-scaled dataset in device HBM and gather AR windows
+        # on device ('auto': when it fits DSW_DEVICE_CACHE_BYTES, 4 GB
+        # default). Per-step host->device traffic becomes a [B, W] int32
+        # index array.
+        "device_cache": "auto",
     }
 
 

@@ -163,6 +163,38 @@ class AutoregressiveDataset:
     def static(self) -> Optional[np.ndarray]:
         return self._static_cache
 
+    # ---- device-resident-data support (consumed by engine/parallel) ----
+    @property
+    def has_mirror(self) -> bool:
+        return self._mirror is not None
+
+    def mirror_nbytes(self) -> int:
+        """Bytes the pre-scaled mirror (+ static) occupies — the HBM cost
+        of caching this dataset on device. 0 when no mirror was built."""
+        if self._mirror is None:
+            return 0
+        dyn, bc, _ = self._mirror
+        n = dyn.nbytes + (bc.nbytes if bc is not None else 0)
+        if self._static_cache is not None:
+            n += self._static_cache.nbytes
+        return n
+
+    def mirror_arrays(self):
+        """(dynamic [T,V,Fd], bc [T,V,Fb]|None, static [V,Fs]|None) —
+        the pre-scaled host arrays backing the mirror."""
+        if self._mirror is None:
+            raise ValueError("no pre-scaled mirror loaded (preload=False "
+                             "or the store exceeded DSW_PRELOAD_BYTES)")
+        dyn, bc, _ = self._mirror
+        return dyn, bc, self._static_cache
+
+    def window_indices(self, idx) -> np.ndarray:
+        """[B, W] int32 absolute time indices for sample batch `idx` —
+        exactly the rows get_batch would gather (same clamping)."""
+        t0s = self.reference_positions[np.asarray(idx, dtype=np.int64)]
+        return np.clip(t0s[:, None] + self.indexer.rel_offsets[None, :],
+                       0, self.data_dynamic.n_time - 1).astype(np.int32)
+
 
 class AutoregressiveDataLoader:
     """Batched iterator with shuffling and background prefetch.
@@ -268,6 +300,15 @@ class AutoregressiveDataLoader:
         pos0 = self.dataset.indexer.output_pos[0, 0]
         batch["forecast_start_time"] = batch["window_time"][:, pos0]
         return batch
+
+    def iter_index_batches(self) -> Iterator[np.ndarray]:
+        """Yield the epoch's sample-index batches (same shuffle/epoch
+        semantics as __iter__) WITHOUT assembling arrays — the
+        device-resident-data path gathers windows on device and only
+        needs the indices."""
+        batches = self._batch_indices()
+        self._epoch += 1
+        yield from batches
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._batch_indices()

@@ -36,6 +36,7 @@ from .loss import weighted_mse
 
 __all__ = ["assemble_input", "make_ar_loss_fn", "make_train_step",
            "make_member_train_step", "make_validation_fn",
+           "make_cached_train_step", "make_cached_validation_fn",
            "make_rollout_block"]
 
 
@@ -193,6 +194,66 @@ def make_validation_fn(model, indexer: ARIndexer,
 
     @jax.jit
     def validate(params, batch, ar_weights, ctx):
+        return loss_fn(params, batch, ar_weights, ctx)
+
+    return validate
+
+
+# ---------------------------------------------------------------------------
+# Device-resident-data steps (HBM dataset cache)
+# ---------------------------------------------------------------------------
+
+def _gather_window_batch(data: Dict, widx: jnp.ndarray) -> Dict:
+    """Materialize one window batch from the device-resident dataset.
+
+    data: {'dynamic': [T, V, Fd], 'bc': [T, V, Fb]|None,
+    'static': [V, Fs]|None} — the whole (pre-scaled) training timeline in
+    HBM; widx: [B, W] int32 absolute time indices. The gather yields the
+    exact arrays the host loader would have assembled
+    (AutoregressiveDataset.get_batch), but the per-step H2D transfer is
+    just widx (~1 KB) instead of the [B, W, V, F] window (~9 MB at
+    HEALPix-16 — the pace-setter on hosts with slow interconnect)."""
+    batch = {"dynamic": jnp.take(data["dynamic"], widx, axis=0)}
+    if data.get("bc") is not None:
+        batch["bc"] = jnp.take(data["bc"], widx, axis=0)
+    if data.get("static") is not None:
+        batch["static"] = data["static"]
+    return batch
+
+
+def make_cached_train_step(model, indexer: ARIndexer,
+                           optimizer: optax.GradientTransformation,
+                           n_scan_iterations: int,
+                           ar_training_strategy: str = "RNN",
+                           remat: bool = False) -> Callable:
+    """Train step over a device-resident dataset: (params, opt_state,
+    data, widx, ar_weights, ctx) -> (params, opt_state, total, per_iter).
+
+    Identical math to make_train_step on the host-assembled batch (the
+    window gather moves inside jit); `data` is NOT donated — it is reused
+    by every step of the run."""
+    loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations,
+                              ar_training_strategy, remat=remat)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, data, widx, ar_weights, ctx):
+        batch = _gather_window_batch(data, widx)
+        (total, per_iter), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, ar_weights, ctx)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total, per_iter
+
+    return train_step
+
+
+def make_cached_validation_fn(model, indexer: ARIndexer,
+                              n_scan_iterations: int) -> Callable:
+    loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations, "RNN")
+
+    @jax.jit
+    def validate(params, data, widx, ar_weights, ctx):
+        batch = _gather_window_batch(data, widx)
         return loss_fn(params, batch, ar_weights, ctx)
 
     return validate

@@ -26,11 +26,13 @@ import optax
 
 from ..data.ar import ARIndexer
 from ..data.loader import AutoregressiveDataLoader, AutoregressiveDataset
-from ..parallel.mesh import (TRAIN_BATCH_KEYS, replicated_sharding,
-                             shard_batch)
+from ..parallel.mesh import (TRAIN_BATCH_KEYS, put_device_dataset,
+                             replicated_sharding, shard_batch,
+                             shard_window_indices)
 from ..utils.checkpoint import Checkpointer
 from .scheduler import ARScheduler, EarlyStopping
-from .step import make_context, make_train_step, make_validation_fn
+from .step import (make_cached_train_step, make_cached_validation_fn,
+                   make_context, make_train_step, make_validation_fn)
 
 __all__ = ["ARTrainingInfo", "AutoregressiveTraining"]
 
@@ -141,6 +143,7 @@ def AutoregressiveTraining(
     exp_dir=None,
     mesh=None,
     remat: bool = False,
+    device_cache="auto",
     num_workers: int = 4,
     prefetch_factor: int = 2,
     autotune_num_workers: bool = False,
@@ -192,6 +195,24 @@ def AutoregressiveTraining(
     info = ARTrainingInfo()
     ckpt = Checkpointer(exp_dir) if exp_dir is not None else None
 
+    # device-resident data: when the pre-scaled mirrors fit the HBM budget,
+    # upload the WHOLE training/validation timelines once and gather AR
+    # windows on device — per-step H2D drops from the [B, W, V, F] window
+    # (~9 MB at HEALPix-16) to a [B, W] int32 index array. 'auto' caches
+    # when the mirrors fit DSW_DEVICE_CACHE_BYTES (default 4 GB); stores
+    # beyond it (HEALPix-64 ERA5 is ~30 GB) keep the streaming loader.
+    use_cache = False
+    if device_cache and train_ds.has_mirror and (
+            val_ds is None or val_ds.has_mirror):
+        import os
+        budget = int(os.environ.get("DSW_DEVICE_CACHE_BYTES", 4 << 30))
+        nbytes = train_ds.mirror_nbytes() + (
+            val_ds.mirror_nbytes() if val_ds is not None else 0)
+        use_cache = device_cache is True or nbytes <= budget
+    dev_train = put_device_dataset(train_ds, mesh) if use_cache else None
+    dev_val = (put_device_dataset(val_ds, mesh)
+               if use_cache and val_ds is not None else None)
+
     # device-resident geometry + loss-weight context (uploaded ONCE;
     # closure constants would re-upload per call on tunneled runtimes)
     ctx = make_context(model, area_weights)
@@ -211,11 +232,18 @@ def AutoregressiveTraining(
     def get_steps(n_iters: int):
         if n_iters not in step_cache:
             n_scan = n_iters + 1
-            step_cache[n_iters] = (
-                make_train_step(model, indexer, optimizer,
-                                n_scan, ar_training_strategy, remat=remat),
-                make_validation_fn(model, indexer, n_scan),
-            )
+            if use_cache:
+                step_cache[n_iters] = (
+                    make_cached_train_step(model, indexer, optimizer, n_scan,
+                                           ar_training_strategy, remat=remat),
+                    make_cached_validation_fn(model, indexer, n_scan),
+                )
+            else:
+                step_cache[n_iters] = (
+                    make_train_step(model, indexer, optimizer, n_scan,
+                                    ar_training_strategy, remat=remat),
+                    make_validation_fn(model, indexer, n_scan),
+                )
         return step_cache[n_iters]
 
     update = 0
@@ -228,19 +256,25 @@ def AutoregressiveTraining(
             train_ds, batch_size=training_batch_size, shuffle=shuffle,
             shuffle_seed=shuffle_seed, num_workers=num_workers,
             prefetch_factor=prefetch_factor,
-            autotune_num_workers=autotune_num_workers and epoch == 0,
+            autotune_num_workers=(autotune_num_workers and epoch == 0
+                                  and not use_cache),
             epoch=epoch,
             # device upload happens in the loader's producer thread,
             # overlapped with this loop's step dispatch (prefetch_in_gpu
             # parity; see loader.py)
             transfer=lambda b: shard_batch(b, mesh))
-        if autotune_num_workers and epoch == 0:
+        if autotune_num_workers and epoch == 0 and not use_cache:
             num_workers = loader.num_workers  # reuse tuned value onwards
         info.epoch_boundaries.append(update)
         t_interval = time.perf_counter()
         steps_in_interval = 0
         w = w_host = None
-        for batch in loader:
+        # device-cached data iterates sample-INDEX batches (the window
+        # gather runs on device); the streaming path iterates assembled
+        # array batches
+        batch_stream = (loader.iter_index_batches() if use_cache
+                        else iter(loader))
+        for batch in batch_stream:
             n_iters = ar_scheduler.current_ar_iterations
             train_step, _ = get_steps(n_iters)
             # AR weights change only at scoring intervals — re-upload the
@@ -249,17 +283,23 @@ def AutoregressiveTraining(
             if w is None or not np.array_equal(w_now, w_host):
                 w_host = w_now
                 w = jax.numpy.asarray(w_now)
-            # already device-resident (loader transfer); host-side time
-            # arrays are stripped — passing them into jit would upload
-            # them on every call
-            dev_batch = {k: batch[k] for k in TRAIN_BATCH_KEYS
-                         if k in batch}
             # No host sync here: steps are enqueued back-to-back so the
             # device pipeline hides dispatch latency; the loss scalar is
             # fetched only at scoring intervals (a per-step sync costs a
             # full tunnel RTT, ~40% of step time at HEALPix-16).
-            params, opt_state, total, per_iter = train_step(
-                params, opt_state, dev_batch, w, ctx)
+            if use_cache:
+                widx = shard_window_indices(
+                    train_ds.window_indices(batch), mesh)
+                params, opt_state, total, per_iter = train_step(
+                    params, opt_state, dev_train, widx, w, ctx)
+            else:
+                # already device-resident (loader transfer); host-side
+                # time arrays are stripped — passing them into jit would
+                # upload them on every call
+                dev_batch = {k: batch[k] for k in TRAIN_BATCH_KEYS
+                             if k in batch}
+                params, opt_state, total, per_iter = train_step(
+                    params, opt_state, dev_batch, w, ctx)
             update += 1
             steps_in_interval += 1
 
@@ -290,9 +330,17 @@ def AutoregressiveTraining(
                         shuffle=False, num_workers=num_workers,
                         transfer=lambda b: shard_batch(b, mesh))
                     tot, per, nb = 0.0, None, 0
-                    for vb in vloader:
-                        vb = {k: vb[k] for k in TRAIN_BATCH_KEYS if k in vb}
-                        vt, vp = val_fn(params, vb, w, ctx)
+                    vstream = (vloader.iter_index_batches() if use_cache
+                               else iter(vloader))
+                    for vb in vstream:
+                        if use_cache:
+                            vwidx = shard_window_indices(
+                                val_ds.window_indices(vb), mesh)
+                            vt, vp = val_fn(params, dev_val, vwidx, w, ctx)
+                        else:
+                            vb = {k: vb[k] for k in TRAIN_BATCH_KEYS
+                                  if k in vb}
+                            vt, vp = val_fn(params, vb, w, ctx)
                         tot += float(vt)
                         per = np.asarray(vp) if per is None else per + np.asarray(vp)
                         nb += 1

@@ -27,7 +27,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "batch_sharding", "node_sharding",
-           "replicated_sharding", "shard_batch", "training_mesh"]
+           "replicated_sharding", "shard_batch", "training_mesh",
+           "put_device_dataset", "shard_window_indices"]
 
 
 def make_mesh(n_data: Optional[int] = None, n_member: int = 1,
@@ -124,6 +125,44 @@ def _mesh_axis_size(mesh: Mesh, name: str) -> int:
 # loss_fn); the loader's time arrays stay host-side — uploading them costs
 # two extra tunnel round-trips per batch for data the device never reads
 TRAIN_BATCH_KEYS = ("dynamic", "bc", "static")
+
+
+def put_device_dataset(dataset, mesh: Optional[Mesh] = None) -> Dict:
+    """Upload a dataset's pre-scaled mirror + static fields to device HBM
+    ONCE (device-resident training data). Returns the `data` dict consumed
+    by engine.step.make_cached_train_step: per-step H2D shrinks from the
+    [B, W, V, F] window to a [B, W] int32 index array.
+
+    Sharding: timesteps must be visible to every data shard (any batch
+    gathers arbitrary rows), so arrays replicate over 'data'/'member'; a
+    >1 'node' axis shards the node dimension exactly like shard_batch.
+    """
+    dyn, bc, static = dataset.mirror_arrays()
+    if mesh is None:
+        put = jax.numpy.asarray
+        put_static = jax.numpy.asarray
+    else:
+        with_node = _mesh_axis_size(mesh, "node") > 1
+        rsh = replicated_sharding(mesh)
+        sh = NamedSharding(mesh, P(None, "node", None)) if with_node else rsh
+        ssh = NamedSharding(mesh, P("node", None)) if with_node else rsh
+
+        def put(v):
+            return jax.device_put(v, sh)
+
+        def put_static(v):
+            return jax.device_put(v, ssh)
+
+    return {"dynamic": put(dyn),
+            "bc": put(bc) if bc is not None else None,
+            "static": put_static(static) if static is not None else None}
+
+
+def shard_window_indices(widx, mesh: Optional[Mesh]):
+    """Upload a [B, W] window-index batch, sharded over 'data'."""
+    if mesh is None:
+        return jax.numpy.asarray(widx)
+    return jax.device_put(widx, batch_sharding(mesh))
 
 
 def shard_batch(batch: Dict, mesh: Optional[Mesh]) -> Dict:

@@ -229,6 +229,63 @@ class TestTrainingLoop:
                                    jax.tree_util.tree_leaves(p3)))
         assert diff > 0
 
+    def test_device_cache_matches_streaming_loader(self, toy_setup):
+        # device-resident data (HBM dataset cache + on-device window
+        # gather) must train IDENTICALLY to the host streaming loader:
+        # same batches, same windows, bit-identical trained params.
+        s = toy_setup
+
+        def train_once(device_cache):
+            params = s["model"].init(jax.random.key(3))
+            p, _, info = AutoregressiveTraining(
+                s["model"], params,
+                training_data_dynamic=s["dyn"],
+                validation_data_dynamic=s["dyn"].subset(0, 60),
+                training_data_bc=s["bc"],
+                validation_data_bc=s["bc"].subset(0, 60),
+                data_static=s["static"],
+                scaler=s["scaler"],
+                area_weights=s["area_w"],
+                **s["ar_settings"],
+                epochs=1, training_batch_size=8, scoring_interval=5,
+                shuffle=True, shuffle_seed=7,
+                device_cache=device_cache,
+                num_workers=1, verbose=False)
+            return p, info
+
+        p_cache, info_cache = train_once(True)
+        p_stream, info_stream = train_once(False)
+        np.testing.assert_allclose(info_cache.training_total_loss,
+                                   info_stream.training_total_loss,
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(info_cache.validation_total_loss,
+                                   info_stream.validation_total_loss,
+                                   rtol=0, atol=0)
+        for a, b in zip(jax.tree_util.tree_leaves(p_cache),
+                        jax.tree_util.tree_leaves(p_stream)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_device_cache_on_data_parallel_mesh(self, toy_setup):
+        # the cached path composes with data parallelism: replicated data
+        # arrays, 'data'-sharded [B, W] index batches
+        from deepsphere_weather_tpu.parallel import make_mesh
+
+        s = toy_setup
+        mesh = make_mesh(n_data=4)
+        params = s["model"].init(jax.random.key(4))
+        p, _, info = AutoregressiveTraining(
+            s["model"], params,
+            training_data_dynamic=s["dyn"],
+            training_data_bc=s["bc"],
+            data_static=s["static"],
+            scaler=s["scaler"],
+            area_weights=s["area_w"],
+            **s["ar_settings"],
+            epochs=1, training_batch_size=8, scoring_interval=5,
+            shuffle=True, shuffle_seed=7, mesh=mesh,
+            device_cache=True, num_workers=1, verbose=False)
+        assert np.isfinite(info.training_total_loss).all()
+
     def test_loss_decreases_and_checkpointing(self, toy_setup, tmp_path):
         s = toy_setup
         sched = ARScheduler(method="LinearStep", factor=0.05,
