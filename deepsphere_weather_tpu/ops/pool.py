@@ -341,19 +341,35 @@ class EquiangularAvgPool:
     def __call__(self, x):
         g = _to_2d(x, self.nlat, self.nlon)
         B, H, W, C = g.shape
-        g = g.reshape(B, H // self.c, self.c, W // self.c, self.c, C)
+        # floor-crop odd dims (reference AvgPool2d semantics: the trailing
+        # odd row/col never reaches the pooled grid — the coarsening rule
+        # nlat//c produces e.g. 23 -> 11 at Equiangular_400km_tropics)
+        Hc, Wc = H // self.c, W // self.c
+        g = g[:, : Hc * self.c, : Wc * self.c]
+        g = g.reshape(B, Hc, self.c, Wc, self.c, C)
         pooled = g.mean(axis=(2, 4))
         return pooled.reshape(B, -1, x.shape[-1]), None
 
 
 class EquiangularAvgUnpool:
-    def __init__(self, nlat: int, nlon: int, kernel_size: int = 4):
+    def __init__(self, nlat: int, nlon: int, kernel_size: int = 4,
+                 fine_nlat: int = None, fine_nlon: int = None):
         self.nlat, self.nlon = nlat, nlon  # coarse dims
         self.c = int(np.sqrt(kernel_size))
+        # exact fine-grid dims (reference uses F.interpolate to the target
+        # size); defaults reproduce the even case
+        self.fine_nlat = fine_nlat if fine_nlat is not None else nlat * self.c
+        self.fine_nlon = fine_nlon if fine_nlon is not None else nlon * self.c
 
     def __call__(self, x, idx=None):
         g = _to_2d(x, self.nlat, self.nlon)
-        g = jnp.repeat(jnp.repeat(g, self.c, axis=1), self.c, axis=2)
+        # nearest-neighbor resize to the fine grid: for even dims the index
+        # map floor(i*H/(c*H)) == i//c, i.e. exactly repeat-by-c
+        rows = np.floor(np.arange(self.fine_nlat)
+                        * self.nlat / self.fine_nlat).astype(np.int32)
+        cols = np.floor(np.arange(self.fine_nlon)
+                        * self.nlon / self.fine_nlon).astype(np.int32)
+        g = jnp.take(jnp.take(g, rows, axis=1), cols, axis=2)
         return g.reshape(x.shape[0], -1, x.shape[-1])
 
 
@@ -365,18 +381,23 @@ class EquiangularMaxPool:
     def __call__(self, x):
         g = _to_2d(x, self.nlat, self.nlon)
         B, H, W, C = g.shape
-        g = g.reshape(B, H // self.c, self.c, W // self.c, self.c, C)
+        Hc, Wc = H // self.c, W // self.c
+        g = g[:, : Hc * self.c, : Wc * self.c]   # floor-crop (MaxPool2d)
+        g = g.reshape(B, Hc, self.c, Wc, self.c, C)
         g = jnp.transpose(g, (0, 1, 3, 2, 4, 5)).reshape(
-            B, H // self.c, W // self.c, self.c * self.c, C)
+            B, Hc, Wc, self.c * self.c, C)
         pooled = jnp.max(g, axis=3)        # see HealpixMaxPool: avoid gather
         idx = jnp.argmax(g, axis=3)
         return pooled.reshape(B, -1, C), idx.reshape(B, -1, C)
 
 
 class EquiangularMaxUnpool:
-    def __init__(self, nlat: int, nlon: int, kernel_size: int = 4):
+    def __init__(self, nlat: int, nlon: int, kernel_size: int = 4,
+                 fine_nlat: int = None, fine_nlon: int = None):
         self.nlat, self.nlon = nlat, nlon  # coarse dims
         self.c = int(np.sqrt(kernel_size))
+        self.fine_nlat = fine_nlat if fine_nlat is not None else nlat * self.c
+        self.fine_nlon = fine_nlon if fine_nlon is not None else nlon * self.c
 
     def __call__(self, x, idx):
         B, D, C = x.shape
@@ -386,6 +407,12 @@ class EquiangularMaxUnpool:
         g = g.reshape(B, self.nlat, self.nlon, self.c, self.c, C)
         g = jnp.transpose(g, (0, 1, 3, 2, 4, 5)).reshape(
             B, self.nlat * self.c, self.nlon * self.c, C)
+        # odd fine dims: the cropped trailing row/col receives zeros (the
+        # max-pool never selected from it — MaxUnpool2d semantics)
+        pad_h = self.fine_nlat - self.nlat * self.c
+        pad_w = self.fine_nlon - self.nlon * self.c
+        if pad_h or pad_w:
+            g = jnp.pad(g, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         return g.reshape(B, -1, C)
 
 
@@ -402,9 +429,11 @@ _register_pool_pytree(HealpixAvgUnpool, (), ("k",))
 _register_pool_pytree(HealpixMaxPool, (), ("k",))
 _register_pool_pytree(HealpixMaxUnpool, (), ("k",))
 _register_pool_pytree(EquiangularAvgPool, (), ("nlat", "nlon", "c"))
-_register_pool_pytree(EquiangularAvgUnpool, (), ("nlat", "nlon", "c"))
+_register_pool_pytree(EquiangularAvgUnpool, (),
+                      ("nlat", "nlon", "c", "fine_nlat", "fine_nlon"))
 _register_pool_pytree(EquiangularMaxPool, (), ("nlat", "nlon", "c"))
-_register_pool_pytree(EquiangularMaxUnpool, (), ("nlat", "nlon", "c"))
+_register_pool_pytree(EquiangularMaxUnpool, (),
+                      ("nlat", "nlon", "c", "fine_nlat", "fine_nlon"))
 
 
 # ---------------------------------------------------------------------------
@@ -432,9 +461,13 @@ def build_pool_unpool(pool_method: str, src_sampling, dst_sampling,
             kw_dst = dst_sampling.kwargs_dict
             if method == "max":
                 return (EquiangularMaxPool(kw_src["nlat"], kw_src["nlon"], kernel_size),
-                        EquiangularMaxUnpool(kw_dst["nlat"], kw_dst["nlon"], kernel_size))
+                        EquiangularMaxUnpool(kw_dst["nlat"], kw_dst["nlon"], kernel_size,
+                                             fine_nlat=kw_src["nlat"],
+                                             fine_nlon=kw_src["nlon"]))
             return (EquiangularAvgPool(kw_src["nlat"], kw_src["nlon"], kernel_size),
-                    EquiangularAvgUnpool(kw_dst["nlat"], kw_dst["nlon"], kernel_size))
+                    EquiangularAvgUnpool(kw_dst["nlat"], kw_dst["nlon"], kernel_size,
+                                         fine_nlat=kw_src["nlat"],
+                                         fine_nlon=kw_src["nlon"]))
         raise ValueError(
             f"hierarchical pooling '{method}' requires healpix/equiangular, got {name}"
         )

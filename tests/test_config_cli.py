@@ -112,6 +112,36 @@ class TestConfig:
         name = get_model_name(ref_cfg)
         assert name == "RNN-AR6-UNetSpherical-Healpix_400km-Graph_knn-k20-MaxPooling"
 
+    def test_all_shipped_configs_validate(self):
+        # every shipped config (7 samplings x 6 pools x 3 graph types,
+        # reference generator: scripts/07_create_configs.py:78-110) must
+        # pass strict section validation and model-name derivation.
+        # Full build+forward of each is scripts/validate_all_configs.py
+        # (geometry construction is too slow for the default suite).
+        from pathlib import Path
+
+        from deepsphere_weather_tpu.sphere import (check_conv_type,
+                                                   check_pool_method,
+                                                   check_sampling)
+
+        root = Path(__file__).resolve().parents[1] / "configs"
+        paths = sorted(root.rglob("*.json"))
+        assert len(paths) >= 108
+        names = set()
+        for p in paths:
+            cfg = read_config_file(p)
+            ms = get_model_settings(cfg)
+            get_training_settings(cfg)
+            get_ar_settings(cfg)
+            check_sampling(ms["sampling"])
+            check_conv_type(ms["conv_type"], ms["sampling"])
+            check_pool_method(str(ms["pool_method"]).lower())
+            assert ms["graph_type"] in ("knn", "voronoi", "mesh")
+            name = get_model_name(cfg)
+            # model names must be unique within a sampling directory
+            names.add((p.parent.name, name))
+        assert len(names) == len(paths)
+
     def test_swag_settings_section(self):
         cfg = {"SWAG_settings": {"SWAG": True, "nb_samples": 5}}
         s = get_swag_settings(cfg)

@@ -90,6 +90,39 @@ class TestChebConv:
         expected = np.einsum("bvf,fo->bvo", x, w[:, 0]) + b
         np.testing.assert_allclose(np.asarray(out), expected, atol=2e-4)
 
+    def test_matches_reference_torch_stack(self, graph):
+        # Cross-framework parity with the REFERENCE stack itself: the
+        # torch.sparse.mm Chebyshev recurrence + flattened [B*V, Fin*K] @
+        # [Fin*K, Fout] dense mix of modules/layers.py:113-180, run on the
+        # identical rescaled Laplacian and weights.
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(11)
+        B, V, Fin, K, Fout = 3, graph.n_nodes, 5, 3, 4
+        x = rng.standard_normal((B, V, Fin)).astype(np.float32)
+        w = rng.standard_normal((Fin, K, Fout)).astype(np.float32) * 0.1
+
+        L = graph.L.tocoo()
+        tl = torch.sparse_coo_tensor(
+            np.stack([L.row, L.col]), L.data.astype(np.float64), L.shape)
+        # reference conv_cheb: x0 [V, Fin*B], xs stacked over K, then
+        # reorder to [B*V, Fin*K] and one dense mix
+        x0 = torch.from_numpy(x).double().permute(1, 2, 0).reshape(V, Fin * B)
+        xs = [x0]
+        if K > 1:
+            xs.append(torch.sparse.mm(tl, x0))
+        for _ in range(2, K):
+            xs.append(2 * torch.sparse.mm(tl, xs[-1]) - xs[-2])
+        stack = torch.stack(xs)                       # [K, V, Fin*B]
+        stack = stack.reshape(K, V, Fin, B).permute(3, 1, 2, 0)
+        out_t = stack.reshape(B * V, Fin * K) @ \
+            torch.from_numpy(w).double().reshape(Fin * K, Fout)
+        expected = out_t.reshape(B, V, Fout).numpy()
+
+        op = ChebOperator.from_graph(graph, mode="dense")
+        out = cheb_conv(op, jnp.asarray(x), jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(out), expected,
+                                   atol=2e-4, rtol=2e-4)
+
     def test_grad_flows(self, graph):
         op = ChebOperator.from_graph(graph, mode="dense")
         w = jnp.ones((2, 3, 2)) * 0.1
@@ -416,6 +449,42 @@ class TestHierarchicalPooling:
         # pooling the unpooled max field recovers the pooled field
         y2, _ = mpool(z)
         np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=1e-6)
+
+    def test_equiangular_odd_dims(self):
+        # odd grid dims (Equiangular_400km_tropics coarsens 23x46 -> 11x23):
+        # pool floor-crops (MaxPool2d/AvgPool2d semantics), unpool resizes
+        # back to the exact fine grid
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.random((2, 23 * 46, 3)).astype(np.float32) + 0.5)
+        pool = pool_ops.EquiangularAvgPool(23, 46, kernel_size=4)
+        unpool = pool_ops.EquiangularAvgUnpool(11, 23, kernel_size=4,
+                                               fine_nlat=23, fine_nlon=46)
+        y, _ = pool(x)
+        assert y.shape == (2, 11 * 23, 3)
+        # pooled values ignore the cropped last row (torch parity)
+        g = np.asarray(x).reshape(2, 23, 46, 3)
+        exp = g[:, :22, :].reshape(2, 11, 2, 23, 2, 3).mean(axis=(2, 4))
+        np.testing.assert_allclose(np.asarray(y).reshape(2, 11, 23, 3), exp,
+                                   atol=1e-6)
+        z = unpool(y, None)
+        assert z.shape == (2, 23 * 46, 3)
+        # nearest-resize index map (F.interpolate nearest semantics):
+        # fine row i reads coarse row floor(i * 11 / 23)
+        zz = np.asarray(z).reshape(2, 23, 46, 3)
+        rows = (np.arange(23) * 11 // 23)
+        cols = (np.arange(46) * 23 // 46)
+        np.testing.assert_allclose(zz, exp[:, rows][:, :, cols], atol=1e-6)
+
+        mpool = pool_ops.EquiangularMaxPool(23, 46, kernel_size=4)
+        munpool = pool_ops.EquiangularMaxUnpool(11, 23, kernel_size=4,
+                                                fine_nlat=23, fine_nlon=46)
+        ym, idx = mpool(x)
+        zm = munpool(ym, idx)
+        assert zm.shape == (2, 23 * 46, 3)
+        ym2, _ = mpool(zm)
+        np.testing.assert_allclose(np.asarray(ym2), np.asarray(ym), atol=1e-6)
+        # the cropped fine row receives zeros
+        assert np.all(np.asarray(zm).reshape(2, 23, 46, 3)[:, 22] == 0)
 
 
 class TestEquiangularConv:
