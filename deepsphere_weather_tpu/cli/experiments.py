@@ -102,12 +102,153 @@ def run_sweep(cfg_path, data_dir, exp_dir, sweep: Dict[str, List],
     return results
 
 
+def _train_members_parallel(cfg, data_dir, exp_dir, n_members: int,
+                            ar_iterations_prediction: int,
+                            verbose: bool) -> List:
+    """Train every DeepEnsemble member in ONE vmapped loop
+    (AutoregressiveTraining(n_members=...)): shared batch stream, one
+    jitted step advancing all members — measured 32x the reference's
+    sequential member trainings at HEALPix-16
+    (scripts/bench_member_parallel.py). Per-member weight seeds match the
+    sequential path (1000+m); documented deviation: members share one
+    shuffle stream instead of per-member shuffling. Writes per-member exp
+    dirs (config.json + model_weights/model.npz, predict-CLI compatible)
+    and returns the member ForecastDatasets."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import (get_ar_settings, get_dataloader_settings,
+                          get_model_name, get_model_settings,
+                          get_training_settings)
+    from ..data import (GlobalStandardScaler, SphericalDataset,
+                        StaticDataset, get_ar_model_tensor_info,
+                        load_scaler, train_val_test_split_indices)
+    from ..engine import (AutoregressivePredictions, AutoregressiveTraining,
+                          ForecastDataset)
+    from ..engine.loss import AreaWeights
+    from ..models import get_model
+    from ..sphere import build_sampling
+    from ..utils import Checkpointer
+
+    model_settings = get_model_settings(cfg)
+    training_settings = get_training_settings(cfg)
+    ar_settings = get_ar_settings(cfg)
+    dl_settings = get_dataloader_settings(cfg)
+    data_dir = Path(data_dir)
+
+    data_dynamic = SphericalDataset.open(
+        data_dir / "Data" / "dynamic" / "time_chunked" / "dynamic.zarr")
+    bc_path = data_dir / "Data" / "bc" / "time_chunked" / "bc.zarr"
+    data_bc = SphericalDataset.open(bc_path) if bc_path.exists() else None
+    static_path = data_dir / "Data" / "static.zarr"
+    data_static = (StaticDataset.open(static_path)
+                   if static_path.exists() else None)
+    scaler_path = data_dir / "Scalers" / "GlobalStandardScaler_dynamic.npz"
+    scaler = (load_scaler(scaler_path) if scaler_path.exists()
+              else GlobalStandardScaler().fit_dataset(data_dynamic))
+    scaler_bc_path = data_dir / "Scalers" / "GlobalStandardScaler_bc.npz"
+    scaler_bc = (load_scaler(scaler_bc_path) if scaler_bc_path.exists()
+                 else None)
+
+    n = data_dynamic.n_time
+    i_train, i_val = train_val_test_split_indices(n)
+    train_dyn = data_dynamic.subset(0, i_train)
+    val_dyn = data_dynamic.subset(i_train, i_val)
+    test_dyn = data_dynamic.subset(i_val, n)
+    train_bc = data_bc.subset(0, i_train) if data_bc else None
+    val_bc = data_bc.subset(i_train, i_val) if data_bc else None
+
+    tensor_info = get_ar_model_tensor_info(ar_settings, data_dynamic,
+                                           data_static=data_static,
+                                           data_bc=data_bc)
+    model_kwargs = {k: v for k, v in model_settings.items()
+                    if k != "architecture_name"}
+    model_kwargs["pool_method"] = str(model_kwargs["pool_method"]).lower()
+    model_kwargs["numeric_precision"] = training_settings.get(
+        "numeric_precision", "float32")
+    model = get_model(model_settings["architecture_name"], tensor_info,
+                      **model_kwargs)
+    # member-stacked init, same seeds as the sequential path
+    members = [model.init(jax.random.key(1000 + m))
+               for m in range(n_members)]
+    params = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
+
+    samp = build_sampling(model_settings["sampling"],
+                          dict(model_settings["sampling_kwargs"]))
+    area_w = AreaWeights(samp)
+    from .train_predict import _make_optimizer
+    params, _, info = AutoregressiveTraining(
+        model, params,
+        training_data_dynamic=train_dyn,
+        validation_data_dynamic=val_dyn,
+        training_data_bc=train_bc,
+        validation_data_bc=val_bc,
+        data_static=data_static,
+        scaler=scaler, scaler_bc=scaler_bc,
+        input_k=ar_settings["input_k"],
+        output_k=ar_settings["output_k"],
+        forecast_cycle=ar_settings["forecast_cycle"],
+        ar_iterations=ar_settings["ar_iterations"],
+        stack_most_recent_prediction=ar_settings[
+            "stack_most_recent_prediction"],
+        ar_training_strategy=training_settings["ar_training_strategy"],
+        area_weights=area_w,
+        optimizer=_make_optimizer(training_settings),
+        epochs=training_settings["epochs"],
+        training_batch_size=training_settings["training_batch_size"],
+        validation_batch_size=training_settings["validation_batch_size"],
+        scoring_interval=training_settings["scoring_interval"],
+        num_workers=dl_settings["num_workers"],
+        device_cache=dl_settings.get("device_cache", "auto"),
+        shuffle=dl_settings["random_shuffling"],
+        shuffle_seed=int(training_settings["seed_random_shuffling"]),
+        n_members=n_members,
+        verbose=verbose,
+    )
+
+    member_forecasts = []
+    for m in range(n_members):
+        c = copy.deepcopy(cfg)
+        c["training_settings"]["seed_model_weights"] = 1000 + m
+        c["model_settings"]["model_name_suffix"] = f"member{m}"
+        exp_path = Path(exp_dir) / get_model_name(c)
+        exp_path.mkdir(parents=True, exist_ok=True)
+        write_config_file(c, exp_path / "config.json")
+        (exp_path / "tensor_info.json").write_text(
+            json.dumps(tensor_info, indent=1, default=str))
+        p_m = jax.tree_util.tree_map(lambda x: x[m], params)
+        Checkpointer(exp_path).save_model(p_m)
+        info.save(exp_path / "training_info" / "ar_training_info.json")
+        forecast = AutoregressivePredictions(
+            model, p_m,
+            data_dynamic=test_dyn,
+            data_bc=data_bc.subset(i_val, n) if data_bc else None,
+            data_static=data_static,
+            scaler=scaler, scaler_bc=scaler_bc,
+            input_k=ar_settings["input_k"],
+            output_k=ar_settings["output_k"],
+            forecast_cycle=ar_settings["forecast_cycle"],
+            ar_iterations=ar_iterations_prediction,
+            batch_size=training_settings["training_batch_size"],
+            zarr_fpath=exp_path / "model_predictions" / "forecast_chunked"
+            / "test_forecasts.zarr",
+            verbose=verbose,
+        )
+        member_forecasts.append(forecast)
+    return member_forecasts
+
+
 def run_deep_ensemble(cfg_path, data_dir, exp_dir, n_members: int = 5,
                       ar_iterations_prediction: int = 4,
+                      member_parallel: bool = False,
                       verbose: bool = False) -> Dict:
     """DeepEnsemble: train n members with different weight seeds, run
     member predictions, verify the ensemble median
-    (reference 06_exp_DeepEnsemble.py:57-102 + verify_DeepEnsemble.py)."""
+    (reference 06_exp_DeepEnsemble.py:57-102 + verify_DeepEnsemble.py).
+
+    member_parallel=True trains all members in one vmapped jitted loop
+    (TPU ensemble parallelism, SURVEY.md §2.14) instead of the
+    reference's sequential per-member runs."""
     from ..engine import ForecastDataset
     from ..prob import build_ensemble_store, ensemble_median
     from ..verif import deterministic, global_summary
@@ -117,22 +258,27 @@ def run_deep_ensemble(cfg_path, data_dir, exp_dir, n_members: int = 5,
     from .train_predict import main as train_main
 
     cfg = read_config_file(cfg_path)
-    tmp_dir = Path(exp_dir) / "_tmp_configs"
-    tmp_dir.mkdir(parents=True, exist_ok=True)
-    member_forecasts = []
-    for m in range(n_members):
-        c = copy.deepcopy(cfg)
-        c["training_settings"]["seed_model_weights"] = 1000 + m
-        c["model_settings"]["model_name_suffix"] = f"member{m}"
-        p = tmp_dir / f"ensemble_member{m}.json"
-        write_config_file(c, p)
-        exp_path, _ = train_main(
-            p, data_dir, exp_dir, force=True,
-            ar_iterations_prediction=ar_iterations_prediction,
-            verbose=verbose)
-        member_forecasts.append(ForecastDataset.open(
-            exp_path / "model_predictions" / "forecast_chunked"
-            / "test_forecasts.zarr"))
+    if member_parallel:
+        member_forecasts = _train_members_parallel(
+            cfg, data_dir, exp_dir, n_members, ar_iterations_prediction,
+            verbose)
+    else:
+        tmp_dir = Path(exp_dir) / "_tmp_configs"
+        tmp_dir.mkdir(parents=True, exist_ok=True)
+        member_forecasts = []
+        for m in range(n_members):
+            c = copy.deepcopy(cfg)
+            c["training_settings"]["seed_model_weights"] = 1000 + m
+            c["model_settings"]["model_name_suffix"] = f"member{m}"
+            p = tmp_dir / f"ensemble_member{m}.json"
+            write_config_file(c, p)
+            exp_path, _ = train_main(
+                p, data_dir, exp_dir, force=True,
+                ar_iterations_prediction=ar_iterations_prediction,
+                verbose=verbose)
+            member_forecasts.append(ForecastDataset.open(
+                exp_path / "model_predictions" / "forecast_chunked"
+                / "test_forecasts.zarr"))
 
     ens_dir = Path(exp_dir) / "DeepEnsemble"
     ens_dir.mkdir(parents=True, exist_ok=True)

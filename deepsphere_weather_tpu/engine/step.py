@@ -37,7 +37,8 @@ from .loss import weighted_mse
 __all__ = ["assemble_input", "make_ar_loss_fn", "make_train_step",
            "make_member_train_step", "make_validation_fn",
            "make_cached_train_step", "make_cached_validation_fn",
-           "make_rollout_block"]
+           "make_cached_member_train_step", "make_member_validation_fn",
+           "make_cached_member_validation_fn", "make_rollout_block"]
 
 
 def assemble_input(dyn_buf: jnp.ndarray, bc: Optional[jnp.ndarray],
@@ -199,6 +200,19 @@ def make_validation_fn(model, indexer: ARIndexer,
     return validate
 
 
+def make_member_validation_fn(model, indexer: ARIndexer,
+                              n_scan_iterations: int) -> Callable:
+    """Validation over member-stacked params: returns ([M], [M, n_scan])."""
+    loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations, "RNN")
+
+    @jax.jit
+    def validate(member_params, batch, ar_weights, ctx):
+        return jax.vmap(loss_fn, in_axes=(0, None, None, None))(
+            member_params, batch, ar_weights, ctx)
+
+    return validate
+
+
 # ---------------------------------------------------------------------------
 # Device-resident-data steps (HBM dataset cache)
 # ---------------------------------------------------------------------------
@@ -255,6 +269,49 @@ def make_cached_validation_fn(model, indexer: ARIndexer,
     def validate(params, data, widx, ar_weights, ctx):
         batch = _gather_window_batch(data, widx)
         return loss_fn(params, batch, ar_weights, ctx)
+
+    return validate
+
+
+def make_cached_member_train_step(model, indexer: ARIndexer,
+                                  optimizer: optax.GradientTransformation,
+                                  n_scan_iterations: int,
+                                  ar_training_strategy: str = "RNN",
+                                  remat: bool = False) -> Callable:
+    """Member-parallel train step over a device-resident dataset: the
+    window batch is gathered ONCE and shared by every vmapped member
+    (make_member_train_step semantics + make_cached_train_step H2D
+    profile). Signature: (member_params, member_opt_state, data, widx,
+    ar_weights, ctx)."""
+    loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations,
+                              ar_training_strategy, remat=remat)
+
+    def one_member(params, opt_state, batch, ar_weights, ctx):
+        (total, per_iter), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, ar_weights, ctx)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total, per_iter
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(member_params, member_opt_state, data, widx, ar_weights,
+                   ctx):
+        batch = _gather_window_batch(data, widx)
+        return jax.vmap(one_member, in_axes=(0, 0, None, None, None))(
+            member_params, member_opt_state, batch, ar_weights, ctx)
+
+    return train_step
+
+
+def make_cached_member_validation_fn(model, indexer: ARIndexer,
+                                     n_scan_iterations: int) -> Callable:
+    loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations, "RNN")
+
+    @jax.jit
+    def validate(member_params, data, widx, ar_weights, ctx):
+        batch = _gather_window_batch(data, widx)
+        return jax.vmap(loss_fn, in_axes=(0, None, None, None))(
+            member_params, batch, ar_weights, ctx)
 
     return validate
 

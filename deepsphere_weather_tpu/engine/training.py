@@ -31,8 +31,11 @@ from ..parallel.mesh import (TRAIN_BATCH_KEYS, put_device_dataset,
                              shard_window_indices)
 from ..utils.checkpoint import Checkpointer
 from .scheduler import ARScheduler, EarlyStopping
-from .step import (make_cached_train_step, make_cached_validation_fn,
-                   make_context, make_train_step, make_validation_fn)
+from .step import (make_cached_member_train_step,
+                   make_cached_member_validation_fn, make_cached_train_step,
+                   make_cached_validation_fn, make_context,
+                   make_member_train_step, make_member_validation_fn,
+                   make_train_step, make_validation_fn)
 
 __all__ = ["ARTrainingInfo", "AutoregressiveTraining"]
 
@@ -50,6 +53,9 @@ class ARTrainingInfo:
     ar_growth_events: List[int] = dataclasses.field(default_factory=list)
     epoch_boundaries: List[int] = dataclasses.field(default_factory=list)
     samples_per_sec: List[float] = dataclasses.field(default_factory=list)
+    # member-parallel runs: per-member validation loss at each scoring
+    # interval ([n_intervals][n_members]); empty for single-member runs
+    per_member_loss: List[List[float]] = dataclasses.field(default_factory=list)
 
     def to_dict(self) -> Dict:
         return dataclasses.asdict(self)
@@ -154,6 +160,16 @@ def AutoregressiveTraining(
     swag_model=None,
     swag_freq: int = 10,
     swa_start: int = 0,
+    # member-parallel ensemble training: `params` is a member-STACKED
+    # pytree (leading axis n_members); every member advances in one
+    # vmapped jitted step on shared batches (the reference trains
+    # DeepEnsemble members as sequential subprocesses,
+    # 06_exp_DeepEnsemble.py:62-102 — measured 32x slower at HEALPix-16,
+    # scripts/bench_member_parallel.py). Scalar metrics become member
+    # MEANS (early stopping / AR growth act on the mean); per-member
+    # losses land in info.per_member_loss. Documented deviation: members
+    # share one batch stream instead of per-member shuffling.
+    n_members: Optional[int] = None,
     # resume support: continue a crashed/stopped run (optimizer moments
     # preserved). The reference has no mid-training resume (SURVEY.md §5.3).
     initial_opt_state=None,
@@ -174,12 +190,20 @@ def AutoregressiveTraining(
     if early_stopping is None:
         early_stopping = EarlyStopping(patience=3000 // max(scoring_interval, 1))
 
+    if n_members is not None and swag:
+        raise ValueError("member-parallel training does not compose with "
+                         "SWAG collection (collect per member separately)")
+
     # the jitted train step DONATES params/opt_state; copy the caller's
     # pytrees so they stay alive (e.g. for a later fresh run)
     params = jax.tree_util.tree_map(jax.numpy.array, params)
-    opt_state = (optimizer.init(params) if initial_opt_state is None
-                 else jax.tree_util.tree_map(jax.numpy.array,
-                                             initial_opt_state))
+    if initial_opt_state is not None:
+        opt_state = jax.tree_util.tree_map(jax.numpy.array,
+                                           initial_opt_state)
+    elif n_members is not None:
+        opt_state = jax.vmap(optimizer.init)(params)
+    else:
+        opt_state = optimizer.init(params)
 
     train_ds = AutoregressiveDataset(
         training_data_dynamic, indexer, data_bc=training_data_bc,
@@ -209,6 +233,12 @@ def AutoregressiveTraining(
         nbytes = train_ds.mirror_nbytes() + (
             val_ds.mirror_nbytes() if val_ds is not None else 0)
         use_cache = device_cache is True or nbytes <= budget
+    elif device_cache is True:
+        import warnings
+        warnings.warn(
+            "device_cache=True but no pre-scaled host mirror is loaded "
+            "(dataset exceeds DSW_PRELOAD_BYTES or preload=False); "
+            "falling back to the streaming loader", stacklevel=2)
     dev_train = put_device_dataset(train_ds, mesh) if use_cache else None
     dev_val = (put_device_dataset(val_ds, mesh)
                if use_cache and val_ds is not None else None)
@@ -221,9 +251,13 @@ def AutoregressiveTraining(
     # below) and GSPMD would otherwise be free to pick param placements
     # per compiled step
     if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
         rsh = replicated_sharding(mesh)
-        params = jax.device_put(params, rsh)
-        opt_state = jax.device_put(opt_state, rsh)
+        # member-stacked pytrees shard their leading axis over 'member'
+        psh = (NamedSharding(mesh, PartitionSpec("member"))
+               if n_members is not None else rsh)
+        params = jax.device_put(params, psh)
+        opt_state = jax.device_put(opt_state, psh)
         ctx = jax.device_put(ctx, rsh)
 
     # per-AR-stage compiled steps (cached across growth events)
@@ -232,18 +266,21 @@ def AutoregressiveTraining(
     def get_steps(n_iters: int):
         if n_iters not in step_cache:
             n_scan = n_iters + 1
-            if use_cache:
-                step_cache[n_iters] = (
-                    make_cached_train_step(model, indexer, optimizer, n_scan,
-                                           ar_training_strategy, remat=remat),
-                    make_cached_validation_fn(model, indexer, n_scan),
-                )
+            if n_members is not None:
+                mk_train = (make_cached_member_train_step if use_cache
+                            else make_member_train_step)
+                mk_val = (make_cached_member_validation_fn if use_cache
+                          else make_member_validation_fn)
             else:
-                step_cache[n_iters] = (
-                    make_train_step(model, indexer, optimizer, n_scan,
-                                    ar_training_strategy, remat=remat),
-                    make_validation_fn(model, indexer, n_scan),
-                )
+                mk_train = (make_cached_train_step if use_cache
+                            else make_train_step)
+                mk_val = (make_cached_validation_fn if use_cache
+                          else make_validation_fn)
+            step_cache[n_iters] = (
+                mk_train(model, indexer, optimizer, n_scan,
+                         ar_training_strategy, remat=remat),
+                mk_val(model, indexer, n_scan),
+            )
         return step_cache[n_iters]
 
     update = 0
@@ -304,7 +341,8 @@ def AutoregressiveTraining(
             steps_in_interval += 1
 
             if update % scoring_interval == 0:
-                total = float(total)   # single sync per interval
+                # single sync per interval; member mode reports the mean
+                total = float(np.asarray(total).mean())
                 dt = time.perf_counter() - t_interval
                 info.iterations.append(update)
                 info.training_total_loss.append(total)
@@ -322,14 +360,18 @@ def AutoregressiveTraining(
                 ar_scheduler.step()
                 # --- validation -------------------------------------------
                 val_loss = total
-                per_iter_val = [float(x) for x in np.asarray(per_iter)]
+                per_member = None
+                per_iter_val = [float(x) for x in
+                                np.asarray(per_iter).reshape(
+                                    -1, np.asarray(per_iter).shape[-1]
+                                ).mean(axis=0)]
                 if val_ds is not None:
                     _, val_fn = get_steps(n_iters)
                     vloader = AutoregressiveDataLoader(
                         val_ds, batch_size=validation_batch_size,
                         shuffle=False, num_workers=num_workers,
                         transfer=lambda b: shard_batch(b, mesh))
-                    tot, per, nb = 0.0, None, 0
+                    tot, per, nb = None, None, 0
                     vstream = (vloader.iter_index_batches() if use_cache
                                else iter(vloader))
                     for vb in vstream:
@@ -341,17 +383,26 @@ def AutoregressiveTraining(
                             vb = {k: vb[k] for k in TRAIN_BATCH_KEYS
                                   if k in vb}
                             vt, vp = val_fn(params, vb, w, ctx)
-                        tot += float(vt)
-                        per = np.asarray(vp) if per is None else per + np.asarray(vp)
+                        # vt: scalar (or [M] per member); vp: [n_scan]
+                        # (or [M, n_scan])
+                        vt, vp = np.asarray(vt), np.asarray(vp)
+                        tot = vt if tot is None else tot + vt
+                        per = vp if per is None else per + vp
                         nb += 1
                         if nb >= 8:  # validation subsample for speed
                             break
                     if nb:
-                        val_loss = tot / nb
-                        per_iter_val = [float(x) for x in per / nb]
+                        val_loss = float(tot.mean()) / nb
+                        if n_members is not None:
+                            per_member = [float(x) for x in tot / nb]
+                        per_iter_val = [
+                            float(x) for x in
+                            (per / nb).reshape(-1, per.shape[-1]).mean(axis=0)]
                 info.validation_iterations.append(update)
                 info.validation_total_loss.append(val_loss)
                 info.per_iteration_loss.append(per_iter_val)
+                if per_member is not None:
+                    info.per_member_loss.append(per_member)
                 info.ar_weights_history.append(
                     [float(x) for x in ar_scheduler.ar_weights])
                 if verbose:

@@ -347,6 +347,36 @@ class TestEndToEndDriver:
         assert (ens_dir / "probabilistic_global_skill.npz").exists()
         assert "probabilistic_skill" in out
 
+    def test_deep_ensemble_member_parallel(self, tmp_path):
+        # one vmapped training loop for all members: distinct member
+        # params (per-member seeds), predict-CLI-compatible member dirs,
+        # same ensemble artifacts as the sequential path
+        from deepsphere_weather_tpu.cli.experiments import run_deep_ensemble
+        from deepsphere_weather_tpu.data import generate_toy_data
+
+        data_dir = tmp_path / "data"
+        generate_toy_data(data_dir,
+                          sampling_kwargs={"subdivisions": 4, "nest": True},
+                          n_timesteps=200, seed=5)
+        cfg_path, _ = make_config(tmp_path)
+        out = run_deep_ensemble(cfg_path, data_dir, tmp_path / "exp",
+                                n_members=2, ar_iterations_prediction=2,
+                                member_parallel=True)
+        ens_dir = tmp_path / "exp" / "DeepEnsemble"
+        assert (ens_dir / "ensemble.zarr" / ".zgroup").exists()
+        assert (ens_dir / "median.zarr" / ".zgroup").exists()
+        assert np.isfinite(out["global_skill"]["RMSE"]).all()
+        # member dirs hold distinct weights
+        member_dirs = sorted(d for d in (tmp_path / "exp").iterdir()
+                             if d.name.endswith("member0")
+                             or d.name.endswith("member1"))
+        assert len(member_dirs) == 2
+        w0 = np.load(member_dirs[0] / "model_weights" / "model.npz")
+        w1 = np.load(member_dirs[1] / "model_weights" / "model.npz")
+        diffs = [np.abs(w0[k] - w1[k]).max() for k in w0.files
+                 if w0[k].size > 1]
+        assert max(diffs) > 0
+
 
 class TestRuntimeSettings:
     def test_compilation_cache_enable_and_disable(self, tmp_path, monkeypatch):

@@ -286,6 +286,42 @@ class TestTrainingLoop:
             device_cache=True, num_workers=1, verbose=False)
         assert np.isfinite(info.training_total_loss).all()
 
+    def test_member_parallel_training(self, toy_setup):
+        # n_members: one vmapped loop advances M members on shared
+        # batches; members stay distinct and per-member validation losses
+        # are recorded. Runs both cached and streaming data paths.
+        import jax.numpy as jnp
+
+        s = toy_setup
+        M = 2
+        members = [s["model"].init(jax.random.key(100 + m))
+                   for m in range(M)]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
+        for cache in (True, False):
+            p, _, info = AutoregressiveTraining(
+                s["model"],
+                jax.tree_util.tree_map(jnp.array, stacked),
+                training_data_dynamic=s["dyn"],
+                validation_data_dynamic=s["dyn"].subset(0, 60),
+                training_data_bc=s["bc"],
+                validation_data_bc=s["bc"].subset(0, 60),
+                data_static=s["static"],
+                scaler=s["scaler"],
+                area_weights=s["area_w"],
+                **s["ar_settings"],
+                epochs=1, training_batch_size=8, scoring_interval=5,
+                shuffle=True, shuffle_seed=3, device_cache=cache,
+                n_members=M, num_workers=1, verbose=False)
+            leaves = jax.tree_util.tree_leaves(p)
+            assert all(leaf.shape[0] == M for leaf in leaves)
+            # members differ (different init seeds)
+            big = [leaf for leaf in leaves if leaf.size > M]
+            assert any(float(np.abs(np.asarray(x)[0] - np.asarray(x)[1]).max()) > 0
+                       for x in big)
+            assert np.isfinite(info.training_total_loss).all()
+            assert info.per_member_loss and \
+                len(info.per_member_loss[0]) == M
+
     def test_loss_decreases_and_checkpointing(self, toy_setup, tmp_path):
         s = toy_setup
         sched = ARScheduler(method="LinearStep", factor=0.05,
