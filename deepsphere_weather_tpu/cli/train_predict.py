@@ -29,12 +29,25 @@ from pathlib import Path
 import numpy as np
 
 
+def _make_optimizer(training_settings):
+    """Adam(lr, eps=1e-7) (reference: train_predict_state.py:334) with
+    optional global-norm gradient clipping (training_settings
+    .gradient_clipping > 0 — RNN-strategy BPTT stabilizer, off by
+    default for reference parity)."""
+    import optax
+
+    opt = optax.adam(training_settings["learning_rate"], eps=1e-7)
+    clip = float(training_settings.get("gradient_clipping", 0.0) or 0.0)
+    if clip > 0:
+        opt = optax.chain(optax.clip_by_global_norm(clip), opt)
+    return opt
+
+
 def main(cfg_path, data_dir, exp_dir, force: bool = False,
          resume: bool = False,
          ar_iterations_prediction: int = 20, seed_override=None,
          verbose: bool = True):
     import jax
-    import optax
 
     from ..utils import enable_compilation_cache
     enable_compilation_cache()
@@ -165,8 +178,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         sched_state = ck.load_scheduler_state()
         if sched_state is not None:
             from ..engine import ARScheduler, EarlyStopping
-            opt_tmpl = optax.adam(
-                training_settings["learning_rate"], eps=1e-7).init(params)
+            opt_tmpl = _make_optimizer(training_settings).init(params)
             initial_opt_state, _state = ck.load_training_state(opt_tmpl)
             resumed_scheduler = ARScheduler.from_state_dict(sched_state)
             # early-stopping state (best loss, patience counter) is part
@@ -184,7 +196,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     samp = build_sampling(model_settings["sampling"],
                           dict(model_settings["sampling_kwargs"]))
     area_w = AreaWeights(samp)
-    optimizer = optax.adam(training_settings["learning_rate"], eps=1e-7)
+    optimizer = _make_optimizer(training_settings)
     ar_scheduler = resumed_scheduler or ARScheduler(
         method="LinearStep", factor=0.0005, fixed_ar_weights=[0]
         if training_settings["ar_training_strategy"] == "RNN" else [],

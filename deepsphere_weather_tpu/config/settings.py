@@ -91,6 +91,11 @@ def get_default_training_settings() -> Dict:
         "deterministic_training": False,
         "seed_model_weights": 100,
         "seed_random_shuffling": 120,
+        # global-norm gradient clipping (0 = off, reference parity).
+        # RNN-strategy BPTT through a full AR6 rollout can blow up in one
+        # step at the reference's lr=0.007 (measured: loss 0.03 -> 1e27 at
+        # the growth to AR6 on 10 toy-years); clip 1.0 keeps it stable.
+        "gradient_clipping": 0.0,
         # TPU mesh settings (replace the reference's GPU knobs):
         # n_data_parallel shards the batch axis over the 'data' mesh axis,
         # n_node_parallel shards the sphere's node axis over 'node' (the
