@@ -18,3 +18,10 @@ os.environ.setdefault("DSW_TPU_CACHE", "/tmp/dsw_tpu_test_cache")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the suite is dominated by CPU compiles
+# of the same jitted programs run-to-run; caching them cuts repeat runs
+# from ~30 min to minutes. Safe to share across workers (content-addressed).
+jax.config.update("jax_compilation_cache_dir", "/tmp/dsw_xla_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
