@@ -198,6 +198,7 @@ def _train_members_parallel(cfg, data_dir, exp_dir, n_members: int,
         training_batch_size=training_settings["training_batch_size"],
         validation_batch_size=training_settings["validation_batch_size"],
         scoring_interval=training_settings["scoring_interval"],
+        validation_batches=training_settings.get("validation_batches"),
         num_workers=dl_settings["num_workers"],
         device_cache=dl_settings.get("device_cache", "auto"),
         shuffle=dl_settings["random_shuffling"],

@@ -47,6 +47,10 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
     model_settings = get_model_settings(cfg)
     training_settings = get_training_settings(cfg)
     ar_settings = get_ar_settings(cfg)
+    from ..utils import set_deterministic_training
+    set_deterministic_training(
+        bool(training_settings.get("deterministic_training", False)),
+        seed=int(training_settings.get("seed_model_weights", 0)))
 
     data_dynamic = SphericalDataset.open(
         data_dir / "Data" / "dynamic" / "time_chunked" / "dynamic.zarr")
@@ -125,6 +129,7 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
         training_batch_size=training_settings["training_batch_size"],
         validation_batch_size=training_settings["validation_batch_size"],
         scoring_interval=training_settings["scoring_interval"],
+        validation_batches=training_settings.get("validation_batches"),
         ar_scheduler=ar_scheduler,
         swag=True, swag_model=swag, swag_freq=swag_freq, swa_start=swa_start,
         # fine-tune checkpoints land in their OWN subdirectory: pointing

@@ -92,6 +92,13 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     if seed_override is not None:
         training_settings["seed_model_weights"] = seed_override
 
+    # reference: set_pytorch_settings → deterministic seeding
+    # (utils_config.py:444-455)
+    from ..utils import set_deterministic_training
+    set_deterministic_training(
+        bool(training_settings.get("deterministic_training", False)),
+        seed=int(training_settings.get("seed_model_weights", 0)))
+
     data_dir = Path(data_dir)
 
     # --- open data --------------------------------------------------------
@@ -239,6 +246,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         training_batch_size=training_settings["training_batch_size"],
         validation_batch_size=training_settings["validation_batch_size"],
         scoring_interval=training_settings["scoring_interval"],
+        validation_batches=training_settings.get("validation_batches"),
         save_model_each_epoch=training_settings["save_model_each_epoch"],
         exp_dir=exp_path,
         mesh=mesh,
@@ -271,13 +279,17 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         / "test_forecasts.zarr",
         verbose=verbose,
     )
-    rechunk_forecasts_for_verification(
+    # Verification reads the space-chunked copy — same flow as the
+    # reference (train_predict_state.py:505-525), and it exercises the
+    # rechunked store's per-node access pattern instead of leaving it
+    # write-only.
+    forecast_rechunked = rechunk_forecasts_for_verification(
         forecast,
         exp_path / "model_predictions" / "space_chunked"
         / "test_forecasts.zarr")
 
     # --- verification -----------------------------------------------------
-    skill = deterministic(forecast, test_dyn)
+    skill = deterministic(forecast_rechunked, test_dyn)
     skill.save(exp_path / "model_skills" / "deterministic_spatial_skill.npz")
     gs = global_summary(skill, np.asarray(area_w))
     gs.save(exp_path / "model_skills" / "deterministic_global_skill.npz")

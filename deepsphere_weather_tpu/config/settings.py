@@ -85,6 +85,11 @@ def get_default_training_settings() -> Dict:
         "learning_rate": 0.001,
         "training_batch_size": 16,
         "validation_batch_size": 16,
+        # validation batches scored per interval: null = FULL validation
+        # pass (reference parity — early stopping and AR growth see the
+        # whole validation period); an int caps the (unshuffled) pass for
+        # speed at the cost of a temporally-biased estimate
+        "validation_batches": None,
         "scoring_interval": 20,
         "save_model_each_epoch": False,
         "numeric_precision": "float32",

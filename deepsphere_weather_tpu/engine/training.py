@@ -143,6 +143,14 @@ def AutoregressiveTraining(
     epochs: int = 15,
     training_batch_size: int = 16,
     validation_batch_size: int = 16,
+    # Number of validation batches scored per interval. None (default) =
+    # the FULL validation set, matching the reference's scoring
+    # (xforecasting AutoregressiveTraining scores the whole validation
+    # loader). An int caps the pass for speed — but because the loader is
+    # unshuffled, a cap scores a fixed, temporally-biased prefix of the
+    # validation period, which can change early-stopping/AR-growth
+    # decisions, not just the logged number. Use with care.
+    validation_batches: Optional[int] = None,
     scoring_interval: int = 10,
     save_model_each_epoch: bool = False,
     # infra
@@ -389,7 +397,8 @@ def AutoregressiveTraining(
                         tot = vt if tot is None else tot + vt
                         per = vp if per is None else per + vp
                         nb += 1
-                        if nb >= 8:  # validation subsample for speed
+                        if (validation_batches is not None
+                                and nb >= validation_batches):
                             break
                     if nb:
                         val_loss = float(tot.mean()) / nb

@@ -19,6 +19,41 @@ _DEFAULT_CACHE = "~/.cache/deepsphere_weather_tpu/xla"
 _enabled_dir: str | None = None
 
 
+def set_deterministic_training(enabled: bool, seed: int = 0) -> bool:
+    """TPU-native equivalent of the reference's ``set_pytorch_deterministic``
+    (reference: modules/utils_config.py:444-455; xforecasting.utils.torch).
+
+    JAX computation is already deterministic given fixed PRNG keys, so the
+    two things this knob actually controls here are:
+
+    - **host-side global RNGs** (``random``, ``np.random``): seeded so any
+      library code drawing from the global streams (plot jitter, worker
+      shuffles outside the explicitly-seeded loader) is reproducible;
+    - **partitionable threefry**: ``jax_threefry_partitionable=True`` makes
+      ``jax.random`` draws independent of the device mesh/sharding, so a
+      "deterministic" run reproduces bit-identically when the chip count
+      changes — the TPU analog of turning off cuDNN autotune nondeterminism.
+
+    Returns ``enabled`` for convenience. When ``enabled`` is False this is a
+    no-op (matching the reference, which only acts on the True branch).
+    """
+    if not enabled:
+        return False
+    import random
+
+    import numpy as np
+
+    random.seed(int(seed))
+    np.random.seed(int(seed) % (2**32))
+    try:
+        import jax
+
+        jax.config.update("jax_threefry_partitionable", True)
+    except Exception:
+        pass
+    return True
+
+
 def enable_compilation_cache(cache_dir: str | os.PathLike | None = None) -> str:
     """Enable JAX's persistent compilation cache (idempotent).
 

@@ -252,7 +252,14 @@ def _banded_summary(skill: SkillDataset, coord: np.ndarray, res: float,
         ws = ws / ws.sum() if ws.sum() > 0 else ws
         for k, v in skill.skills.items():
             if sel.any():
-                out[k].append(np.einsum("lvf,v->lf", np.nan_to_num(v[:, sel]), ws))
+                # NaN-aware weighted band mean (same policy as
+                # global_summary): renormalize weights over valid nodes;
+                # an all-NaN band stays NaN instead of biasing toward 0
+                vb = v[:, sel]
+                valid = ~np.isnan(vb)
+                num = np.einsum("lvf,v->lf", np.where(valid, vb, 0.0), ws)
+                den = np.einsum("lvf,v->lf", valid.astype(np.float64), ws)
+                out[k].append(num / np.where(den > 0, den, np.nan))
             else:
                 out[k].append(np.full(v.shape[0:1] + v.shape[2:], np.nan))
     return {"centers": centers,

@@ -379,6 +379,24 @@ class TestEndToEndDriver:
 
 
 class TestRuntimeSettings:
+    def test_set_deterministic_training(self):
+        # reference set_pytorch_deterministic parity: seeds host RNGs and
+        # turns on sharding-invariant (partitionable) threefry keys
+        import random
+
+        import jax
+
+        from deepsphere_weather_tpu.utils import set_deterministic_training
+
+        assert set_deterministic_training(False) is False
+        assert set_deterministic_training(True, seed=123) is True
+        a = (random.random(), np.random.random())
+        set_deterministic_training(True, seed=123)
+        b = (random.random(), np.random.random())
+        assert a == b
+        assert jax.config.jax_threefry_partitionable is True
+
+
     def test_compilation_cache_enable_and_disable(self, tmp_path, monkeypatch):
         import jax
 
@@ -386,23 +404,29 @@ class TestRuntimeSettings:
         from deepsphere_weather_tpu.utils import runtime
 
         monkeypatch.setattr(runtime, "_enabled_dir", None)
-        cache = tmp_path / "xla_cache"
-        got = enable_compilation_cache(cache)
-        assert got == str(cache) and cache.is_dir()
-        assert jax.config.jax_compilation_cache_dir == str(cache)
-        # idempotent re-enable of the same dir
-        assert enable_compilation_cache(cache) == str(cache)
+        # Tests after this one rely on the persistent cache the conftest set
+        # up; restore it so they don't silently point at this tmp_path.
+        orig_dir = jax.config.jax_compilation_cache_dir
+        try:
+            cache = tmp_path / "xla_cache"
+            got = enable_compilation_cache(cache)
+            assert got == str(cache) and cache.is_dir()
+            assert jax.config.jax_compilation_cache_dir == str(cache)
+            # idempotent re-enable of the same dir
+            assert enable_compilation_cache(cache) == str(cache)
 
-        # env-var opt-out wins when no explicit dir is given
-        monkeypatch.setenv("DSW_COMPILE_CACHE", "off")
-        assert enable_compilation_cache() == ""
+            # env-var opt-out wins when no explicit dir is given
+            monkeypatch.setenv("DSW_COMPILE_CACHE", "off")
+            assert enable_compilation_cache() == ""
 
-        # env-var directory is honored
-        monkeypatch.setenv("DSW_COMPILE_CACHE", str(tmp_path / "env_cache"))
-        assert enable_compilation_cache() == str(tmp_path / "env_cache")
+            # env-var directory is honored
+            monkeypatch.setenv("DSW_COMPILE_CACHE", str(tmp_path / "env_cache"))
+            assert enable_compilation_cache() == str(tmp_path / "env_cache")
 
-        # a compiled run with the cache enabled still computes correctly
-        assert int(jax.jit(lambda x: x + 1)(jax.numpy.int32(1))) == 2
+            # a compiled run with the cache enabled still computes correctly
+            assert int(jax.jit(lambda x: x + 1)(jax.numpy.int32(1))) == 2
+        finally:
+            jax.config.update("jax_compilation_cache_dir", orig_dir)
 
     def test_compilation_cache_skips_experimental_backends(self, monkeypatch):
         import jax

@@ -129,6 +129,24 @@ class TestVerifReviewRegressions:
         # means must sum to the node values' sum)
         assert np.nansum(bands["skills"]["BIAS"]) == v.sum()
 
+    def test_banded_summary_nan_aware(self):
+        # NaN-contaminated bands must renormalize weights over valid
+        # nodes (same policy as global_summary) instead of zero-filling,
+        # which biased band means toward 0
+        from deepsphere_weather_tpu.verif.deterministic import (
+            SkillDataset, latitudinal_summary)
+
+        lat = np.asarray([-10.0, -10.0, 10.0, 10.0])
+        v = np.asarray([2.0, np.nan, np.nan, np.nan]).reshape(1, 4, 1)
+        sd = SkillDataset({"MSE": v}, np.asarray([1.0]), ["a"],
+                          lat=lat, lon=np.zeros(4))
+        bands = latitudinal_summary(sd, lat_res=20)
+        out = bands["skills"]["MSE"][0, :, 0]
+        # band with one valid node: its value, not value/2
+        assert np.isclose(out[0], 2.0)
+        # all-NaN band stays NaN, not 0
+        assert np.isnan(out[1])
+
     def test_deterministic_feature_order_guard(self, toy_forecast_setup=None):
         from deepsphere_weather_tpu.verif.deterministic import deterministic
 
