@@ -108,6 +108,103 @@ def bench_jax(repeats: int = 20) -> float:
     return BATCH * repeats / elapsed
 
 
+def kernel_parity() -> dict:
+    """Compiled-kernel regression gate (run BEFORE timing).
+
+    The pytest suite exercises the Pallas BCSR kernels only in interpreter
+    mode on CPU; ops/pallas_spmm.py documents Mosaic silent-miscompile
+    hazards. This gate validates the COMPILED kernels on the bench chip
+    against scipy golden values on the flagship graph, so a miscompile
+    fails the bench line instead of silently corrupting training.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deepsphere_weather_tpu.ops.pallas_spmm import BlockSparseOperator
+    from deepsphere_weather_tpu.sphere.graph import build_graph
+
+    backend = jax.default_backend()
+    if backend == "cpu":
+        return {"ok": True, "skipped": "cpu backend (interpret-mode kernels "
+                                       "are covered by pytest)"}
+    g = build_graph("healpix", {"subdivisions": SUBDIV, "nest": True}, k=KNN)
+    rng = np.random.default_rng(0)
+    x_np = rng.standard_normal((g.n_nodes, 256)).astype(np.float32)
+    ref = g.L @ x_np
+    scale = float(np.abs(ref).max())
+    mv = jax.jit(lambda o, v: o.matvec(v))
+    out = {"ok": True}
+    for dt, xdt, tol, name in [(np.float32, jnp.float32, 1e-5, "fp32"),
+                               (jnp.bfloat16, jnp.bfloat16, 2e-2, "bf16")]:
+        op = BlockSparseOperator.from_scipy(g.L, symmetric=True, dtype=dt)
+        y = np.asarray(mv(op, jnp.asarray(x_np, dtype=xdt)), np.float32)
+        err = float(np.abs(y - ref).max() / scale)
+        out[f"rel_err_{name}"] = round(err, 8)
+        out["ok"] = out["ok"] and err < tol
+    # backward through the custom VJP: d/dx sum((Lx)^2) = 2 L^T L x
+    op = BlockSparseOperator.from_scipy(g.L, symmetric=True, dtype=np.float32)
+    gfn = jax.jit(jax.grad(lambda v: (mv(op, v) ** 2).sum()))
+    gy = np.asarray(gfn(jnp.asarray(x_np)), np.float32)
+    gref = 2.0 * (g.L.T @ (g.L @ x_np))
+    gerr = float(np.abs(gy - gref).max() / max(float(np.abs(gref).max()), 1e-30))
+    out["rel_err_grad_fp32"] = round(gerr, 8)
+    out["ok"] = out["ok"] and gerr < 1e-5
+    return out
+
+
+# --- GPU projection for the baseline (BASELINE.md north star is vs
+# PyTorch-GPU; no NVIDIA GPU exists in this environment, so the floor is
+# derived, not guessed): an IDEAL fp32 execution of the reference's AR6
+# train step on its own hardware (Quadro RTX 8000, 16.3 TFLOP/s fp32,
+# scalability_plot.py:409) cannot exceed the dense channel-mix GEMM
+# roofline. GEMM FLOPs are computed from the actual channel plan below;
+# the Chebyshev SpMM adds FLOPs (so the bound stays a bound) but is
+# bandwidth-bound in torch.sparse.mm, and eager-mode torch on ~0.1-0.6
+# GFLOP GEMMs typically sustains 10-30% of peak — reported as the
+# "estimated" band, clearly labeled.
+_RTX8000_FP32_TFLOPS = 16.3
+
+
+def _reference_step_gflops_per_sample() -> float:
+    """Dense-GEMM FLOPs of one AR6 training step, per batch sample.
+
+    Channel plan (models/unet.py:138-143, reference
+    my_models_graph.py:438-485), stack skips (mult=2), K=3 Chebyshev:
+    each ConvCheb is [V, in*K] @ [in*K, out].
+    """
+    V0, V1, V2 = N_NODE, N_NODE // 4, N_NODE // 16
+    cin = IN_FEAT * IN_TIME
+    blocks = [  # (V, in, c1, c2)
+        (V0, cin, 64, 128),          # conv1
+        (V1, 128, 192, 256),         # conv2
+        (V2, 256, 512, 256),         # conv3
+        (V1, 512, 256, 128),         # uconv2 (128*2*mult in)
+        (V0, 256, 128, 64),          # uconv1
+        (V0, 64, OUT_FEAT, OUT_FEAT),  # uconv1_final
+    ]
+    fwd = sum(2 * v * (i * 3) * c1 + 2 * v * (c1 * 3) * c2
+              for v, i, c1, c2 in blocks)
+    # AR6 training: N_SCAN model calls, backward ~ 2x forward
+    return fwd * N_SCAN * 3 / 1e9
+
+
+def gpu_projection(value: float) -> dict:
+    gflops = _reference_step_gflops_per_sample()
+    ideal = _RTX8000_FP32_TFLOPS * 1e3 / gflops          # samples/s
+    est_lo, est_hi = 0.10 * ideal, 0.30 * ideal
+    return {
+        "method": "dense-GEMM fp32 roofline of the reference AR6 step on "
+                  "its own GPU (Quadro RTX 8000, 16.3 TFLOP/s); ideal = "
+                  "100% peak upper bound, estimated = 10-30% eager-torch "
+                  "efficiency band",
+        "step_gflops_per_sample": round(gflops, 1),
+        "ideal_gpu_samples_per_sec": round(ideal, 1),
+        "vs_ideal_gpu_floor": round(value / ideal, 2),
+        "estimated_gpu_samples_per_sec": [round(est_lo, 1), round(est_hi, 1)],
+        "vs_estimated_gpu": [round(value / est_hi, 1), round(value / est_lo, 1)],
+    }
+
+
 def bench_torch_baseline(repeats: int = 3) -> float:
     """Reference-stack implementation (torch sparse SpMM + GEMM) of the same
     model and AR6 training step, on this host's CPU."""
@@ -126,6 +223,16 @@ def bench_torch_baseline(repeats: int = 3) -> float:
 
 
 def main():
+    parity = kernel_parity()
+    if not parity["ok"]:
+        # regression gate: a miscompiled kernel must fail the bench line,
+        # not produce a fast-but-wrong number
+        print(json.dumps({
+            "metric": "ar6_train_samples_per_sec_healpix16_b16",
+            "value": 0.0, "unit": "samples/s", "vs_baseline": 0.0,
+            "kernel_parity": parity,
+        }))
+        sys.exit(1)
     value = bench_jax()
     try:
         base = bench_torch_baseline()
@@ -137,7 +244,16 @@ def main():
         "metric": "ar6_train_samples_per_sec_healpix16_b16",
         "value": round(value, 2),
         "unit": "samples/s",
+        # vs_baseline compares against the torch REFERENCE STACK measured
+        # on this host's CPU (no NVIDIA GPU exists here) — the duplicate
+        # key below names that honestly; gpu_projection carries the
+        # derived bound vs the reference's own GPU
         "vs_baseline": round(vs, 2),
+        "vs_baseline_cpu_torch": round(vs, 2),
+        "baseline": "torch reference stack on host CPU "
+                    f"({base if base else 'unavailable'} samples/s)",
+        "gpu_projection": gpu_projection(value),
+        "kernel_parity": parity,
     }))
 
 
