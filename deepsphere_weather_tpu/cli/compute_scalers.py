@@ -76,8 +76,11 @@ def main(data_dir, reference_period: Optional[Tuple[str, str]] = None,
         log(f"{tag}MinMaxStdAnomalyScaler fitted")
 
     # --- climatologies ------------------------------------------------------
+    # HourlyMonthly is the compound ['hour', 'month'] grouping
+    # (reference scripts/04a:355-364), not plain hourly
     for groups, tag in (("month", "Monthly"), ("weekofyear", "Weekly"),
-                        ("dayofyear", "Daily"), ("hour", "HourlyMonthly")):
+                        ("dayofyear", "Daily"),
+                        (["hour", "month"], "HourlyMonthly")):
         c = Climatology(time_groups=groups,
                         reference_period=reference_period).fit(
             data, ds.time, feature_order=ds.feature_order)

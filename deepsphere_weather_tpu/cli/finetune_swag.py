@@ -142,11 +142,25 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
 
     # --- ensemble predictions on the test period --------------------------
     test_dyn = data_dynamic.subset(i_val, n)
+    # BatchNorm models re-estimate running stats per sampled member
+    # (reference bn_update over the training period, utils_swag.py:58-165)
+    bn_update_data = None
+    if getattr(model, "has_batch_norm", False):
+        bn_update_data = dict(
+            data_dynamic=data_dynamic.subset(0, i_train),
+            data_bc=data_bc.subset(0, i_train) if data_bc else None,
+            data_static=data_static, scaler=scaler, scaler_bc=scaler_bc,
+            input_k=ar_settings["input_k"], output_k=ar_settings["output_k"],
+            forecast_cycle=ar_settings["forecast_cycle"],
+            ar_iterations=ar_settings["ar_iterations"],
+            batch_size=training_settings["training_batch_size"],
+            max_batches=50)
     out = AutoregressiveSWAGPredictions(
         model, swag,
         rng=jax.random.key(0),
         nb_samples=nb_samples, sampling_scale=sampling_scale,
         out_dir=model_dir / "model_predictions" / "swag",
+        bn_update_data=bn_update_data,
         data_dynamic=test_dyn,
         data_bc=data_bc.subset(i_val, n) if data_bc else None,
         data_static=data_static, scaler=scaler, scaler_bc=scaler_bc,

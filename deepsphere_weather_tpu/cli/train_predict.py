@@ -111,16 +111,34 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
                    if static_path.exists() else None)
 
     # --- scaler -----------------------------------------------------------
-    scaler_path = data_dir / "Scalers" / "GlobalStandardScaler_dynamic.npz"
-    if scaler_path.exists():
-        scaler = load_scaler(scaler_path)
-    else:
-        scaler = GlobalStandardScaler().fit_dataset(data_dynamic)
-        scaler_path.parent.mkdir(parents=True, exist_ok=True)
-        scaler.save(scaler_path)
-    scaler_bc_path = data_dir / "Scalers" / "GlobalStandardScaler_bc.npz"
-    scaler_bc = (load_scaler(scaler_bc_path) if scaler_bc_path.exists()
-                 else None)
+    # Config-selected scaler composition (reference SequentialScaler
+    # composition in the driver, train_predict_state.py:205-212); default
+    # (null) keeps the auto GlobalStandardScaler behavior.
+    def resolve_scaler(spec):
+        from ..data import SequentialScaler
+        if spec is None:
+            return None
+        base = data_dir / "Scalers"
+        if isinstance(spec, (list, tuple)):
+            return SequentialScaler(
+                *[load_scaler(p if Path(p).is_absolute() else base / p)
+                  for p in spec])
+        return load_scaler(spec if Path(spec).is_absolute() else base / spec)
+
+    scaler = resolve_scaler(dl_settings.get("scaler_dynamic"))
+    if scaler is None:
+        scaler_path = data_dir / "Scalers" / "GlobalStandardScaler_dynamic.npz"
+        if scaler_path.exists():
+            scaler = load_scaler(scaler_path)
+        else:
+            scaler = GlobalStandardScaler().fit_dataset(data_dynamic)
+            scaler_path.parent.mkdir(parents=True, exist_ok=True)
+            scaler.save(scaler_path)
+    scaler_bc = resolve_scaler(dl_settings.get("scaler_bc"))
+    if scaler_bc is None:
+        scaler_bc_path = data_dir / "Scalers" / "GlobalStandardScaler_bc.npz"
+        scaler_bc = (load_scaler(scaler_bc_path) if scaler_bc_path.exists()
+                     else None)
 
     # --- time split (reference: 1980-2014 / 2015-16 / 2017-18,
     #     train_predict_state.py:217-219; fractional split works for any
@@ -264,8 +282,23 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
 
     # --- prediction on the test period (reference: AR=20 -> +120 h,
     #     train_predict_state.py:484) --------------------------------------
+    # BatchNorm models: re-estimate running stats over the training period
+    # before eval-mode predictions (reference model.eval() semantics;
+    # bn_update parity utils_swag.py:58-165)
+    norm_state = None
+    if getattr(model, "has_batch_norm", False):
+        from ..prob import bn_update
+        norm_state = bn_update(
+            model, params, data_dynamic=train_dyn, data_bc=train_bc,
+            data_static=data_static, scaler=scaler, scaler_bc=scaler_bc,
+            input_k=ar_settings["input_k"], output_k=ar_settings["output_k"],
+            forecast_cycle=ar_settings["forecast_cycle"],
+            ar_iterations=ar_settings["ar_iterations"],
+            batch_size=training_settings["training_batch_size"],
+            max_batches=100, verbose=verbose)
     forecast = AutoregressivePredictions(
         model, params,
+        norm_state=norm_state,
         data_dynamic=test_dyn,
         data_bc=data_bc.subset(i_val, n) if data_bc else None,
         data_static=data_static,

@@ -128,6 +128,15 @@ def get_default_ar_settings() -> Dict:
 
 def get_default_dataloader_settings() -> Dict:
     return {
+        # on-the-fly scaler selection (reference composes loaded scalers
+        # with SequentialScaler in the driver, train_predict_state.py:
+        # 205-212). null = auto (GlobalStandardScaler fitted/loaded);
+        # a string = one saved scaler file; a LIST = SequentialScaler
+        # composition in order (e.g. ["MonthlyStdAnomalyScaler_dynamic.npz",
+        # "MonthlyMinMaxStdAnomalyScaler_dynamic.npz"]). Paths resolve
+        # relative to <data_dir>/Scalers.
+        "scaler_dynamic": None,
+        "scaler_bc": None,
         "random_shuffling": True,
         "drop_last_batch": True,
         "prefetch_factor": 2,

@@ -35,22 +35,46 @@ __all__ = [
 _NS = "datetime64[ns]"
 
 
+_GROUP_SIZES = {"month": 12, "weekofyear": 53, "dayofyear": 366, "hour": 24}
+
+
 def _group_sizes(time_groups) -> int:
-    return {"month": 12, "weekofyear": 53, "dayofyear": 366, "hour": 24}[time_groups]
+    """Total group count; compound groupings (e.g. ['hour', 'month'] for
+    the reference's HourlyMonthly scalers, scripts/04a:355) multiply."""
+    if isinstance(time_groups, str):
+        return _GROUP_SIZES[time_groups]
+    n = 1
+    for g in time_groups:
+        n *= _GROUP_SIZES[g]
+    return n
 
 
-def time_group_indices(time: np.ndarray, time_groups: str) -> np.ndarray:
-    """0-based group index per timestamp for a grouping rule."""
-    idx = pd.DatetimeIndex(np.asarray(time, dtype=_NS))
-    if time_groups == "month":
+def _single_group_indices(idx: pd.DatetimeIndex, group: str) -> np.ndarray:
+    if group == "month":
         return idx.month.to_numpy() - 1
-    if time_groups == "weekofyear":
+    if group == "weekofyear":
         return idx.isocalendar().week.to_numpy().astype(np.int64) - 1
-    if time_groups == "dayofyear":
+    if group == "dayofyear":
         return idx.dayofyear.to_numpy() - 1
-    if time_groups == "hour":
+    if group == "hour":
         return idx.hour.to_numpy()
-    raise ValueError(f"unknown time_groups {time_groups!r}")
+    raise ValueError(f"unknown time_groups {group!r}")
+
+
+def time_group_indices(time: np.ndarray, time_groups) -> np.ndarray:
+    """0-based group index per timestamp.
+
+    `time_groups` is a single rule name or a sequence of them; compound
+    groupings use a mixed-radix index (xscaler time_groups=[...] parity,
+    e.g. ['hour', 'month'] -> 24*12 groups).
+    """
+    idx = pd.DatetimeIndex(np.asarray(time, dtype=_NS))
+    if isinstance(time_groups, str):
+        return _single_group_indices(idx, time_groups)
+    out = np.zeros(len(idx), dtype=np.int64)
+    for g in time_groups:
+        out = out * _GROUP_SIZES[g] + _single_group_indices(idx, g)
+    return out
 
 
 class _BaseScaler:
@@ -186,7 +210,7 @@ class AnomalyScaler(_BaseScaler):
 
     kind = "anomaly"
 
-    def __init__(self, time_groups: str = "month", standardized: bool = True,
+    def __init__(self, time_groups="month", standardized: bool = True,
                  mean=None, std=None, feature_order=None,
                  reference_period: Optional[Tuple[str, str]] = None):
         self.time_groups = time_groups

@@ -154,6 +154,10 @@ def AutoregressivePredictions(
     rounding: Optional[int] = None,
     zarr_fpath=None,
     chunks: Optional[Dict] = None,
+    # BatchNorm running stats (prob.bn.bn_update) for eval-mode
+    # normalization; required when the model has 'batch' normalization
+    # (reference runs model.eval() during predictions)
+    norm_state: Optional[Dict] = None,
     verbose: bool = False,
 ) -> ForecastDataset:
     """Roll out forecasts; returns the (streamed) ForecastDataset.
@@ -254,11 +258,23 @@ def AutoregressivePredictions(
     static = (jax.device_put(data_static.read_stacked())
               if data_static is not None else None)
     geom = jax.device_put(model.geometry_pytree())
-    rollout_fn, H = make_rollout_block(model, indexer, ar_blocks)
+    if getattr(model, "has_batch_norm", False) and not norm_state:
+        import warnings
+
+        warnings.warn(
+            "model has BatchNorm but no norm_state was given: predictions "
+            "will normalize with per-batch statistics (torch train-mode "
+            "behavior). Pass norm_state=prob.bn.bn_update(...) for "
+            "eval-mode parity.")
+    if norm_state:
+        norm_state = jax.device_put(norm_state)
+    rollout_fn, H = make_rollout_block(model, indexer, ar_blocks,
+                                       norm_state=norm_state)
     # the last block may be shorter: a tail-sized compile avoids running
     # (and discarding) up to ar_blocks-1 model evaluations per batch
     tail = n_steps % ar_blocks
-    tail_fn = (make_rollout_block(model, indexer, tail)[0]
+    tail_fn = (make_rollout_block(model, indexer, tail,
+                                  norm_state=norm_state)[0]
                if 0 < tail < ar_blocks and n_steps > ar_blocks else None)
     min_k = min(indexer.input_k)
     out_arrays = {name: g[name] for name in data_dynamic.feature_order}

@@ -321,7 +321,8 @@ def make_cached_member_validation_fn(model, indexer: ARIndexer,
 # ---------------------------------------------------------------------------
 
 def make_rollout_block(model, indexer: ARIndexer, block_size: int,
-                       jit: bool = True) -> Tuple[Callable, int]:
+                       jit: bool = True,
+                       norm_state: Optional[Dict] = None) -> Tuple[Callable, int]:
     """Build the jitted block-rollout function for unbounded AR prediction.
 
     The carry is a rolling history buffer of the last H timesteps of
@@ -356,7 +357,13 @@ def make_rollout_block(model, indexer: ARIndexer, block_size: int,
                 parts.append(bc_i)                        # [B, n_in, V, Fb]
             parts.append(x_dyn)
             x = jnp.concatenate(parts, axis=-1)
-            y = model.apply(params, x, geom=geom)         # [B, n_out, V, Fd]
+            # eval-mode normalization when the model carries BatchNorm
+            # running stats (reference: model.eval() before predictions)
+            if norm_state:
+                y = model.apply(params, x, geom=geom,
+                                norm_state=norm_state, train=False)
+            else:
+                y = model.apply(params, x, geom=geom)     # [B, n_out, V, Fd]
             h = h.at[:, out_pos].set(y)
             h = jnp.roll(h, -fc, axis=1)                  # advance one cycle
             return h, y

@@ -115,22 +115,40 @@ class ConvBlock:
     """conv -> [norm] -> activation -> [norm] (reference my_models_graph.py:26-118).
 
     conv_type='graph' uses the Chebyshev conv over the level's Laplacian;
-    conv_type='image' uses the equiangular 2D conv. batch_norm=True uses a
-    vmap/scan-friendly LayerNorm over channels (the shipped reference configs
-    all run batch_norm=false; LayerNorm is the TPU-native stand-in that
-    avoids cross-batch state inside the AR scan — see SURVEY.md §7 hard
-    part 5).
+    conv_type='image' uses the equiangular 2D conv.
+
+    Normalization (`batch_norm`):
+    - True / 'batch': TRUE BatchNorm matching torch.nn.BatchNorm1d
+      semantics (reference my_models_graph.py:97-99): per-channel stats
+      over (batch, node); training normalizes with the batch's own
+      (biased) statistics, evaluation with running statistics supplied via
+      `norm_state` (collected by `prob.bn.bn_update`, the reference's SWAG
+      bn_update pass — utils_swag.py:58-165). eps 1e-5.
+    - 'layer': stateless LayerNorm over channels — the TPU-preferred
+      alternative (no cross-batch state inside the AR scan, vmap-safe;
+      SURVEY.md §7 hard part 5). This was what batch_norm=True meant
+      before round 2; it remains available behind the explicit name.
+    - False: no normalization (every shipped reference config).
     """
 
     def __init__(self, in_channels: int, out_channels: int,
                  cheb_op: Optional[ChebOperator],
                  kernel_size: int = 3, conv_type: str = "graph",
-                 bias: bool = True, batch_norm: bool = False,
+                 bias: bool = True, batch_norm=False,
                  batch_norm_before_activation: bool = False,
                  activation: bool = True, activation_fun: str = "relu",
                  periodic_padding: bool = True,
                  nlat: Optional[int] = None, nlon: Optional[int] = None):
-        if batch_norm:
+        if batch_norm is True or batch_norm == "batch":
+            self.norm_kind: Optional[str] = "batch"
+        elif batch_norm in ("layer", "layernorm"):
+            self.norm_kind = "layer"
+        elif not batch_norm:
+            self.norm_kind = None
+        else:
+            raise ValueError(f"batch_norm must be bool, 'batch' or 'layer'; "
+                             f"got {batch_norm!r}")
+        if self.norm_kind:
             bias = False
         self.in_channels = in_channels
         self.out_channels = out_channels
@@ -138,7 +156,7 @@ class ConvBlock:
         self.kernel_size = kernel_size
         self.conv_type = conv_type
         self.bias = bias
-        self.norm = batch_norm
+        self.norm = self.norm_kind is not None
         self.norm_before_act = batch_norm_before_activation
         self.act = activation
         self.act_name = activation_fun
@@ -168,21 +186,53 @@ class ConvBlock:
             params["norm_bias"] = jnp.zeros((self.out_channels,), dtype=jnp.float32)
         return params
 
-    def _apply_norm(self, params, x):
+    def init_norm_state(self) -> Optional[Dict]:
+        """Running statistics for 'batch' normalization (torch BN buffers);
+        None for stateless kinds."""
+        if self.norm_kind != "batch":
+            return None
+        return {"mean": jnp.zeros((self.out_channels,), dtype=jnp.float32),
+                "var": jnp.ones((self.out_channels,), dtype=jnp.float32)}
+
+    def _apply_norm(self, params, x, norm_state=None, train=True,
+                    stats_out: Optional[Dict] = None):
         # normalization statistics in fp32 regardless of compute dtype
         x32 = x.astype(jnp.float32)
-        mean = x32.mean(axis=-1, keepdims=True)
-        var = x32.var(axis=-1, keepdims=True)
+        if self.norm_kind == "layer":
+            mean = x32.mean(axis=-1, keepdims=True)
+            var = x32.var(axis=-1, keepdims=True)
+        elif train or norm_state is None:
+            # torch BN training mode: per-channel biased stats over all
+            # leading (batch, node) axes
+            axes = tuple(range(x32.ndim - 1))
+            mean = x32.mean(axis=axes)
+            var = x32.var(axis=axes)
+            if stats_out is not None:
+                # unbiased variance for the RUNNING update (torch semantics)
+                n = x32.size // x32.shape[-1]
+                stats_out["mean"] = mean
+                stats_out["var"] = var * (n / max(n - 1, 1))
+        else:
+            mean = norm_state["mean"]
+            var = norm_state["var"]
         xn = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
         return (xn * params["norm_scale"]
                 + params["norm_bias"]).astype(x.dtype)
 
     def apply(self, params: Dict, x: jnp.ndarray,
-              cheb_op: Optional[ChebOperator] = None) -> jnp.ndarray:
+              cheb_op: Optional[ChebOperator] = None,
+              norm_state: Optional[Dict] = None, train: bool = True,
+              stats_out: Optional[Dict] = None) -> jnp.ndarray:
         """cheb_op, when given, overrides the stored operator — the engine
         passes geometry as a jit ARGUMENT (device-resident) because
         closure-captured constants are re-uploaded per call on tunneled
-        TPU runtimes."""
+        TPU runtimes.
+
+        norm_state/train/stats_out only matter for 'batch' normalization:
+        eval (train=False) consumes running stats from norm_state; a
+        bn_update pass passes a dict as stats_out to collect this call's
+        batch statistics (traced values, returned through the jit output).
+        """
         bias = params.get("bias")
         if self.conv_type == "graph":
             x = cheb_conv(cheb_op if cheb_op is not None else self.cheb_op,
@@ -191,11 +241,11 @@ class ConvBlock:
             x = equiangular_conv2d(x, params["weight"], bias,
                                    self.nlat, self.nlon, self.periodic_padding)
         if self.norm and self.norm_before_act:
-            x = self._apply_norm(params, x)
+            x = self._apply_norm(params, x, norm_state, train, stats_out)
         if self.act:
             x = self.act_fun(x)
         if self.norm and not self.norm_before_act:
-            x = self._apply_norm(params, x)
+            x = self._apply_norm(params, x, norm_state, train, stats_out)
         return x
 
 
@@ -230,6 +280,13 @@ class ResBlock:
             f"convblock{i + 1}": blk.init(keys[i])
             for i, blk in enumerate(self.blocks)
         }
+        if self.blocks[-1].norm_kind == "batch":
+            # reference zero-inits the LAST BN's weight and bias in each
+            # residual branch so the block starts as identity
+            # (my_models_graph.py:198-201)
+            last = params[f"convblock{len(self.blocks)}"]
+            last["norm_scale"] = jnp.zeros_like(last["norm_scale"])
+            last["norm_bias"] = jnp.zeros_like(last["norm_bias"])
         params["rezero_weight"] = jnp.zeros((1,), dtype=jnp.float32)
         if self.needs_projection:
             # torch.nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
@@ -241,11 +298,28 @@ class ResBlock:
                                            dtype=jnp.float32)
         return params
 
+    def init_norm_state(self) -> Optional[Dict]:
+        """Running-stat buffers for 'batch' normalization, keyed like
+        params; None when the block has no stateful norm."""
+        state = {f"convblock{i + 1}": blk.init_norm_state()
+                 for i, blk in enumerate(self.blocks)}
+        if all(v is None for v in state.values()):
+            return None
+        return state
+
     def apply(self, params: Dict, x: jnp.ndarray,
-              cheb_op: Optional[ChebOperator] = None) -> jnp.ndarray:
+              cheb_op: Optional[ChebOperator] = None,
+              norm_state: Optional[Dict] = None, train: bool = True,
+              stats_out: Optional[Dict] = None) -> jnp.ndarray:
         out = x
         for i, blk in enumerate(self.blocks):
-            out = blk.apply(params[f"convblock{i + 1}"], out, cheb_op=cheb_op)
+            key = f"convblock{i + 1}"
+            sub_stats = None
+            if stats_out is not None and blk.norm_kind == "batch":
+                sub_stats = stats_out.setdefault(key, {})
+            out = blk.apply(params[key], out, cheb_op=cheb_op,
+                            norm_state=(norm_state or {}).get(key),
+                            train=train, stats_out=sub_stats)
         out = out * params["rezero_weight"].astype(out.dtype)
         if self.needs_projection:
             res = (jnp.dot(x, params["res_kernel"].astype(x.dtype),

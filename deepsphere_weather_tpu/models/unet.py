@@ -147,6 +147,23 @@ class UNetSpherical:
             "uconv1_final": self.uconv1_final,
         }
 
+    @property
+    def has_batch_norm(self) -> bool:
+        """True when the model uses stateful ('batch') normalization — eval
+        passes then need a norm_state from `prob.bn.bn_update`."""
+        return any(blk.norm_kind == "batch"
+                   for rb in self._blocks.values() for blk in rb.blocks)
+
+    def init_norm_state(self) -> Dict:
+        """Fresh running-stat buffers (torch BN semantics: mean 0, var 1),
+        keyed like params. Empty dict when the model has no BatchNorm."""
+        state = {}
+        for name, rb in self._blocks.items():
+            s = rb.init_norm_state()
+            if s is not None:
+                state[name] = s
+        return state
+
     def _skip(self, h, enc):
         if self.skip_connection == "stack":
             return jnp.concatenate((h, enc), axis=2)
@@ -190,11 +207,20 @@ class UNetSpherical:
             "unpools": list(self.geometry.unpools),
         }
 
-    def encode(self, params: Dict, x: jnp.ndarray, geom: Optional[Dict] = None):
+    def encode(self, params: Dict, x: jnp.ndarray, geom: Optional[Dict] = None,
+               norm_state: Optional[Dict] = None, train: bool = True,
+               stats_out: Optional[Dict] = None):
         """x: [B, T_in, V, F_in] -> encoder states."""
         if geom is None:
             geom = self.geometry_pytree()
         ops, pools = geom["cheb_ops"], geom["pools"]
+
+        def nkw(name):
+            kw = dict(norm_state=(norm_state or {}).get(name), train=train)
+            if stats_out is not None and any(
+                    b.norm_kind == "batch" for b in self._blocks[name].blocks):
+                kw["stats_out"] = stats_out.setdefault(name, {})
+            return kw
         B = x.shape[0]
         # last timestep's dynamic features, for increment learning
         x_last = x[:, -1:, :, -self.output_n_feature:]
@@ -203,30 +229,45 @@ class UNetSpherical:
             B, self.input_n_node, self.input_channels).astype(
                 self.compute_dtype)
 
-        x_enc1 = self.conv1.apply(params["conv1"], h, cheb_op=ops[0])
+        x_enc1 = self.conv1.apply(params["conv1"], h, cheb_op=ops[0],
+                                  **nkw("conv1"))
         x_enc2_ini, idx1 = (pools[0](x_enc1, w=params["pool0"])
                             if "pool0" in params else pools[0](x_enc1))
-        x_enc2 = self.conv2.apply(params["conv2"], x_enc2_ini, cheb_op=ops[1])
+        x_enc2 = self.conv2.apply(params["conv2"], x_enc2_ini,
+                                  cheb_op=ops[1], **nkw("conv2"))
         x_enc3_ini, idx2 = (pools[1](x_enc2, w=params["pool1"])
                             if "pool1" in params else pools[1](x_enc2))
-        x_enc3 = self.conv3.apply(params["conv3"], x_enc3_ini, cheb_op=ops[2])
+        x_enc3 = self.conv3.apply(params["conv3"], x_enc3_ini,
+                                  cheb_op=ops[2], **nkw("conv3"))
         return x_enc3, x_enc2, x_enc1, idx2, idx1, x_last
 
     def decode(self, params: Dict, x_enc3, x_enc2, x_enc1, idx2, idx1, x_last,
-               geom: Optional[Dict] = None):
+               geom: Optional[Dict] = None,
+               norm_state: Optional[Dict] = None, train: bool = True,
+               stats_out: Optional[Dict] = None):
         if geom is None:
             geom = self.geometry_pytree()
         ops, unpools = geom["cheb_ops"], geom["unpools"]
+
+        def nkw(name):
+            kw = dict(norm_state=(norm_state or {}).get(name), train=train)
+            if stats_out is not None and any(
+                    b.norm_kind == "batch" for b in self._blocks[name].blocks):
+                kw["stats_out"] = stats_out.setdefault(name, {})
+            return kw
         h = (unpools[1](x_enc3, idx2, w=params["unpool1"])
              if "unpool1" in params else unpools[1](x_enc3, idx2))
         h = self._skip(h, x_enc2)                     # reference :530
-        h = self.uconv2.apply(params["uconv2"], h, cheb_op=ops[1])
+        h = self.uconv2.apply(params["uconv2"], h, cheb_op=ops[1],
+                              **nkw("uconv2"))
 
         h = (unpools[0](h, idx1, w=params["unpool0"])
              if "unpool0" in params else unpools[0](h, idx1))
         h = self._skip(h, x_enc1)
-        h = self.uconv1.apply(params["uconv1"], h, cheb_op=ops[0])
-        h = self.uconv1_final.apply(params["uconv1_final"], h, cheb_op=ops[0])
+        h = self.uconv1.apply(params["uconv1"], h, cheb_op=ops[0],
+                              **nkw("uconv1"))
+        h = self.uconv1_final.apply(params["uconv1_final"], h, cheb_op=ops[0],
+                                    **nkw("uconv1_final"))
 
         B = h.shape[0]
         # [B, V, T*F] -> [B, T_out, V, F_out]; back to fp32 at the model
@@ -240,11 +281,21 @@ class UNetSpherical:
         return h
 
     def apply(self, params: Dict, x: jnp.ndarray,
-              geom: Optional[Dict] = None) -> jnp.ndarray:
-        """Forward pass: [B, T_in, V, F_in] -> [B, T_out, V, F_out]."""
+              geom: Optional[Dict] = None,
+              norm_state: Optional[Dict] = None, train: bool = True,
+              stats_out: Optional[Dict] = None) -> jnp.ndarray:
+        """Forward pass: [B, T_in, V, F_in] -> [B, T_out, V, F_out].
+
+        With 'batch' normalization: train=True (default) normalizes with
+        the batch's own statistics (torch training mode); train=False
+        consumes running stats from norm_state (see prob.bn.bn_update).
+        stats_out, when a dict, collects this call's batch statistics.
+        """
         if geom is None:
             geom = self.geometry_pytree()
-        enc = self.encode(params, x, geom=geom)
-        return self.decode(params, *enc, geom=geom)
+        enc = self.encode(params, x, geom=geom, norm_state=norm_state,
+                          train=train, stats_out=stats_out)
+        return self.decode(params, *enc, geom=geom, norm_state=norm_state,
+                           train=train, stats_out=stats_out)
 
     __call__ = apply

@@ -97,11 +97,16 @@ def AutoregressiveSWAGPredictions(
     sampling_scale: float = 0.1,
     cov: bool = True,
     out_dir,
+    # BatchNorm re-estimation after each weight draw (reference
+    # swag_predictions.py:59-91 runs bn_update per member): training-period
+    # data + AR settings for the stats pass. Ignored for BN-free models.
+    bn_update_data: Optional[Dict] = None,
     # forwarded to AutoregressivePredictions
     **predict_kwargs,
 ) -> Dict[str, object]:
-    """For each SWAG sample: draw weights -> AR predictions -> member zarr;
-    then ensemble + median stores (reference swag_predictions.py:16-168)."""
+    """For each SWAG sample: draw weights -> [bn_update] -> AR predictions
+    -> member zarr; then ensemble + median stores (reference
+    swag_predictions.py:16-168)."""
     import jax
 
     out_dir = Path(out_dir)
@@ -109,10 +114,17 @@ def AutoregressiveSWAGPredictions(
     keys = jax.random.split(rng, nb_samples)
     for m in range(nb_samples):
         params_m = swag.sample(keys[m], scale=sampling_scale, cov=cov)
+        member_kwargs = dict(predict_kwargs)
+        if (getattr(model, "has_batch_norm", False)
+                and bn_update_data is not None):
+            from .bn import bn_update
+
+            member_kwargs["norm_state"] = bn_update(model, params_m,
+                                                    **bn_update_data)
         fc = AutoregressivePredictions(
             model, params_m,
             zarr_fpath=out_dir / f"member_{m:02d}.zarr",
-            **predict_kwargs)
+            **member_kwargs)
         members.append(fc)
     ensemble = build_ensemble_store(members, out_dir / "ensemble.zarr")
     median = ensemble_median(ensemble, out_dir / "median.zarr")

@@ -237,6 +237,49 @@ class TestEndToEndDriver:
         crps_key = [k for k in prob.files if "CRPS" in k]
         assert crps_key and np.all(np.isfinite(prob[crps_key[0]]))
 
+    def test_composed_scaler_from_config(self, tmp_path):
+        """SequentialScaler composition selected from JSON (reference
+        driver composition, train_predict_state.py:205-212): training AND
+        prediction round-trip through anomaly + minmax-of-anomaly scalers,
+        forecasts land back in physical units."""
+        from deepsphere_weather_tpu.cli.compute_scalers import (
+            main as scalers_main)
+        from deepsphere_weather_tpu.cli.train_predict import main
+        from deepsphere_weather_tpu.data import SphericalDataset, generate_toy_data
+
+        data_dir = tmp_path / "data"
+        generate_toy_data(data_dir,
+                          sampling_kwargs={"subdivisions": 4, "nest": True},
+                          n_timesteps=260, seed=9)
+        scalers_main(data_dir, verbose=False)
+        assert (data_dir / "Scalers"
+                / "MonthlyMinMaxStdAnomalyScaler_dynamic.npz").exists()
+
+        cfg_path, cfg = make_config(tmp_path)
+        cfg["dataloader_settings"]["scaler_dynamic"] = [
+            "MonthlyStdAnomalyScaler_dynamic.npz",
+            "MonthlyMinMaxStdAnomalyScaler_dynamic.npz",
+        ]
+        write_config_file(cfg, cfg_path)
+        exp_path, gs = main(cfg_path, data_dir, tmp_path / "exp",
+                            force=True, ar_iterations_prediction=2,
+                            verbose=False)
+        assert np.all(np.isfinite(gs["RMSE"]))
+        # forecasts must be in PHYSICAL units (inverse round-trip through
+        # the composition): compare magnitudes against the raw store
+        from deepsphere_weather_tpu.engine.prediction import ForecastDataset
+        fc = ForecastDataset.open(exp_path / "model_predictions"
+                                  / "forecast_chunked"
+                                  / "test_forecasts.zarr")
+        raw = SphericalDataset.open(
+            data_dir / "Data" / "dynamic" / "time_chunked" / "dynamic.zarr")
+        zi = list(fc.feature_order).index("z500")
+        z_pred = fc.read_leadtime(0)[..., zi]
+        z_raw = raw.read_stacked(np.arange(20))[
+            ..., list(raw.feature_order).index("z500")]
+        assert np.isfinite(z_pred).all()
+        assert 0.5 < np.abs(z_pred).mean() / np.abs(z_raw).mean() < 2.0
+
     def test_equiangular_image_conv_cli(self, tmp_path):
         """conv_type='image' (equiangular 2D conv path) through the full
         driver."""

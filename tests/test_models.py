@@ -289,3 +289,149 @@ class TestModelsReviewRegressions:
         y = m.apply(m.init(jax.random.key(0)), jnp.ones((1, 2, 192, 3)))
         assert y.dtype == jnp.float32    # fp32 at the model boundary
         assert np.all(np.isfinite(np.asarray(y)))
+
+
+class TestBatchNorm:
+    """True BatchNorm parity with torch.nn.BatchNorm1d (VERDICT r1 #4;
+    reference my_models_graph.py:97-99, utils_swag.py:58-165)."""
+
+    def _convblock(self, **kw):
+        from deepsphere_weather_tpu.models.layers import ConvBlock
+        from deepsphere_weather_tpu.ops.cheb import ChebOperator
+        from deepsphere_weather_tpu.sphere import build_graph
+
+        g = build_graph("healpix", {"subdivisions": 4, "nest": True}, k=8)
+        op = ChebOperator(dense=jnp.asarray(g.L.todense(), dtype=jnp.float32))
+        blk = ConvBlock(5, 6, op, batch_norm=True, **kw)
+        params = blk.init(jax.random.key(0))
+        return g, blk, params
+
+    def _torch_twin(self, g, blk, params, train):
+        import sys
+        from pathlib import Path
+
+        import torch
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                               / "scripts"))
+        from parity_torch import conv_cheb_torch
+
+        coo = g.L.tocoo()
+        lap = torch.sparse_coo_tensor(
+            torch.from_numpy(np.stack([coo.row, coo.col]).astype(np.int64)),
+            torch.from_numpy(coo.data.astype(np.float32)),
+            coo.shape).coalesce()
+        bn = torch.nn.BatchNorm1d(6, eps=1e-5)
+        with torch.no_grad():
+            bn.weight.copy_(torch.from_numpy(np.asarray(
+                params["norm_scale"])))
+            bn.bias.copy_(torch.from_numpy(np.asarray(params["norm_bias"])))
+        bn.train(train)
+        w = torch.from_numpy(np.asarray(params["weight"]))
+
+        def fwd(x_np):
+            x = conv_cheb_torch(lap, torch.from_numpy(x_np), w, None)
+            # reference permutes [B, V, C] -> [B, C, V] for BatchNorm1d
+            x = bn(x.permute(0, 2, 1)).permute(0, 2, 1)
+            return torch.relu(x).detach().numpy()
+
+        return fwd, bn
+
+    def test_train_mode_matches_torch(self):
+        g, blk, params = self._convblock(batch_norm_before_activation=True)
+        # non-zero affine so the test is not trivially 0
+        params["norm_scale"] = jnp.asarray(
+            np.random.default_rng(0).uniform(0.5, 1.5, 6).astype(np.float32))
+        fwd_t, _ = self._torch_twin(g, blk, params, train=True)
+        x = np.random.default_rng(1).standard_normal(
+            (3, 192, 5)).astype(np.float32)
+        y_j = np.asarray(blk.apply(params, jnp.asarray(x), train=True))
+        y_t = fwd_t(x)
+        np.testing.assert_allclose(y_j, y_t, atol=2e-5)
+
+    def test_eval_mode_matches_torch(self):
+        import torch
+
+        g, blk, params = self._convblock(batch_norm_before_activation=True)
+        params["norm_scale"] = jnp.asarray(
+            np.random.default_rng(0).uniform(0.5, 1.5, 6).astype(np.float32))
+        fwd_t, bn = self._torch_twin(g, blk, params, train=False)
+        mean = np.random.default_rng(2).standard_normal(6).astype(np.float32)
+        var = np.random.default_rng(3).uniform(0.5, 2, 6).astype(np.float32)
+        with torch.no_grad():
+            bn.running_mean.copy_(torch.from_numpy(mean))
+            bn.running_var.copy_(torch.from_numpy(var))
+        x = np.random.default_rng(4).standard_normal(
+            (3, 192, 5)).astype(np.float32)
+        y_j = np.asarray(blk.apply(params, jnp.asarray(x), train=False,
+                                   norm_state={"mean": jnp.asarray(mean),
+                                               "var": jnp.asarray(var)}))
+        np.testing.assert_allclose(y_j, fwd_t(x), atol=2e-5)
+
+    def test_resblock_last_bn_zero_init(self):
+        from deepsphere_weather_tpu.models.layers import ResBlock
+        from deepsphere_weather_tpu.ops.cheb import ChebOperator
+        from deepsphere_weather_tpu.sphere import build_graph
+
+        g = build_graph("healpix", {"subdivisions": 4, "nest": True}, k=8)
+        op = ChebOperator(dense=jnp.asarray(g.L.todense(), dtype=jnp.float32))
+        rb = ResBlock(5, (8, 5), op, {"batch_norm": True})
+        params = rb.init(jax.random.key(0))
+        # reference zero-inits the LAST BN (my_models_graph.py:198-201):
+        # identity-matching channels make the block start as identity
+        assert np.all(np.asarray(params["convblock2"]["norm_scale"]) == 0)
+        assert np.all(np.asarray(params["convblock2"]["norm_bias"]) == 0)
+        assert np.all(np.asarray(params["convblock1"]["norm_scale"]) == 1)
+        x = np.random.default_rng(0).standard_normal(
+            (2, 192, 5)).astype(np.float32)
+        y = np.asarray(rb.apply(params, jnp.asarray(x)))
+        np.testing.assert_allclose(y, x, atol=1e-6)  # identity at init
+
+    def test_bn_update_running_stats_match_torch(self, tmp_path):
+        """bn_update's cumulative b/(n+b) running update reproduces the
+        reference's momentum schedule (utils_swag.py:31-55) exactly."""
+        import torch
+
+        rng = np.random.default_rng(5)
+        batches = [rng.standard_normal((4, 100, 6)).astype(np.float32)
+                   for _ in range(3)]
+        # torch reference: BatchNorm1d, momentum set to b/(n+b) per batch
+        bn = torch.nn.BatchNorm1d(6)
+        bn.train()
+        n = 0
+        for xb in batches:
+            b = xb.shape[0]
+            bn.momentum = b / (n + b)
+            bn(torch.from_numpy(xb).permute(0, 2, 1))
+            n += b
+        # our host update on the same per-batch statistics
+        state = {"mean": np.zeros(6, np.float32),
+                 "var": np.ones(6, np.float32)}
+        n = 0
+        for xb in batches:
+            b = xb.shape[0]
+            m = b / (n + b)
+            bm = xb.reshape(-1, 6).mean(0)
+            cnt = xb.reshape(-1, 6).shape[0]
+            bv = xb.reshape(-1, 6).var(0) * cnt / (cnt - 1)   # unbiased
+            state["mean"] = (1 - m) * state["mean"] + m * bm
+            state["var"] = (1 - m) * state["var"] + m * bv
+            n += b
+        np.testing.assert_allclose(state["mean"],
+                                   bn.running_mean.numpy(), atol=1e-5)
+        np.testing.assert_allclose(state["var"],
+                                   bn.running_var.numpy(), atol=1e-5)
+
+    def test_layer_norm_still_available(self):
+        from deepsphere_weather_tpu.models.layers import ConvBlock
+        from deepsphere_weather_tpu.ops.cheb import ChebOperator
+        from deepsphere_weather_tpu.sphere import build_graph
+
+        g = build_graph("healpix", {"subdivisions": 4, "nest": True}, k=8)
+        op = ChebOperator(dense=jnp.asarray(g.L.todense(), dtype=jnp.float32))
+        blk = ConvBlock(5, 6, op, batch_norm="layer")
+        assert blk.norm_kind == "layer"
+        params = blk.init(jax.random.key(0))
+        x = np.random.default_rng(1).standard_normal(
+            (3, 192, 5)).astype(np.float32)
+        y = np.asarray(blk.apply(params, jnp.asarray(x)))
+        assert np.isfinite(y).all()

@@ -169,6 +169,71 @@ class TestEnsemblePredictions:
                                    rtol=1e-6)
 
 
+    def test_swag_predictions_with_batchnorm_runs_bn_update(self, tmp_path):
+        """A batch_norm model flows bn_update state into every sampled
+        member's eval-mode rollout (reference swag_predictions.py:59-91)."""
+        from unittest import mock
+
+        from deepsphere_weather_tpu.data import (GlobalStandardScaler,
+                                                 generate_toy_data)
+        from deepsphere_weather_tpu.models import UNetSpherical
+        from deepsphere_weather_tpu.prob import bn as bn_mod
+
+        dyn, bc, static = generate_toy_data(
+            tmp_path / "d", sampling_kwargs={"subdivisions": 4, "nest": True},
+            n_timesteps=40, seed=6)
+        scaler = GlobalStandardScaler().fit_dataset(dyn)
+        ti = {
+            "input_n_feature": 7, "output_n_feature": 2,
+            "input_n_time": 2, "output_n_time": 1,
+            "input_shape_info": {"dynamic": {"node": 192}},
+            "output_shape_info": {"dynamic": {"node": 192}},
+            "dim_order": {"dynamic": ["sample", "time", "node", "feature"]},
+        }
+        model = UNetSpherical(
+            tensor_info=ti, sampling="healpix",
+            sampling_kwargs={"subdivisions": 4, "nest": True},
+            knn=4, pool_method="max", batch_norm=True)
+        assert model.has_batch_norm
+        params = model.init(jax.random.key(0))
+        swag = SWAG(params, max_num_models=3)
+        for i in range(3):
+            swag.collect_model(jax.tree_util.tree_map(
+                lambda x: x + 0.01 * i, params))
+
+        bn_data = dict(data_dynamic=dyn, data_bc=bc, data_static=static,
+                       scaler=scaler, input_k=[-2, -1], output_k=[0],
+                       forecast_cycle=1, ar_iterations=1, batch_size=4,
+                       max_batches=2)
+        calls = []
+        real_bn_update = bn_mod.bn_update
+
+        def spy(*a, **kw):
+            out = real_bn_update(*a, **kw)
+            calls.append(out)
+            return out
+
+        with mock.patch.object(bn_mod, "bn_update", side_effect=spy):
+            out = AutoregressiveSWAGPredictions(
+                model, swag,
+                rng=jax.random.key(1),
+                nb_samples=2, sampling_scale=0.1,
+                out_dir=tmp_path / "swag_pred",
+                bn_update_data=bn_data,
+                data_dynamic=dyn, data_bc=bc, data_static=static,
+                scaler=scaler,
+                input_k=[-2, -1], output_k=[0], forecast_cycle=1,
+                ar_iterations=2,
+                forecast_reference_times=dyn.time[[10, 20]],
+                batch_size=2,
+            )
+        # one bn_update per sampled member, each yielding real running stats
+        assert len(calls) == 2
+        for st in calls:
+            assert "conv1" in st
+        assert np.all(np.isfinite(out["median"].read_leadtime(0)))
+
+
 class TestSWAGLoadReconcile:
     def test_mismatched_buffer_geometry(self, tmp_path):
         import jax
