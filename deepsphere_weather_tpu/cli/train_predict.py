@@ -140,17 +140,31 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         scaler_bc = (load_scaler(scaler_bc_path) if scaler_bc_path.exists()
                      else None)
 
-    # --- time split (reference: 1980-2014 / 2015-16 / 2017-18,
-    #     train_predict_state.py:217-219; fractional split works for any
-    #     time range) ------------------------------------------------------
+    # --- time split: explicit date ranges from config (reference:
+    #     1980-2014 / 2015-16 / 2017-18, train_predict_state.py:217-236)
+    #     or the fractional 70/15/15 index split when unset ---------------
     n = data_dynamic.n_time
-    from ..data import train_val_test_split_indices
-    i_train, i_val = train_val_test_split_indices(n)
-    train_dyn = data_dynamic.subset(0, i_train)
-    val_dyn = data_dynamic.subset(i_train, i_val)
-    test_dyn = data_dynamic.subset(i_val, n)
-    train_bc = data_bc.subset(0, i_train) if data_bc else None
-    val_bc = data_bc.subset(i_train, i_val) if data_bc else None
+    periods = [training_settings.get(k) for k in
+               ("training_period", "validation_period", "test_period")]
+    if any(p is not None for p in periods):
+        if not all(p is not None and len(p) == 2 for p in periods):
+            raise ValueError(
+                "training_period / validation_period / test_period must "
+                "all be [start, end) pairs when any is set")
+        (tr, va, te) = [data_dynamic.subset_between(p[0], p[1])
+                        for p in periods]
+        train_dyn, val_dyn, test_dyn = tr, va, te
+        bounds = [(v.lo, v.hi) for v in (tr, va, te)]
+    else:
+        from ..data import train_val_test_split_indices
+        i_train, i_val = train_val_test_split_indices(n)
+        bounds = [(0, i_train), (i_train, i_val), (i_val, n)]
+        train_dyn = data_dynamic.subset(0, i_train)
+        val_dyn = data_dynamic.subset(i_train, i_val)
+        test_dyn = data_dynamic.subset(i_val, n)
+    (tr_lo, tr_hi), (va_lo, va_hi), (te_lo, te_hi) = bounds
+    train_bc = data_bc.subset(tr_lo, tr_hi) if data_bc else None
+    val_bc = data_bc.subset(va_lo, va_hi) if data_bc else None
 
     # --- tensor info + model ---------------------------------------------
     tensor_info = get_ar_model_tensor_info(ar_settings, data_dynamic,
@@ -300,7 +314,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         model, params,
         norm_state=norm_state,
         data_dynamic=test_dyn,
-        data_bc=data_bc.subset(i_val, n) if data_bc else None,
+        data_bc=data_bc.subset(te_lo, te_hi) if data_bc else None,
         data_static=data_static,
         scaler=scaler, scaler_bc=scaler_bc,
         input_k=ar_settings["input_k"],

@@ -96,6 +96,13 @@ def get_default_training_settings() -> Dict:
         "deterministic_training": False,
         "seed_model_weights": 100,
         "seed_random_shuffling": 120,
+        # explicit [start, end) ISO-8601 date pairs for the time split
+        # (reference pins 1980-2014 / 2015-16 / 2017-18,
+        # train_predict_state.py:217-236); all three null = fractional
+        # 70/15/15 index split (cuts the record wherever it falls)
+        "training_period": None,
+        "validation_period": None,
+        "test_period": None,
         # global-norm gradient clipping (0 = off, reference parity).
         # RNN-strategy BPTT through a full AR6 rollout can blow up in one
         # step at the reference's lr=0.007 (measured: loss 0.03 -> 1e27 at

@@ -106,6 +106,7 @@ class DatasetView:
     def __init__(self, ds: "SphericalDataset", lo: int, hi: int):
         self._ds = ds
         self._lo = lo
+        self.lo, self.hi = lo, hi        # absolute index bounds in ds
         self.time = ds.time[lo:hi]
         self.n_time = hi - lo
         self.n_node = ds.n_node

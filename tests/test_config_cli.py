@@ -280,6 +280,43 @@ class TestEndToEndDriver:
         assert np.isfinite(z_pred).all()
         assert 0.5 < np.abs(z_pred).mean() / np.abs(z_raw).mean() < 2.0
 
+    def test_date_range_split_from_config(self, tmp_path):
+        """Explicit train/val/test periods from JSON (reference pins years,
+        train_predict_state.py:217-236)."""
+        from deepsphere_weather_tpu.cli.train_predict import main
+        from deepsphere_weather_tpu.data import generate_toy_data
+        from deepsphere_weather_tpu.engine.prediction import ForecastDataset
+
+        data_dir = tmp_path / "data"
+        # 2010-01-01 .. 2010-03-07 at 6 h
+        generate_toy_data(data_dir,
+                          sampling_kwargs={"subdivisions": 4, "nest": True},
+                          n_timesteps=260, seed=4)
+        cfg_path, cfg = make_config(tmp_path)
+        cfg["training_settings"].update({
+            "training_period": ["2010-01-01", "2010-02-10"],
+            "validation_period": ["2010-02-10", "2010-02-20"],
+            "test_period": ["2010-02-20", "2010-03-07"],
+        })
+        write_config_file(cfg, cfg_path)
+        exp_path, gs = main(cfg_path, data_dir, tmp_path / "exp",
+                            force=True, ar_iterations_prediction=2,
+                            verbose=False)
+        assert np.all(np.isfinite(gs["RMSE"]))
+        fc = ForecastDataset.open(exp_path / "model_predictions"
+                                  / "forecast_chunked"
+                                  / "test_forecasts.zarr")
+        frts = np.asarray(fc.group["forecast_reference_time"][...],
+                          dtype="int64").view("datetime64[ns]")
+        assert frts.min() >= np.datetime64("2010-02-20")
+        assert frts.max() < np.datetime64("2010-03-07")
+        # partially-set periods must fail loudly
+        cfg["training_settings"]["validation_period"] = None
+        write_config_file(cfg, cfg_path)
+        with pytest.raises(ValueError, match="period"):
+            main(cfg_path, data_dir, tmp_path / "exp", force=True,
+                 verbose=False)
+
     def test_equiangular_image_conv_cli(self, tmp_path):
         """conv_type='image' (equiangular 2D conv path) through the full
         driver."""
