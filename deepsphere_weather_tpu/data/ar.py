@@ -65,6 +65,12 @@ class ARIndexer:
     output_pos: np.ndarray                  # [N+1, n_out]
     min_offset: int
     max_offset: int
+    # True (default): a window slot predicted by several AR iterations is
+    # fed back with the MOST RECENT prediction; False keeps the FIRST
+    # (xforecasting stack_most_recent_prediction semantics, SURVEY.md
+    # §2.9). The two only diverge when output windows overlap across
+    # iterations (never with output_k=[0]).
+    stack_most_recent_prediction: bool = True
 
     @classmethod
     def build(cls, input_k, output_k, forecast_cycle, ar_iterations,
@@ -72,19 +78,6 @@ class ARIndexer:
         input_k, output_k, fc, n_ar = check_ar_settings(
             input_k, output_k, forecast_cycle, ar_iterations,
             stack_most_recent_prediction)
-        if not stack_most_recent_prediction:
-            # the rollout buffer overwrites a slot with the latest
-            # prediction; with one output per time (every shipped config:
-            # output_k=[0]) the two modes are identical. 'False' only
-            # diverges when several iterations predict the SAME time —
-            # reject that combination instead of silently using 'True'
-            # semantics.
-            times = [i * fc + k for i in range(n_ar + 1) for k in output_k]
-            if len(times) != len(set(times)):
-                raise NotImplementedError(
-                    "stack_most_recent_prediction=False with overlapping "
-                    "output times is not supported (the rollout buffer "
-                    "keeps the most recent prediction)")
         offsets = set()
         for i in range(n_ar + 1):
             for k in input_k:
@@ -102,7 +95,18 @@ class ARIndexer:
         return cls(input_k=input_k, output_k=output_k, forecast_cycle=fc,
                    ar_iterations=n_ar, rel_offsets=rel,
                    input_pos=in_pos, output_pos=out_pos,
-                   min_offset=int(rel.min()), max_offset=int(rel.max()))
+                   min_offset=int(rel.min()), max_offset=int(rel.max()),
+                   stack_most_recent_prediction=bool(
+                       stack_most_recent_prediction))
+
+    @property
+    def has_overlapping_outputs(self) -> bool:
+        """True when several AR iterations predict the same time (the only
+        regime where stack_most_recent_prediction matters)."""
+        times = [i * self.forecast_cycle + k
+                 for i in range(self.ar_iterations + 1)
+                 for k in self.output_k]
+        return len(times) != len(set(times))
 
     # ------------------------------------------------------------------
     @property

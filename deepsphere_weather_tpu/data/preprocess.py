@@ -35,6 +35,7 @@ from .zarrstore import ZarrGroup, create_group
 __all__ = [
     "open_netcdf4", "reformat_pl", "reformat_toa",
     "remap_weights_for_grid", "remap_to_sampling",
+    "remap_grib_files", "get_variable_interp_method", "NATIVE_GRIDS",
     "zarrify_raw_data", "rechunk_to_space_chunked",
     "check_no_missing_timesteps",
 ]
@@ -109,15 +110,51 @@ def reformat_toa(tisr: np.ndarray, accumulation_hours: int = 1) -> np.ndarray:
 # Remapping (CDO replacement)
 # ---------------------------------------------------------------------------
 
+# Per-variable interpolation method (reference my_remap.py:73-87):
+# categorical fields must NOT be averaged — the cell takes the value of
+# the source cell with the largest area overlap.
+_VARIABLE_INTERP_METHOD = {
+    "dynamic_variables": "conservative",
+    "topography": "conservative",
+    "orog": "conservative",
+    "land_sea_mask": "conservative",
+    "lsm": "conservative",
+    "soil_type": "largest_area_fraction",
+    "slt": "largest_area_fraction",
+}
+
+# dataset -> native grid registry (reference my_remap.py:32-42)
+NATIVE_GRIDS = {
+    "ERA5_HRES": "N320",
+    "ERA5_EDA": "N160",
+    "IFS_HRES": "O1280",
+    "IFS_ENS": "O640",
+    "IFS_ENS_Extended": "O320",
+    "SEAS5": "O320",
+}
+
+
+def get_variable_interp_method(variable: str) -> str:
+    """Interpolation method for a variable (reference my_remap.py:84-87);
+    unknown variables are treated as continuous (conservative)."""
+    return _VARIABLE_INTERP_METHOD.get(variable, "conservative")
+
+
 def remap_weights_for_grid(nlat: int, nlon: int, dst: Sampling,
-                           cache: bool = True) -> sparse.csr_matrix:
-    """Conservative weights from a regular lat/lon grid to a sampling.
+                           cache: bool = True,
+                           method: str = "conservative"
+                           ) -> sparse.csr_matrix:
+    """Remap weights from a regular lat/lon grid to a sampling.
 
     The source grid is modeled as the framework's 'equiangular' sampling
-    (cell-centered); weights are fracarea-normalized rows (dst x src).
-    Cached on disk like the reference caches CDO weight files
-    (my_remap.py:198-337).
+    (cell-centered). method='conservative' gives fracarea-normalized rows
+    (dst x src); method='largest_area_fraction' gives one-hot rows picking
+    the source cell with the biggest overlap (categorical fields — the
+    reference delegates this to CDO remaplaf, my_remap.py:75-88). Cached
+    on disk like the reference caches CDO weight files (my_remap.py:198-337).
     """
+    if method not in ("conservative", "largest_area_fraction"):
+        raise ValueError(f"unknown remap method {method!r}")
     src = build_sampling("equiangular", {"nlat": nlat, "nlon": nlon})
 
     def _build():
@@ -129,13 +166,26 @@ def remap_weights_for_grid(nlat: int, nlon: int, dst: Sampling,
 
     key = f"remapw_{src.cache_key()}__{dst.cache_key()}"
     arrs = cached_arrays(key, _build) if cache else _build()
-    return sparse.csr_matrix((arrs["data"], arrs["indices"], arrs["indptr"]),
-                             shape=tuple(arrs["shape"]))
+    W = sparse.csr_matrix((arrs["data"], arrs["indices"], arrs["indptr"]),
+                          shape=tuple(arrs["shape"]))
+    if method == "largest_area_fraction":
+        # one-hot argmax per destination row: fracarea weights order
+        # overlap fractions, so the row argmax IS the largest-area source
+        rows = np.arange(W.shape[0])
+        cols = np.zeros(W.shape[0], dtype=np.int64)
+        for d in rows:
+            lo, hi = W.indptr[d], W.indptr[d + 1]
+            if hi > lo:
+                cols[d] = W.indices[lo + np.argmax(W.data[lo:hi])]
+        W = sparse.csr_matrix(
+            (np.ones(W.shape[0], dtype=np.float64), (rows, cols)),
+            shape=W.shape)
+    return W
 
 
 def remap_to_sampling(field: np.ndarray, dst: Sampling,
-                      weights: Optional[sparse.csr_matrix] = None
-                      ) -> np.ndarray:
+                      weights: Optional[sparse.csr_matrix] = None,
+                      method: str = "conservative") -> np.ndarray:
     """Remap [time, nlat, nlon] (or [nlat, nlon]) onto a sampling's nodes."""
     field = np.asarray(field)
     single = field.ndim == 2
@@ -143,10 +193,47 @@ def remap_to_sampling(field: np.ndarray, dst: Sampling,
         field = field[None]
     T, nlat, nlon = field.shape
     if weights is None:
-        weights = remap_weights_for_grid(nlat, nlon, dst)
+        weights = remap_weights_for_grid(nlat, nlon, dst, method=method)
     flat = field.reshape(T, nlat * nlon)
     out = np.asarray((weights @ flat.T).T, dtype=np.float32)
     return out[0] if single else out
+
+
+def remap_grib_files(paths: Sequence, dst: Sampling,
+                     variables: Optional[Sequence[str]] = None
+                     ) -> Dict[str, np.ndarray]:
+    """Batch GRIB -> sampling remap (reference my_remap.py:198-337).
+
+    Reads each GRIB file (requires `cfgrib`, not bundled in this image —
+    gated with a clear error), remaps every requested variable onto `dst`
+    using its per-variable method (conservative vs largest_area_fraction),
+    and returns {variable: [time..., node]} arrays ready for
+    `zarrify_raw_data`.
+    """
+    try:
+        import cfgrib  # noqa: F401
+        import xarray as xr
+    except ImportError as e:
+        raise ImportError(
+            "GRIB ingest needs the optional 'cfgrib' (eccodes) stack, "
+            "which is not installed in this environment. Convert GRIB to "
+            "netCDF upstream, or install cfgrib — the per-variable remap "
+            "itself (remap_to_sampling + get_variable_interp_method) is "
+            "format-independent.") from e
+
+    out: Dict[str, List[np.ndarray]] = {}
+    for path in paths:
+        ds = xr.open_dataset(path, engine="cfgrib")
+        names = variables if variables is not None else list(ds.data_vars)
+        for name in names:
+            da = ds[name]
+            field = np.asarray(da.values, dtype=np.float32)
+            if field.ndim == 2:
+                field = field[None]
+            vals = remap_to_sampling(
+                field, dst, method=get_variable_interp_method(name))
+            out.setdefault(name, []).append(vals)
+    return {k: np.concatenate(v, axis=0) for k, v in out.items()}
 
 
 # ---------------------------------------------------------------------------

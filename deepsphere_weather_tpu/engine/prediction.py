@@ -184,6 +184,11 @@ def AutoregressivePredictions(
     n_steps = ar_iterations + 1
     if ar_blocks is None or ar_blocks > n_steps:
         ar_blocks = n_steps
+    if (not indexer.stack_most_recent_prediction
+            and indexer.has_overlapping_outputs):
+        # keep-first feedback needs its written-mask for the whole
+        # horizon; the mask lives inside one compiled block
+        ar_blocks = n_steps
     # prediction feasibility: every future input time must be produced by
     # an earlier iteration's output (see engine/step.py rolling buffer).
     # Checked over the FULL horizon with a running produced-offset set

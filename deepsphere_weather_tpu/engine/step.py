@@ -98,6 +98,11 @@ def make_ar_loss_fn(model, indexer: ARIndexer,
     in_pos = jnp.asarray(indexer.input_pos)
     out_pos = jnp.asarray(indexer.output_pos)
     stop_grad = ar_training_strategy == "AR"
+    # keep-first feedback (stack_most_recent_prediction=False) only
+    # changes anything when output windows overlap across iterations —
+    # skip the written-mask machinery otherwise
+    keep_first = (not indexer.stack_most_recent_prediction
+                  and indexer.has_overlapping_outputs)
 
     def loss_fn(params, batch: Dict, ar_weights: jnp.ndarray, ctx: Dict):
         dyn = batch["dynamic"]
@@ -105,20 +110,32 @@ def make_ar_loss_fn(model, indexer: ARIndexer,
         static = batch.get("static")
         geom = ctx["geom"]
         area_w = ctx["area_w"]
+        W = dyn.shape[1]
 
-        def step(dyn_buf, i):
+        def step(carry, i):
+            dyn_buf, written = carry
             x = assemble_input(dyn_buf, bc, static, in_pos[i])
             y_pred = model.apply(params, x, geom=geom)   # [B, n_out, V, Fd]
             y_true = jnp.take(dyn, out_pos[i], axis=1)
             l = weighted_mse(y_pred, y_true, area_w)
             y_write = jax.lax.stop_gradient(y_pred) if stop_grad else y_pred
+            if keep_first:
+                # a slot predicted by an EARLIER iteration keeps that
+                # prediction (xforecasting stack_most_recent=False)
+                prev = jnp.take(dyn_buf, out_pos[i], axis=1)
+                wmask = jnp.take(written, out_pos[i])        # [n_out]
+                y_write = jnp.where(wmask[None, :, None, None], prev,
+                                    y_write)
+                written = written.at[out_pos[i]].set(True)
             dyn_buf = dyn_buf.at[:, out_pos[i]].set(y_write)
-            return dyn_buf, l
+            return (dyn_buf, written), l
 
         # fully unrolled: AR depth is small (<= ~20) and unrolling lets XLA
         # overlap/fuse across iterations (measured ~7% step-time win)
         step_fn = jax.checkpoint(step) if remat else step
-        _, losses = jax.lax.scan(step_fn, dyn, jnp.arange(n_scan_iterations),
+        carry0 = (dyn, jnp.zeros((W,), dtype=bool))
+        _, losses = jax.lax.scan(step_fn, carry0,
+                                 jnp.arange(n_scan_iterations),
                                  unroll=True)
         w = ar_weights[:n_scan_iterations]
         w = w / jnp.maximum(w.sum(), 1e-12)
@@ -344,9 +361,16 @@ def make_rollout_block(model, indexer: ARIndexer, block_size: int,
     # positions inside the history buffer: index 0 holds time t0 + min_k
     in_pos = jnp.asarray([k - min_k for k in indexer.input_k], dtype=jnp.int32)
     out_pos = jnp.asarray([k - min_k for k in indexer.output_k], dtype=jnp.int32)
+    # keep-first feedback (stack_most_recent_prediction=False with
+    # overlapping outputs): a rolling written-mask rides the carry; the
+    # mask does not survive across blocks, so callers run a single block
+    # (AutoregressivePredictions forces ar_blocks = horizon then)
+    keep_first = (not indexer.stack_most_recent_prediction
+                  and indexer.has_overlapping_outputs)
 
     def rollout(params, hist, bc_block, static, geom):
-        def step(h, bc_i):
+        def step(carry, bc_i):
+            h, wmask = carry
             x_dyn = jnp.take(h, in_pos, axis=1)          # [B, n_in, V, Fd]
             B, T, V, _ = x_dyn.shape
             parts = []
@@ -364,18 +388,29 @@ def make_rollout_block(model, indexer: ARIndexer, block_size: int,
                                 norm_state=norm_state, train=False)
             else:
                 y = model.apply(params, x, geom=geom)     # [B, n_out, V, Fd]
-            h = h.at[:, out_pos].set(y)
+            y_write = y
+            if keep_first:
+                prev = jnp.take(h, out_pos, axis=1)
+                wsel = jnp.take(wmask, out_pos)           # [n_out]
+                y_write = jnp.where(wsel[None, :, None, None], prev, y)
+                wmask = wmask.at[out_pos].set(True)
+                # roll the mask with the buffer; slots entering from the
+                # future are unwritten
+                wmask = jnp.roll(wmask, -fc)
+                wmask = wmask.at[-fc:].set(False)
+            h = h.at[:, out_pos].set(y_write)
             h = jnp.roll(h, -fc, axis=1)                  # advance one cycle
-            return h, y
+            return (h, wmask), y
 
+        carry0 = (hist, jnp.zeros((H,), dtype=bool))
         if bc_block is None:
-            bc_seq = jnp.zeros((block_size, 0))
-            def step_nobc(h, _):
-                return step(h, None)
-            hist, preds = jax.lax.scan(step_nobc, hist, jnp.arange(block_size))
+            def step_nobc(c, _):
+                return step(c, None)
+            (hist, _), preds = jax.lax.scan(step_nobc, carry0,
+                                            jnp.arange(block_size))
         else:
-            hist, preds = jax.lax.scan(step, hist,
-                                       jnp.swapaxes(bc_block, 0, 1))
+            (hist, _), preds = jax.lax.scan(step, carry0,
+                                            jnp.swapaxes(bc_block, 0, 1))
         # [block, B, n_out, V, F] -> [B, block, n_out, V, F]
         return hist, jnp.swapaxes(preds, 0, 1)
 

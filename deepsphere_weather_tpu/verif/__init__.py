@@ -16,3 +16,4 @@ from .probabilistic import (  # noqa: F401
     probabilistic,
     rank_histogram,
 )
+from .external import load_external_skill  # noqa: F401

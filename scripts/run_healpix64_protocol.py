@@ -1,0 +1,140 @@
+"""HEALPix-64 (100 km, 49 152 nodes) full reference protocol on one chip.
+
+VERDICT r1 #8: the 100 km flagship end-to-end — AR growth to 6 (LinearStep,
+RNN strategy), AR20 (+120 h) predictions over the test period, verification
+vs persistence — with the Pallas BCSR operator. Writes
+docs/benchmarks/healpix64_protocol.json and appends nothing by itself
+(the README row is maintained by hand from that JSON).
+
+    python scripts/run_healpix64_protocol.py [--years 2] [--epochs 3]
+
+Reference config anchor: configs/UNetSpherical/Healpix_100km/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--years", type=float, default=2.0)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--work_dir", default="/tmp/hp64_protocol")
+    ap.add_argument("--ar_iterations_prediction", type=int, default=20)
+    args = ap.parse_args()
+
+    from deepsphere_weather_tpu.config import (get_default_settings,
+                                               write_config_file)
+    from deepsphere_weather_tpu.data import generate_toy_data
+
+    t0 = time.time()
+    work = Path(args.work_dir)
+    data_dir = work / "data"
+    n_steps = int(args.years * 365.25 * 4)            # 6-hourly
+    marker = data_dir / f".toy_{n_steps}"
+    if not marker.exists():
+        print(f"generating {n_steps} toy timesteps at HEALPix-64 ...",
+              flush=True)
+        generate_toy_data(data_dir,
+                          sampling_kwargs={"subdivisions": 64, "nest": True},
+                          n_timesteps=n_steps, seed=11)
+        marker.touch()
+    t_data = time.time() - t0
+    print(f"toy data ready ({t_data:.0f}s)", flush=True)
+
+    cfg = get_default_settings()
+    cfg["model_settings"].update({
+        "sampling_name": "Healpix_100km",
+        "sampling": "healpix",
+        "sampling_kwargs": {"subdivisions": 64, "nest": True},
+        "knn": 20,
+        "increment_learning": True,
+        "pool_method": "Max",
+    })
+    cfg["training_settings"].update({
+        "epochs": args.epochs,
+        "learning_rate": 0.003,
+        # RNN-strategy BPTT through AR6 at this depth needs the clip
+        # (documented divergence at the AR6 growth without it)
+        "gradient_clipping": 1.0,
+        "training_batch_size": args.batch,
+        "validation_batch_size": args.batch,
+        "scoring_interval": 25,
+        # full-pass validation at 49k nodes costs ~a minute per interval;
+        # cap it (documented biased-subsample knob) for this wall-clock
+        # -bounded demo
+        "validation_batches": 4,
+        "numeric_precision": "bfloat16",
+    })
+    cfg["ar_settings"].update({
+        "input_k": [-3, -2, -1], "output_k": [0], "forecast_cycle": 1,
+        "ar_iterations": 6,
+    })
+    cfg["dataloader_settings"].update({"num_workers": 4})
+    cfg_path = work / "config.json"
+    write_config_file(cfg, cfg_path)
+
+    from deepsphere_weather_tpu.cli.train_predict import main as train_main
+
+    t1 = time.time()
+    exp_path, gs = train_main(
+        cfg_path, data_dir, work / "exp", force=True,
+        ar_iterations_prediction=args.ar_iterations_prediction, verbose=True)
+    t_train = time.time() - t1
+
+    # --- persistence comparison over the test period -------------------
+    from deepsphere_weather_tpu.data import SphericalDataset
+    from deepsphere_weather_tpu.data.dataset import (
+        train_val_test_split_indices)
+    from deepsphere_weather_tpu.verif import global_summary
+    from deepsphere_weather_tpu.verif.benchmarks import persistence_skills
+    from deepsphere_weather_tpu.engine.loss import AreaWeights
+    from deepsphere_weather_tpu.sphere import build_sampling
+
+    dyn = SphericalDataset.open(
+        data_dir / "Data" / "dynamic" / "time_chunked" / "dynamic.zarr")
+    i_train, i_val = train_val_test_split_indices(dyn.n_time)
+    test_dyn = dyn.subset(i_val, dyn.n_time)
+    leadtimes = np.arange(1, args.ar_iterations_prediction + 1)
+    pers = persistence_skills(test_dyn, leadtimes)
+    samp = build_sampling("healpix", {"subdivisions": 64, "nest": True})
+    area_w = np.asarray(AreaWeights(samp))
+    pers_g = global_summary(pers, area_w)
+
+    feats = list(test_dyn.feature_order)
+    result = {
+        "config": "UNetSpherical HEALPix-64 (100 km, 49152 nodes) knn-20 "
+                  "bf16, AR growth 1->6 RNN lr 0.003 clip 1.0, "
+                  f"batch {args.batch}, {args.years} toy-years, "
+                  f"{args.epochs} epochs",
+        "wall_s_total": round(time.time() - t0, 1),
+        "wall_s_data_gen": round(t_data, 1),
+        "wall_s_train_predict_verify": round(t_train, 1),
+        "model_rmse_by_leadtime": {
+            f: [round(float(x), 4) for x in gs["RMSE"][:, i]]
+            for i, f in enumerate(feats)},
+        "persistence_rmse_by_leadtime": {
+            f: [round(float(x), 4) for x in pers_g["RMSE"][:, i]]
+            for i, f in enumerate(feats)},
+        "exp_dir": str(exp_path),
+    }
+    out = ROOT / "docs" / "benchmarks" / "healpix64_protocol.json"
+    out.write_text(json.dumps(result, indent=1))
+    print(f"wrote {out}")
+    print(json.dumps({k: v for k, v in result.items()
+                      if "rmse" not in k}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

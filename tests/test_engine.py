@@ -135,6 +135,67 @@ class TestARLoss:
         # all iterations produce finite losses
         assert np.all(np.isfinite(np.asarray(per0)))
 
+    def test_stack_most_recent_prediction_false_keeps_first(self):
+        """xforecasting stack_most_recent_prediction semantics (SURVEY
+        §2.9): with OVERLAPPING output windows, False feeds back the FIRST
+        prediction of a time instead of the most recent; without overlap
+        the flag is a no-op."""
+        from deepsphere_weather_tpu.engine.step import make_context
+
+        def build_model(out_time):
+            ti = {"input_n_feature": 2, "output_n_feature": 2,
+                  "input_n_time": 2, "output_n_time": out_time,
+                  "input_shape_info": {"dynamic": {"node": 192}},
+                  "output_shape_info": {"dynamic": {"node": 192}},
+                  "dim_order": {"dynamic": ["sample", "time", "node",
+                                            "feature"]}}
+            m = UNetSpherical(
+                tensor_info=ti, sampling="healpix",
+                sampling_kwargs={"subdivisions": 4, "nest": True},
+                knn=8, pool_method="max")
+            p = jax.tree_util.tree_map(lambda x: x + 0.05,
+                                       m.init(jax.random.key(1)))
+            return m, p
+
+        rng = np.random.default_rng(0)
+        w = jnp.ones(3)
+
+        # overlapping outputs: output_k=[0,1], cycle 1 -> each time is
+        # predicted by two iterations
+        m2, p2 = build_model(2)
+        ctx2 = make_context(m2, None)
+        ix_recent = ARIndexer.build([-2, -1], [0, 1], 1, 2,
+                                    stack_most_recent_prediction=True)
+        ix_first = ARIndexer.build([-2, -1], [0, 1], 1, 2,
+                                   stack_most_recent_prediction=False)
+        assert ix_first.has_overlapping_outputs
+        batch = {"dynamic": jnp.asarray(rng.standard_normal(
+            (2, ix_first.window_size, 192, 2)).astype(np.float32))}
+        _, per_recent = make_ar_loss_fn(m2, ix_recent, 3, "RNN")(
+            p2, batch, w, ctx2)
+        _, per_first = make_ar_loss_fn(m2, ix_first, 3, "RNN")(
+            p2, batch, w, ctx2)
+        # iteration 0: nothing fed back yet -> identical
+        assert np.allclose(np.asarray(per_recent)[0],
+                           np.asarray(per_first)[0])
+        # later iterations consume different feedback -> diverge
+        assert not np.allclose(np.asarray(per_recent)[1:],
+                               np.asarray(per_first)[1:])
+
+        # no overlap (output_k=[0]): flag is a no-op
+        m1, p1 = build_model(1)
+        ctx1 = make_context(m1, None)
+        ixa = ARIndexer.build([-2, -1], [0], 1, 2,
+                              stack_most_recent_prediction=True)
+        ixb = ARIndexer.build([-2, -1], [0], 1, 2,
+                              stack_most_recent_prediction=False)
+        assert not ixb.has_overlapping_outputs
+        ba = {"dynamic": jnp.asarray(rng.standard_normal(
+            (2, ixa.window_size, 192, 2)).astype(np.float32))}
+        _, pa = make_ar_loss_fn(m1, ixa, 3, "RNN")(p1, ba, w, ctx1)
+        _, pb = make_ar_loss_fn(m1, ixb, 3, "RNN")(p1, ba, w, ctx1)
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb))
+
     def test_ar_strategy_blocks_cross_iteration_gradients(self, toy_setup):
         s = toy_setup
         ix = ARIndexer.build(**s["ar_settings"])

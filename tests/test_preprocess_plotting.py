@@ -214,3 +214,32 @@ class TestPlottingReviewRegressions:
         (stale_dir / "frame_0005.png").write_bytes(b"junk")
         _render_frames(frame, 2, out)
         assert not (stale_dir / "frame_0005.png").exists()
+
+
+class TestPerVariableRemap:
+    def test_largest_area_fraction_preserves_classes(self):
+        """Categorical remap (reference my_remap.py:75-88: soil_type via
+        CDO remaplaf): LAF keeps class labels, conservative averages."""
+        from deepsphere_weather_tpu.data.preprocess import (
+            get_variable_interp_method, remap_to_sampling)
+        from deepsphere_weather_tpu.sphere import build_sampling
+
+        dst = build_sampling("healpix", {"subdivisions": 4, "nest": True})
+        rng = np.random.default_rng(0)
+        field = rng.integers(0, 7, (1, 18, 36)).astype(np.float32)
+        laf = remap_to_sampling(field, dst, method="largest_area_fraction")
+        cons = remap_to_sampling(field, dst, method="conservative")
+        assert set(np.unique(laf)).issubset(set(range(7)))
+        assert not set(np.unique(cons)).issubset(set(range(7)))
+        assert get_variable_interp_method("soil_type") == \
+            "largest_area_fraction"
+        assert get_variable_interp_method("slt") == "largest_area_fraction"
+        assert get_variable_interp_method("geopotential") == "conservative"
+
+    def test_grib_ingest_gated(self):
+        from deepsphere_weather_tpu.data.preprocess import remap_grib_files
+        from deepsphere_weather_tpu.sphere import build_sampling
+
+        dst = build_sampling("healpix", {"subdivisions": 4, "nest": True})
+        with pytest.raises(ImportError, match="cfgrib"):
+            remap_grib_files(["x.grib"], dst)

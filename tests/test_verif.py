@@ -156,3 +156,50 @@ class TestVerifReviewRegressions:
             feature_order = ["t850", "z500"]
         with pytest.raises(ValueError, match="feature order mismatch"):
             deterministic(FakeF(), FakeO())
+
+
+class TestExternalBaseline:
+    def test_load_weyn_style_netcdf(self, tmp_path):
+        """External-baseline skill ingest (reference reads Weyn-et-al RMSE
+        netCDF, benchmark_samplings.py:96-100)."""
+        import h5py
+
+        from deepsphere_weather_tpu.verif import load_external_skill
+
+        with h5py.File(tmp_path / "rmses_weyn.nc", "w") as f:
+            f["lead_time"] = np.arange(6, 121, 6).astype(np.float64)
+            f["z500"] = np.linspace(80, 700, 20)
+            f["t850"] = np.linspace(0.8, 3.4, 20)
+        sk = load_external_skill(tmp_path / "rmses_weyn.nc")
+        assert set(sk.feature_order) == {"z500", "t850"}
+        assert sk["RMSE"].shape == (20, 2)
+        assert sk.leadtime_hours[0] == 6.0
+        zi = sk.feature_order.index("z500")
+        np.testing.assert_allclose(sk["RMSE"][:, zi],
+                                   np.linspace(80, 700, 20))
+        # explicit variable subset + missing-coordinate error
+        sk2 = load_external_skill(tmp_path / "rmses_weyn.nc",
+                                  variables=["z500"])
+        assert sk2.feature_order == ["z500"]
+        with h5py.File(tmp_path / "bad.nc", "w") as f:
+            f["z500"] = np.linspace(80, 700, 20)
+        with pytest.raises(ValueError, match="lead-time"):
+            load_external_skill(tmp_path / "bad.nc")
+
+    def test_benchmark_plot_with_external(self, tmp_path):
+        import matplotlib
+        matplotlib.use("Agg")
+
+        from deepsphere_weather_tpu.plotting import benchmark_global_skills
+        from deepsphere_weather_tpu.verif.deterministic import SkillDataset
+
+        ours = SkillDataset(
+            {"RMSE": np.linspace(50, 600, 40).reshape(20, 2)},
+            np.arange(6, 121, 6), ["z500", "t850"])
+        ext = SkillDataset(
+            {"RMSE": np.linspace(80, 700, 40).reshape(20, 2)},
+            np.arange(6, 121, 6), ["z500", "t850"])
+        out = benchmark_global_skills({"ours": ours}, tmp_path / "figs",
+                                      skills=["RMSE"],
+                                      benchmarks={"weyn": ext})
+        assert (out / "benchmark_RMSE.png").exists()
