@@ -387,14 +387,25 @@ def AutoregressivePredictions(
 
 
 def rechunk_forecasts_for_verification(forecast: ForecastDataset, target_store,
-                                       node_chunk: int = 1) -> ForecastDataset:
+                                       node_chunk: Optional[int] = None
+                                       ) -> ForecastDataset:
     """Space-chunked copy for verification access patterns
     (xforecasting.rechunk_forecasts_for_verification parity,
-    train_predict_state.py:505-510)."""
+    train_predict_state.py:505-510).
+
+    node_chunk=None sizes chunks to ~4 MB (all times for a node BLOCK):
+    the reference's literal {node: 1} layout explodes into ~100k tiny
+    zlib chunks at HEALPix-64+ (measured ~115 chunk-writes/s), while a
+    node block keeps both per-node reads (one chunk) and per-leadtime
+    reads (V/block chunks) cheap. Pass node_chunk=1 for the literal
+    reference layout.
+    """
     g = create_group(target_store, overwrite=True,
                      attrs={"feature_order": forecast.feature_order})
     n_frt, L = forecast.n_frt, forecast.n_leadtime
     V = len(forecast.lat)
+    if node_chunk is None:
+        node_chunk = max(1, int(4e6 // max(n_frt * L * 4, 1)))
     for name in forecast.feature_order:
         arr = g.create_array(name, shape=(n_frt, L, V),
                              chunks=(n_frt, L, max(node_chunk, 1)),
