@@ -187,12 +187,35 @@ def deterministic(forecast, obs_dataset, forecast_type: str = "continuous",
                                                np.zeros((2, 1)),
                                                np.ones((2, 1))).keys()}
     obs_time = obs_dataset.time
+
+    # Chunking-independent reads: each store variable decompresses ONCE
+    # into RAM when the whole store fits (per-leadtime slicing of a
+    # space-chunked store would otherwise inflate EVERY node chunk per
+    # leadtime — 42 full-store passes at HEALPix-64). Override the budget
+    # with DSW_VERIF_RAM_BYTES; oversized stores fall back to per-
+    # leadtime reads.
+    import os
+
+    ram_budget = int(float(os.environ.get("DSW_VERIF_RAM_BYTES", 8e9)))
+    n_var = len(forecast.feature_order)
+    store_bytes = forecast.n_frt * L * len(obs_dataset.lat) * n_var * 4
+    cached = None
+    if store_bytes <= ram_budget:
+        cached = np.stack(
+            [np.asarray(forecast.variables[n][...], dtype=np.float32)
+             for n in forecast.feature_order], axis=-1)    # [frt, L, V, F]
+
+    def read_lt(lt):
+        if cached is not None:
+            return cached[:, lt]
+        return forecast.read_leadtime(lt)
+
     for lt in range(L):
         valid = forecast.valid_time(lt)
         sidx = np.searchsorted(obs_time, valid)
         ok = (sidx < len(obs_time))
         ok &= obs_time[np.minimum(sidx, len(obs_time) - 1)] == valid
-        pred = forecast.read_leadtime(lt)[ok]              # [T, V, F]
+        pred = read_lt(lt)[ok]                             # [T, V, F]
         obs = obs_dataset.read_stacked(sidx[ok])            # [T, V, F]
         m = metric_fn(pred, obs, axis=0)                    # [V, F] each
         for k, v in m.items():
