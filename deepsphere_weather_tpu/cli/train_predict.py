@@ -244,9 +244,15 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     # patience floor of 1: an interval > 500 made patience 0, which
     # trips 'counter >= patience' on EVERY check and silently truncates
     # training right after minimum_iterations
+    patience = training_settings.get("early_stopping_patience")
+    if patience is None:
+        patience = max(1, 500 // max(training_settings["scoring_interval"], 1))
     early_stopping = resumed_early_stopping or EarlyStopping(
-        patience=max(1, 500 // max(training_settings["scoring_interval"], 1)),
-        minimum_iterations=4)
+        patience=int(patience),
+        minimum_improvement=float(
+            training_settings.get("early_stopping_minimum_improvement", 0.0)),
+        minimum_iterations=int(
+            training_settings.get("early_stopping_minimum_iterations", 4)))
 
     # --- training ---------------------------------------------------------
     # dp x sp mesh from the config's mesh settings (None on 1x1: plain jit)

@@ -103,6 +103,14 @@ def get_default_training_settings() -> Dict:
         "training_period": None,
         "validation_period": None,
         "test_period": None,
+        # Early stopping / AR growth (reference exposes these as the
+        # EarlyStopping constructor args, train_predict_state.py:375-381).
+        # patience counts scoring intervals without improvement before the
+        # AR scheduler grows (or training stops at max AR); null = the
+        # legacy heuristic max(1, 500 // scoring_interval)
+        "early_stopping_patience": None,
+        "early_stopping_minimum_improvement": 0.0,
+        "early_stopping_minimum_iterations": 4,
         # global-norm gradient clipping (0 = off, reference parity).
         # RNN-strategy BPTT through a full AR6 rollout can blow up in one
         # step at the reference's lr=0.007 (measured: loss 0.03 -> 1e27 at

@@ -28,7 +28,7 @@ sys.path.insert(0, str(ROOT))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--years", type=float, default=2.0)
-    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--work_dir", default="/tmp/hp64_protocol")
     ap.add_argument("--ar_iterations_prediction", type=int, default=20)
@@ -75,6 +75,13 @@ def main():
         # cap it (documented biased-subsample knob) for this wall-clock
         # -bounded demo
         "validation_batches": 4,
+        # toy data plateaus fast: short patience drives the AR growth
+        # 1 -> 6 inside this wall-clock-bounded demo (the default heuristic
+        # 500 // scoring_interval would need ~100 scorings per growth)
+        "early_stopping_patience": 3,
+        # val-loss jitter at this scale is ~1e-4: don't let noise-level
+        # "improvements" reset the patience counter and stall the growth
+        "early_stopping_minimum_improvement": 1e-4,
         "numeric_precision": "bfloat16",
     })
     cfg["ar_settings"].update({
