@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--years", type=float, default=2.0)
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=0.003)
+    ap.add_argument("--patience", type=int, default=3)
+    ap.add_argument("--min_improvement", type=float, default=1e-4)
     ap.add_argument("--work_dir", default="/tmp/hp64_protocol")
     ap.add_argument("--ar_iterations_prediction", type=int, default=20)
     args = ap.parse_args()
@@ -64,7 +67,7 @@ def main():
     })
     cfg["training_settings"].update({
         "epochs": args.epochs,
-        "learning_rate": 0.003,
+        "learning_rate": args.lr,
         # RNN-strategy BPTT through AR6 at this depth needs the clip
         # (documented divergence at the AR6 growth without it)
         "gradient_clipping": 1.0,
@@ -75,13 +78,15 @@ def main():
         # cap it (documented biased-subsample knob) for this wall-clock
         # -bounded demo
         "validation_batches": 4,
-        # toy data plateaus fast: short patience drives the AR growth
-        # 1 -> 6 inside this wall-clock-bounded demo (the default heuristic
-        # 500 // scoring_interval would need ~100 scorings per growth)
-        "early_stopping_patience": 3,
-        # val-loss jitter at this scale is ~1e-4: don't let noise-level
-        # "improvements" reset the patience counter and stall the growth
-        "early_stopping_minimum_improvement": 1e-4,
+        # patience gates the AR growth 1 -> 6 (the default heuristic
+        # 500 // scoring_interval would need ~100 scorings per growth).
+        # NOTE: patience 3 + min_improvement 1e-4 races through the growth
+        # but stops increment-learning models at their persistence
+        # initialization (measured: model/persistence RMSE ratio 1.000
+        # everywhere); give the model a real budget (e.g. --patience 8
+        # --min_improvement 1e-5 --years 6 --epochs 25) for skill
+        "early_stopping_patience": args.patience,
+        "early_stopping_minimum_improvement": args.min_improvement,
         "numeric_precision": "bfloat16",
     })
     cfg["ar_settings"].update({
@@ -122,9 +127,9 @@ def main():
     feats = list(test_dyn.feature_order)
     result = {
         "config": "UNetSpherical HEALPix-64 (100 km, 49152 nodes) knn-20 "
-                  "bf16, AR growth 1->6 RNN lr 0.003 clip 1.0, "
+                  f"bf16, AR growth 1->6 RNN lr {args.lr} clip 1.0, "
                   f"batch {args.batch}, {args.years} toy-years, "
-                  f"{args.epochs} epochs",
+                  f"{args.epochs} epochs, patience {args.patience}",
         "wall_s_total": round(time.time() - t0, 1),
         "wall_s_data_gen": round(t_data, 1),
         "wall_s_train_predict_verify": round(t_train, 1),
