@@ -120,9 +120,9 @@ def _train_members_parallel(cfg, data_dir, exp_dir, n_members: int,
     from ..config import (get_ar_settings, get_dataloader_settings,
                           get_model_name, get_model_settings,
                           get_training_settings)
-    from ..data import (GlobalStandardScaler, SphericalDataset,
-                        StaticDataset, get_ar_model_tensor_info,
-                        load_scaler, train_val_test_split_indices)
+    from ..data import (SphericalDataset, StaticDataset,
+                        get_ar_model_tensor_info)
+    from .common import resolve_scalers, split_datasets
     from ..engine import (AutoregressivePredictions, AutoregressiveTraining,
                           ForecastDataset)
     from ..engine.loss import AreaWeights
@@ -143,20 +143,13 @@ def _train_members_parallel(cfg, data_dir, exp_dir, n_members: int,
     static_path = data_dir / "Data" / "static.zarr"
     data_static = (StaticDataset.open(static_path)
                    if static_path.exists() else None)
-    scaler_path = data_dir / "Scalers" / "GlobalStandardScaler_dynamic.npz"
-    scaler = (load_scaler(scaler_path) if scaler_path.exists()
-              else GlobalStandardScaler().fit_dataset(data_dynamic))
-    scaler_bc_path = data_dir / "Scalers" / "GlobalStandardScaler_bc.npz"
-    scaler_bc = (load_scaler(scaler_bc_path) if scaler_bc_path.exists()
-                 else None)
-
-    n = data_dynamic.n_time
-    i_train, i_val = train_val_test_split_indices(n)
-    train_dyn = data_dynamic.subset(0, i_train)
-    val_dyn = data_dynamic.subset(i_train, i_val)
-    test_dyn = data_dynamic.subset(i_val, n)
-    train_bc = data_bc.subset(0, i_train) if data_bc else None
-    val_bc = data_bc.subset(i_train, i_val) if data_bc else None
+    # same scaler composition + time split as train_predict (cli/common.py)
+    scaler, scaler_bc = resolve_scalers(dl_settings, data_dir,
+                                        data_dynamic=data_dynamic,
+                                        fit_default=True)
+    split = split_datasets(training_settings, data_dynamic, data_bc)
+    train_dyn, val_dyn, test_dyn = split["train"], split["val"], split["test"]
+    train_bc, val_bc = split["train_bc"], split["val_bc"]
 
     tensor_info = get_ar_model_tensor_info(ar_settings, data_dynamic,
                                            data_static=data_static,
@@ -223,7 +216,7 @@ def _train_members_parallel(cfg, data_dir, exp_dir, n_members: int,
         forecast = AutoregressivePredictions(
             model, p_m,
             data_dynamic=test_dyn,
-            data_bc=data_bc.subset(i_val, n) if data_bc else None,
+            data_bc=split["test_bc"],
             data_static=data_static,
             scaler=scaler, scaler_bc=scaler_bc,
             input_k=ar_settings["input_k"],
@@ -290,10 +283,9 @@ def run_deep_ensemble(cfg_path, data_dir, exp_dir, n_members: int = 5,
     # verify median against the test split
     data_dynamic = SphericalDataset.open(
         Path(data_dir) / "Data" / "dynamic" / "time_chunked" / "dynamic.zarr")
-    n = data_dynamic.n_time
-    from ..data import train_val_test_split_indices
-    _, i_val = train_val_test_split_indices(n)
-    test_dyn = data_dynamic.subset(i_val, n)
+    from ..config import get_training_settings
+    from .common import split_datasets
+    test_dyn = split_datasets(get_training_settings(cfg), data_dynamic)["test"]
     ms = cfg["model_settings"]
     samp = build_sampling(ms["sampling"], dict(ms["sampling_kwargs"]))
     skill = deterministic(median, test_dyn)

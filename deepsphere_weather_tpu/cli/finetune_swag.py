@@ -29,11 +29,12 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
     from ..utils import enable_compilation_cache
     enable_compilation_cache()
 
-    from ..config import (get_ar_settings, get_model_settings,
-                          get_training_settings,
+    from ..config import (get_ar_settings, get_dataloader_settings,
+                          get_model_settings, get_training_settings,
                           read_config_file)
     from ..data import (SphericalDataset, StaticDataset,
-                        get_ar_model_tensor_info, load_scaler)
+                        get_ar_model_tensor_info)
+    from .common import resolve_scalers, split_datasets
     from ..engine import AreaWeights, AutoregressiveTraining
     from ..models import get_model
     from ..prob import SWAG, AutoregressiveSWAGPredictions
@@ -47,6 +48,7 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
     model_settings = get_model_settings(cfg)
     training_settings = get_training_settings(cfg)
     ar_settings = get_ar_settings(cfg)
+    dl_settings = get_dataloader_settings(cfg)
     from ..utils import set_deterministic_training
     set_deterministic_training(
         bool(training_settings.get("deterministic_training", False)),
@@ -59,11 +61,11 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
     static_path = data_dir / "Data" / "static.zarr"
     data_static = (StaticDataset.open(static_path)
                    if static_path.exists() else None)
-    scaler_path = data_dir / "Scalers" / "GlobalStandardScaler_dynamic.npz"
-    scaler = load_scaler(scaler_path) if scaler_path.exists() else None
-    scaler_bc_path = data_dir / "Scalers" / "GlobalStandardScaler_bc.npz"
-    scaler_bc = (load_scaler(scaler_bc_path) if scaler_bc_path.exists()
-                 else None)
+    # the pretrained model's OWN scaler composition + time split (config
+    # written into its exp dir): fine-tuning with a different scaler than
+    # training silently corrupts the posterior, and a fractional split
+    # could overlap a configured test_period
+    scaler, scaler_bc = resolve_scalers(dl_settings, data_dir)
 
     tensor_info = get_ar_model_tensor_info(ar_settings, data_dynamic,
                                            data_static=data_static,
@@ -85,9 +87,7 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
     swag = SWAG(params, max_num_models=max_num_models)
     swag.collect_model(params)
 
-    n = data_dynamic.n_time
-    from ..data import train_val_test_split_indices
-    i_train, i_val = train_val_test_split_indices(n)
+    split = split_datasets(training_settings, data_dynamic, data_bc)
     samp = build_sampling(model_settings["sampling"],
                           dict(model_settings["sampling_kwargs"]))
     area_w = AreaWeights(samp)
@@ -114,10 +114,10 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
     params, _, info = AutoregressiveTraining(
         model, params,
         mesh=mesh,
-        training_data_dynamic=data_dynamic.subset(0, i_train),
-        validation_data_dynamic=data_dynamic.subset(i_train, i_val),
-        training_data_bc=data_bc.subset(0, i_train) if data_bc else None,
-        validation_data_bc=data_bc.subset(i_train, i_val) if data_bc else None,
+        training_data_dynamic=split["train"],
+        validation_data_dynamic=split["val"],
+        training_data_bc=split["train_bc"],
+        validation_data_bc=split["val_bc"],
         data_static=data_static, scaler=scaler, scaler_bc=scaler_bc,
         input_k=ar_settings["input_k"], output_k=ar_settings["output_k"],
         forecast_cycle=ar_settings["forecast_cycle"],
@@ -141,14 +141,14 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
     swag.save(model_dir / "model_weights" / "model_swag.npz")
 
     # --- ensemble predictions on the test period --------------------------
-    test_dyn = data_dynamic.subset(i_val, n)
+    test_dyn = split["test"]
     # BatchNorm models re-estimate running stats per sampled member
     # (reference bn_update over the training period, utils_swag.py:58-165)
     bn_update_data = None
     if getattr(model, "has_batch_norm", False):
         bn_update_data = dict(
-            data_dynamic=data_dynamic.subset(0, i_train),
-            data_bc=data_bc.subset(0, i_train) if data_bc else None,
+            data_dynamic=split["train"],
+            data_bc=split["train_bc"],
             data_static=data_static, scaler=scaler, scaler_bc=scaler_bc,
             input_k=ar_settings["input_k"], output_k=ar_settings["output_k"],
             forecast_cycle=ar_settings["forecast_cycle"],
@@ -162,7 +162,7 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
         out_dir=model_dir / "model_predictions" / "swag",
         bn_update_data=bn_update_data,
         data_dynamic=test_dyn,
-        data_bc=data_bc.subset(i_val, n) if data_bc else None,
+        data_bc=split["test_bc"],
         data_static=data_static, scaler=scaler, scaler_bc=scaler_bc,
         input_k=ar_settings["input_k"], output_k=ar_settings["output_k"],
         forecast_cycle=ar_settings["forecast_cycle"],

@@ -36,10 +36,11 @@ def main(model_dir, data_dir, forecast_reference_times=None,
     enable_compilation_cache()
 
     from ..config import (check_same_dict, get_ar_settings,
-                          get_model_settings, get_training_settings,
-                          read_config_file)
+                          get_dataloader_settings, get_model_settings,
+                          get_training_settings, read_config_file)
     from ..data import (SphericalDataset, StaticDataset,
-                        get_ar_model_tensor_info, load_scaler)
+                        get_ar_model_tensor_info)
+    from .common import resolve_scalers
     from ..engine import AutoregressivePredictions
     from ..models import get_model
     from ..utils import Checkpointer
@@ -57,11 +58,11 @@ def main(model_dir, data_dir, forecast_reference_times=None,
     static_path = data_dir / "Data" / "static.zarr"
     data_static = (StaticDataset.open(static_path)
                    if static_path.exists() else None)
-    scaler_path = data_dir / "Scalers" / "GlobalStandardScaler_dynamic.npz"
-    scaler = load_scaler(scaler_path) if scaler_path.exists() else None
-    scaler_bc_path = data_dir / "Scalers" / "GlobalStandardScaler_bc.npz"
-    scaler_bc = (load_scaler(scaler_bc_path) if scaler_bc_path.exists()
-                 else None)
+    # the trained model's OWN scaler composition (from its config.json):
+    # predicting with a different scaler than training silently produces
+    # garbage in physical units
+    scaler, scaler_bc = resolve_scalers(get_dataloader_settings(cfg),
+                                        data_dir)
 
     # tensor-layout guard (reference predict_state.py:162)
     tensor_info = get_ar_model_tensor_info(ar_settings, data_dynamic,

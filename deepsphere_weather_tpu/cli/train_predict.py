@@ -63,11 +63,9 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         write_config_file,
     )
     from ..data import (
-        GlobalStandardScaler,
         SphericalDataset,
         StaticDataset,
         get_ar_model_tensor_info,
-        load_scaler,
     )
     from ..engine import (
         ARScheduler,
@@ -113,58 +111,21 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     # --- scaler -----------------------------------------------------------
     # Config-selected scaler composition (reference SequentialScaler
     # composition in the driver, train_predict_state.py:205-212); default
-    # (null) keeps the auto GlobalStandardScaler behavior.
-    def resolve_scaler(spec):
-        from ..data import SequentialScaler
-        if spec is None:
-            return None
-        base = data_dir / "Scalers"
-        if isinstance(spec, (list, tuple)):
-            return SequentialScaler(
-                *[load_scaler(p if Path(p).is_absolute() else base / p)
-                  for p in spec])
-        return load_scaler(spec if Path(spec).is_absolute() else base / spec)
-
-    scaler = resolve_scaler(dl_settings.get("scaler_dynamic"))
-    if scaler is None:
-        scaler_path = data_dir / "Scalers" / "GlobalStandardScaler_dynamic.npz"
-        if scaler_path.exists():
-            scaler = load_scaler(scaler_path)
-        else:
-            scaler = GlobalStandardScaler().fit_dataset(data_dynamic)
-            scaler_path.parent.mkdir(parents=True, exist_ok=True)
-            scaler.save(scaler_path)
-    scaler_bc = resolve_scaler(dl_settings.get("scaler_bc"))
-    if scaler_bc is None:
-        scaler_bc_path = data_dir / "Scalers" / "GlobalStandardScaler_bc.npz"
-        scaler_bc = (load_scaler(scaler_bc_path) if scaler_bc_path.exists()
-                     else None)
+    # (null) keeps the auto GlobalStandardScaler behavior. Shared with
+    # predict/finetune_swag/experiments (cli/common.py) so every driver
+    # scales data exactly as training did.
+    from .common import resolve_scalers, split_datasets
+    scaler, scaler_bc = resolve_scalers(dl_settings, data_dir,
+                                        data_dynamic=data_dynamic,
+                                        fit_default=True, save_fitted=True)
 
     # --- time split: explicit date ranges from config (reference:
     #     1980-2014 / 2015-16 / 2017-18, train_predict_state.py:217-236)
     #     or the fractional 70/15/15 index split when unset ---------------
-    n = data_dynamic.n_time
-    periods = [training_settings.get(k) for k in
-               ("training_period", "validation_period", "test_period")]
-    if any(p is not None for p in periods):
-        if not all(p is not None and len(p) == 2 for p in periods):
-            raise ValueError(
-                "training_period / validation_period / test_period must "
-                "all be [start, end) pairs when any is set")
-        (tr, va, te) = [data_dynamic.subset_between(p[0], p[1])
-                        for p in periods]
-        train_dyn, val_dyn, test_dyn = tr, va, te
-        bounds = [(v.lo, v.hi) for v in (tr, va, te)]
-    else:
-        from ..data import train_val_test_split_indices
-        i_train, i_val = train_val_test_split_indices(n)
-        bounds = [(0, i_train), (i_train, i_val), (i_val, n)]
-        train_dyn = data_dynamic.subset(0, i_train)
-        val_dyn = data_dynamic.subset(i_train, i_val)
-        test_dyn = data_dynamic.subset(i_val, n)
-    (tr_lo, tr_hi), (va_lo, va_hi), (te_lo, te_hi) = bounds
-    train_bc = data_bc.subset(tr_lo, tr_hi) if data_bc else None
-    val_bc = data_bc.subset(va_lo, va_hi) if data_bc else None
+    split = split_datasets(training_settings, data_dynamic, data_bc)
+    train_dyn, val_dyn, test_dyn = split["train"], split["val"], split["test"]
+    train_bc, val_bc = split["train_bc"], split["val_bc"]
+    (te_lo, te_hi) = split["bounds"][2]
 
     # --- tensor info + model ---------------------------------------------
     tensor_info = get_ar_model_tensor_info(ar_settings, data_dynamic,
@@ -246,9 +207,9 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     # training right after minimum_iterations
     patience = training_settings.get("early_stopping_patience")
     if patience is None:
-        patience = max(1, 500 // max(training_settings["scoring_interval"], 1))
+        patience = 500 // max(training_settings["scoring_interval"], 1)
     early_stopping = resumed_early_stopping or EarlyStopping(
-        patience=int(patience),
+        patience=max(1, int(patience)),
         minimum_improvement=float(
             training_settings.get("early_stopping_minimum_improvement", 0.0)),
         minimum_iterations=int(

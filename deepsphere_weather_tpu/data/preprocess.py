@@ -170,15 +170,17 @@ def remap_weights_for_grid(nlat: int, nlon: int, dst: Sampling,
                           shape=tuple(arrs["shape"]))
     if method == "largest_area_fraction":
         # one-hot argmax per destination row: fracarea weights order
-        # overlap fractions, so the row argmax IS the largest-area source
-        rows = np.arange(W.shape[0])
-        cols = np.zeros(W.shape[0], dtype=np.int64)
-        for d in rows:
+        # overlap fractions, so the row argmax IS the largest-area source.
+        # Rows with NO overlap stay empty (remapping to 0) instead of
+        # silently inheriting source cell 0's categorical value.
+        rows, cols = [], []
+        for d in range(W.shape[0]):
             lo, hi = W.indptr[d], W.indptr[d + 1]
             if hi > lo:
-                cols[d] = W.indices[lo + np.argmax(W.data[lo:hi])]
+                rows.append(d)
+                cols.append(W.indices[lo + np.argmax(W.data[lo:hi])])
         W = sparse.csr_matrix(
-            (np.ones(W.shape[0], dtype=np.float64), (rows, cols)),
+            (np.ones(len(rows), dtype=np.float64), (rows, cols)),
             shape=W.shape)
     return W
 

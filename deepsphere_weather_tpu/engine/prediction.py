@@ -23,7 +23,7 @@ import numpy as np
 from ..data.ar import ARIndexer
 from ..data.dataset import SphericalDataset
 from ..data.zarrstore import ZarrGroup, create_group
-from .step import make_rollout_block
+from .step import keep_first_feedback, make_rollout_block
 
 __all__ = ["AutoregressivePredictions", "ForecastDataset",
            "make_bc_reader", "rechunk_forecasts_for_verification"]
@@ -184,11 +184,9 @@ def AutoregressivePredictions(
     n_steps = ar_iterations + 1
     if ar_blocks is None or ar_blocks > n_steps:
         ar_blocks = n_steps
-    if (not indexer.stack_most_recent_prediction
-            and indexer.has_overlapping_outputs):
-        # keep-first feedback needs its written-mask for the whole
-        # horizon; the mask lives inside one compiled block
-        ar_blocks = n_steps
+    # keep-first feedback threads its written-mask across blocks (part of
+    # the rollout state), so ar_blocks memory-bounding works there too
+    keep_first = keep_first_feedback(indexer)
     # prediction feasibility: every future input time must be produced by
     # an earlier iteration's output (see engine/step.py rolling buffer).
     # Checked over the FULL horizon with a running produced-offset set
@@ -350,6 +348,7 @@ def AutoregressivePredictions(
                         time=data_dynamic.time[t_hist]).astype(np.float32)
                 hist[b, : len(t_hist)] = vals
             hist = jnp.asarray(hist)
+            wmask = jnp.zeros((H,), dtype=bool) if keep_first else None
 
             n_blocks = (n_steps + ar_blocks - 1) // ar_blocks
             step0 = 0
@@ -370,7 +369,8 @@ def AutoregressivePredictions(
                     bc_np = np.asarray(bc_rows, dtype=np.float32).reshape(
                         B, steps, len(indexer.input_k), V, n_fb)
                     bc_block = jnp.asarray(bc_np)
-                hist, preds = fn(params, hist, bc_block, static, geom)
+                hist, wmask, preds = fn(params, hist, wmask, bc_block,
+                                        static, geom)
                 wq.put((preds, lo, B, step0, steps))
                 if werr:
                     raise werr[0]

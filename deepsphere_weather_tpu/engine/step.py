@@ -38,7 +38,17 @@ __all__ = ["assemble_input", "make_ar_loss_fn", "make_train_step",
            "make_member_train_step", "make_validation_fn",
            "make_cached_train_step", "make_cached_validation_fn",
            "make_cached_member_train_step", "make_member_validation_fn",
-           "make_cached_member_validation_fn", "make_rollout_block"]
+           "make_cached_member_validation_fn", "make_rollout_block",
+           "keep_first_feedback"]
+
+
+def keep_first_feedback(indexer: "ARIndexer") -> bool:
+    """True when the AR feedback must keep the FIRST prediction per slot
+    (xforecasting stack_most_recent_prediction=False with overlapping
+    output windows) — rollouts then need a written-mask threaded across
+    blocks."""
+    return (not indexer.stack_most_recent_prediction
+            and indexer.has_overlapping_outputs)
 
 
 def assemble_input(dyn_buf: jnp.ndarray, bc: Optional[jnp.ndarray],
@@ -101,8 +111,7 @@ def make_ar_loss_fn(model, indexer: ARIndexer,
     # keep-first feedback (stack_most_recent_prediction=False) only
     # changes anything when output windows overlap across iterations —
     # skip the written-mask machinery otherwise
-    keep_first = (not indexer.stack_most_recent_prediction
-                  and indexer.has_overlapping_outputs)
+    keep_first = keep_first_feedback(indexer)
 
     def loss_fn(params, batch: Dict, ar_weights: jnp.ndarray, ctx: Dict):
         dyn = batch["dynamic"]
@@ -351,8 +360,16 @@ def make_rollout_block(model, indexer: ARIndexer, block_size: int,
 
     BC features for the whole block are supplied as [B, block, n_in, V, Fb]
     (host-gathered: BC is known for all future times). Returns
-    (rollout_fn, history_size). rollout_fn(params, hist, bc_block) ->
-    (new_hist, preds [B, block, n_out, V, F]).
+    (rollout_fn, history_size).
+    rollout_fn(params, hist, wmask, bc_block, static, geom) ->
+    (new_hist, new_wmask, preds [B, block, n_out, V, F]).
+
+    `wmask` is the keep-first written-mask: pass None unless the indexer
+    needs keep-first feedback (keep_first_feedback(indexer)); then start a
+    rollout with jnp.zeros((H,), bool) and thread the returned mask into
+    the next block — it is part of the rollout state, and resetting it at
+    a block boundary would silently fall back to most-recent feedback for
+    slots predicted in an earlier block.
     """
     fc = indexer.forecast_cycle
     min_k = min(indexer.input_k)
@@ -361,14 +378,18 @@ def make_rollout_block(model, indexer: ARIndexer, block_size: int,
     # positions inside the history buffer: index 0 holds time t0 + min_k
     in_pos = jnp.asarray([k - min_k for k in indexer.input_k], dtype=jnp.int32)
     out_pos = jnp.asarray([k - min_k for k in indexer.output_k], dtype=jnp.int32)
-    # keep-first feedback (stack_most_recent_prediction=False with
-    # overlapping outputs): a rolling written-mask rides the carry; the
-    # mask does not survive across blocks, so callers run a single block
-    # (AutoregressivePredictions forces ar_blocks = horizon then)
-    keep_first = (not indexer.stack_most_recent_prediction
-                  and indexer.has_overlapping_outputs)
+    keep_first = keep_first_feedback(indexer)
 
-    def rollout(params, hist, bc_block, static, geom):
+    def rollout(params, hist, wmask, bc_block, static, geom):
+        if keep_first and wmask is None:
+            raise ValueError(
+                "this indexer keeps FIRST predictions "
+                "(stack_most_recent_prediction=False with overlapping "
+                "output_k): pass wmask=jnp.zeros((H,), bool) for the first "
+                "block and thread the returned mask across blocks")
+        if not keep_first:
+            wmask = None                       # nothing to carry
+
         def step(carry, bc_i):
             h, wmask = carry
             x_dyn = jnp.take(h, in_pos, axis=1)          # [B, n_in, V, Fd]
@@ -402,17 +423,17 @@ def make_rollout_block(model, indexer: ARIndexer, block_size: int,
             h = jnp.roll(h, -fc, axis=1)                  # advance one cycle
             return (h, wmask), y
 
-        carry0 = (hist, jnp.zeros((H,), dtype=bool))
+        carry0 = (hist, wmask)
         if bc_block is None:
             def step_nobc(c, _):
                 return step(c, None)
-            (hist, _), preds = jax.lax.scan(step_nobc, carry0,
-                                            jnp.arange(block_size))
+            (hist, wmask), preds = jax.lax.scan(step_nobc, carry0,
+                                                jnp.arange(block_size))
         else:
-            (hist, _), preds = jax.lax.scan(step, carry0,
-                                            jnp.swapaxes(bc_block, 0, 1))
+            (hist, wmask), preds = jax.lax.scan(step, carry0,
+                                                jnp.swapaxes(bc_block, 0, 1))
         # [block, B, n_out, V, F] -> [B, block, n_out, V, F]
-        return hist, jnp.swapaxes(preds, 0, 1)
+        return hist, wmask, jnp.swapaxes(preds, 0, 1)
 
     # donate the history carry: multi-year rollouts re-enter block after
     # block and never reuse the previous buffer. jit=False returns the raw

@@ -22,7 +22,8 @@ import numpy as np
 from ..ops.cheb import ChebOperator, cheb_conv
 from ..ops.conv2d import equiangular_conv2d
 
-__all__ = ["get_activation", "init_cheb_weight", "ConvBlock", "ResBlock"]
+__all__ = ["get_activation", "init_cheb_weight", "ConvBlock", "ResBlock",
+           "block_has_batch_norm", "block_norm_kwargs"]
 
 _RELU_FAMILY = {
     "relu", "celu", "selu", "prelu", "hardswish", "mish", "silu", "swish",
@@ -328,3 +329,23 @@ class ResBlock:
         else:
             res = x
         return out + res
+
+
+def block_has_batch_norm(block) -> bool:
+    """True when a ConvBlock — or any ConvBlock inside a ResBlock — uses
+    stateful 'batch' normalization (and therefore needs norm_state at
+    eval time)."""
+    if isinstance(block, ResBlock):
+        return any(b.norm_kind == "batch" for b in block.blocks)
+    return block.norm_kind == "batch"
+
+
+def block_norm_kwargs(block, name: str, norm_state: Optional[Dict],
+                      train: bool, stats_out: Optional[Dict]) -> Dict:
+    """Per-block norm_state/train/stats_out kwargs for ConvBlock/ResBlock
+    apply() calls — the one place the norm_state routing convention lives
+    (shared by every architecture)."""
+    kw: Dict = {"norm_state": (norm_state or {}).get(name), "train": train}
+    if stats_out is not None and block_has_batch_norm(block):
+        kw["stats_out"] = stats_out.setdefault(name, {})
+    return kw

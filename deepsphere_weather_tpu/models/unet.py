@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .geometry import ModelGeometry, build_model_geometry
-from .layers import ResBlock
+from .layers import ResBlock, block_norm_kwargs
 
 __all__ = ["UNetSpherical"]
 
@@ -216,11 +216,8 @@ class UNetSpherical:
         ops, pools = geom["cheb_ops"], geom["pools"]
 
         def nkw(name):
-            kw = dict(norm_state=(norm_state or {}).get(name), train=train)
-            if stats_out is not None and any(
-                    b.norm_kind == "batch" for b in self._blocks[name].blocks):
-                kw["stats_out"] = stats_out.setdefault(name, {})
-            return kw
+            return block_norm_kwargs(self._blocks[name], name, norm_state,
+                                     train, stats_out)
         B = x.shape[0]
         # last timestep's dynamic features, for increment learning
         x_last = x[:, -1:, :, -self.output_n_feature:]
@@ -250,11 +247,8 @@ class UNetSpherical:
         ops, unpools = geom["cheb_ops"], geom["unpools"]
 
         def nkw(name):
-            kw = dict(norm_state=(norm_state or {}).get(name), train=train)
-            if stats_out is not None and any(
-                    b.norm_kind == "batch" for b in self._blocks[name].blocks):
-                kw["stats_out"] = stats_out.setdefault(name, {})
-            return kw
+            return block_norm_kwargs(self._blocks[name], name, norm_state,
+                                     train, stats_out)
         h = (unpools[1](x_enc3, idx2, w=params["unpool1"])
              if "unpool1" in params else unpools[1](x_enc3, idx2))
         h = self._skip(h, x_enc2)                     # reference :530

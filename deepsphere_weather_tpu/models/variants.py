@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from .geometry import build_model_geometry
-from .layers import ConvBlock, ResBlock
+from .layers import (ConvBlock, ResBlock, block_has_batch_norm,
+                     block_norm_kwargs)
 
 __all__ = ["ResNetSpherical", "EPDNetSpherical", "ConvNetSpherical",
            "DownscalingNetSpherical"]
@@ -115,14 +116,36 @@ class _SingleLevelModel:
         return {name: blk.init(k)
                 for (name, blk), k in zip(self._blocks.items(), keys)}
 
+    @property
+    def has_batch_norm(self) -> bool:
+        """True when the model uses stateful ('batch') normalization — eval
+        passes then need a norm_state from `prob.bn.bn_update` (same
+        contract as UNetSpherical)."""
+        return any(block_has_batch_norm(b) for b in self._blocks.values())
+
+    def init_norm_state(self) -> Dict:
+        """Fresh running-stat buffers keyed like params; empty dict when the
+        model has no BatchNorm."""
+        state = {}
+        for name, blk in self._blocks.items():
+            s = blk.init_norm_state()
+            if s is not None:
+                state[name] = s
+        return state
+
     def apply(self, params: Dict, x: jnp.ndarray,
-              geom: Optional[Dict] = None) -> jnp.ndarray:
+              geom: Optional[Dict] = None,
+              norm_state: Optional[Dict] = None, train: bool = True,
+              stats_out: Optional[Dict] = None) -> jnp.ndarray:
         if geom is None:
             geom = self.geometry_pytree()
         op = geom["cheb_ops"][0]
         h = self._reshape_in(x)
         for name in self._order:
-            h = self._blocks[name].apply(params[name], h, cheb_op=op)
+            h = self._blocks[name].apply(
+                params[name], h, cheb_op=op,
+                **block_norm_kwargs(self._blocks[name], name, norm_state,
+                                    train, stats_out))
         return self._reshape_out(h)
 
     __call__ = apply
@@ -272,33 +295,57 @@ class DownscalingNetSpherical:
         return {name: blk.init(k)
                 for (name, blk), k in zip(self._blocks.items(), keys)}
 
+    @property
+    def has_batch_norm(self) -> bool:
+        return any(block_has_batch_norm(b) for b in self._blocks.values())
+
+    def init_norm_state(self) -> Dict:
+        state = {}
+        for name, blk in self._blocks.items():
+            s = blk.init_norm_state()
+            if s is not None:
+                state[name] = s
+        return state
+
     def decode(self, params: Dict, x: jnp.ndarray,
-               geom: Optional[Dict] = None) -> jnp.ndarray:
+               geom: Optional[Dict] = None,
+               norm_state: Optional[Dict] = None, train: bool = True,
+               stats_out: Optional[Dict] = None) -> jnp.ndarray:
         if geom is None:
             geom = self.geometry_pytree()
         ops, unpools = geom["cheb_ops"], geom["unpools"]
+
+        def nkw(name):
+            return block_norm_kwargs(self._blocks[name], name, norm_state,
+                                     train, stats_out)
         B = x.shape[0]
         h = jnp.transpose(x, (0, 2, 1, 3)).reshape(
             B, self.input_n_node, self.input_channels).astype(
                 self.compute_dtype)
         h = self._blocks["conv_coarse1"].apply(params["conv_coarse1"], h,
-                                               cheb_op=ops[1])
+                                               cheb_op=ops[1],
+                                               **nkw("conv_coarse1"))
         h = self._blocks["conv_coarse2"].apply(params["conv_coarse2"], h,
-                                               cheb_op=ops[1])
+                                               cheb_op=ops[1],
+                                               **nkw("conv_coarse2"))
         h = unpools[0](h, None)
         h = self._blocks["res_fine"].apply(params["res_fine"], h,
-                                           cheb_op=ops[0])
+                                           cheb_op=ops[0], **nkw("res_fine"))
         h = self._blocks["conv_final"].apply(params["conv_final"], h,
-                                             cheb_op=ops[0])
+                                             cheb_op=ops[0],
+                                             **nkw("conv_final"))
         h = h.astype(jnp.float32)     # fp32 loss / AR feedback contract
         h = h.reshape(B, self.output_n_node, self.output_n_time,
                       self.output_n_feature)
         return jnp.transpose(h, (0, 2, 1, 3))
 
     def apply(self, params: Dict, x: jnp.ndarray,
-              geom: Optional[Dict] = None) -> jnp.ndarray:
+              geom: Optional[Dict] = None,
+              norm_state: Optional[Dict] = None, train: bool = True,
+              stats_out: Optional[Dict] = None) -> jnp.ndarray:
         """forward = decode (reference models.py:141-145)."""
-        return self.decode(params, x, geom=geom)
+        return self.decode(params, x, geom=geom, norm_state=norm_state,
+                           train=train, stats_out=stats_out)
 
     __call__ = apply
 

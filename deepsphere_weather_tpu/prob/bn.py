@@ -24,7 +24,7 @@ import numpy as np
 
 from ..data.ar import ARIndexer
 from ..data.loader import AutoregressiveDataLoader, AutoregressiveDataset
-from ..engine.step import assemble_input
+from ..engine.step import assemble_input, keep_first_feedback
 
 __all__ = ["bn_update", "make_bn_stats_fn"]
 
@@ -35,6 +35,11 @@ def make_bn_stats_fn(model, indexer: ARIndexer, n_scan_iterations: int):
     (prediction feedback, stack_most_recent_prediction semantics)."""
     in_pos = jnp.asarray(indexer.input_pos)
     out_pos = jnp.asarray(indexer.output_pos)
+    # same feedback policy as the training loss (engine/step.py): a slot
+    # predicted by an earlier iteration keeps that prediction under
+    # keep-first semantics, so the statistics see the distribution the
+    # eval rollout will actually produce
+    keep_first = keep_first_feedback(indexer)
 
     @jax.jit
     def stats_fn(params, batch, geom):
@@ -42,17 +47,37 @@ def make_bn_stats_fn(model, indexer: ARIndexer, n_scan_iterations: int):
         bc = batch.get("bc")
         static = batch.get("static")
         buf = dyn
+        written = jnp.zeros((dyn.shape[1],), dtype=bool)
         all_stats = []
         for i in range(n_scan_iterations):
             x = assemble_input(buf, bc, static, in_pos[i])
             stats: Dict = {}
             y = model.apply(params, x, geom=geom, train=True,
                             stats_out=stats)
+            if keep_first:
+                prev = jnp.take(buf, out_pos[i], axis=1)
+                wm = jnp.take(written, out_pos[i])
+                y = jnp.where(wm[None, :, None, None], prev, y)
+                written = written.at[out_pos[i]].set(True)
             buf = buf.at[:, out_pos[i]].set(y)
             all_stats.append(stats)
         return all_stats
 
     return stats_fn
+
+
+def _running_update(state: Dict, stats: Dict, momentum: float) -> None:
+    """Recursive in-place running-moment update: stats trees mirror the
+    model's norm_state nesting (1 level for plain ConvBlocks, 2 for
+    ResBlocks), with {mean, var} array leaves."""
+    if "mean" in stats and not isinstance(stats["mean"], dict):
+        state["mean"] = ((1 - momentum) * state["mean"]
+                         + momentum * np.asarray(stats["mean"]))
+        state["var"] = ((1 - momentum) * state["var"]
+                        + momentum * np.asarray(stats["var"]))
+        return
+    for key, sub in stats.items():
+        _running_update(state[key], sub, momentum)
 
 
 def bn_update(model, params, *, data_dynamic, data_bc=None, data_static=None,
@@ -93,13 +118,7 @@ def bn_update(model, params, *, data_dynamic, data_bc=None, data_static=None,
         # sequential running update, same order as the reference's AR loop
         # (each model call applies the SAME per-batch momentum)
         for stats in per_iter_stats:
-            for blk, sub in stats.items():
-                for cb, mv in sub.items():
-                    st = state[blk][cb]
-                    st["mean"] = ((1 - momentum) * st["mean"]
-                                  + momentum * np.asarray(mv["mean"]))
-                    st["var"] = ((1 - momentum) * st["var"]
-                                 + momentum * np.asarray(mv["var"]))
+            _running_update(state, stats, momentum)
         n_seen += b
         nb += 1
         if max_batches is not None and nb >= max_batches:

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.ar import ARIndexer
-from ..engine.step import make_rollout_block
+from ..engine.step import keep_first_feedback, make_rollout_block
 
 __all__ = ["make_ensemble_rollout", "ensemble_rollout_predictions"]
 
@@ -35,17 +35,20 @@ def make_ensemble_rollout(model, indexer: ARIndexer, block_size: int,
 
 
     Returns (fn, history_size) with
-    fn(member_params, hist, bc_block, static, geom) ->
-       (new_hist, preds [M, B, block, n_out, V, F])
-    where member_params and hist have a leading member axis. With `mesh`,
-    the member axis is sharded over the mesh's 'member' dimension.
+    fn(member_params, hist, wmask, bc_block, static, geom) ->
+       (new_hist, new_wmask, preds [M, B, block, n_out, V, F])
+    where member_params and hist have a leading member axis. `wmask` is
+    the keep-first written-mask ([M, H] bool when
+    engine.step.keep_first_feedback(indexer), else None) — thread the
+    returned mask into the next block like the history. With `mesh`, the
+    member axis is sharded over the mesh's 'member' dimension.
     """
     # compose on the RAW rollout: vmap over a jitted function drops its
     # donation and warns; donate the [M, B, H, V, F] member-history carry
     # on the outer jit instead
     rollout_fn, H = make_rollout_block(model, indexer, block_size, jit=False)
 
-    vmapped = jax.vmap(rollout_fn, in_axes=(0, 0, None, None, None))
+    vmapped = jax.vmap(rollout_fn, in_axes=(0, 0, 0, None, None, None))
     fn = jax.jit(vmapped, donate_argnums=(1,))
 
     if mesh is not None:
@@ -54,10 +57,12 @@ def make_ensemble_rollout(model, indexer: ARIndexer, block_size: int,
         member_sh = NamedSharding(mesh, P("member"))
         rep = NamedSharding(mesh, P())
 
-        def sharded(member_params, hist, bc_block, static, geom):
+        def sharded(member_params, hist, wmask, bc_block, static, geom):
             member_params = jax.device_put(member_params, member_sh)
             hist = jax.device_put(hist, member_sh)
             return fn(member_params, hist,
+                      jax.device_put(wmask, member_sh)
+                      if wmask is not None else None,
                       jax.device_put(bc_block, rep)
                       if bc_block is not None else None,
                       jax.device_put(static, rep)
@@ -114,6 +119,8 @@ def ensemble_rollout_predictions(model, member_params, *,
             hist[b, : len(t_hist)] = vals
         hist_m = jnp.broadcast_to(jnp.asarray(hist)[None],
                                   (n_members,) + hist.shape)
+        wmask_m = (jnp.zeros((n_members, H), dtype=bool)
+                   if keep_first_feedback(indexer) else None)
         bc_block = None
         if data_bc is not None or bc_generator is not None:
             bc_rows = [read_bc(t0, i * indexer.forecast_cycle + in_offs)
@@ -121,7 +128,8 @@ def ensemble_rollout_predictions(model, member_params, *,
             bc_block = jnp.asarray(
                 np.asarray(bc_rows, dtype=np.float32).reshape(
                     B, n_steps, len(in_offs), V, bc_rows[0].shape[-1]))
-        _, preds = fn(member_params, hist_m, bc_block, static, geom)
+        _, _, preds = fn(member_params, hist_m, wmask_m, bc_block, static,
+                         geom)
         preds = np.asarray(preds)          # [M, B, n_steps, n_out, V, F]
         if scaler is not None and inverse_scale:
             for i in range(n_steps):

@@ -99,9 +99,14 @@ def export_rollout(model, params, *, input_k: Sequence[int],
     geom = model.geometry_pytree()
     static_arr = None if static is None else np.asarray(static, np.float32)
 
+    # exported indexers use stack_most_recent_prediction=True (no
+    # keep-first written-mask), so the artifact signature stays
+    # (hist[, bc_block]) -> (new_hist, preds)
     if n_bc_features > 0:
         def fn(hist, bc_block):
-            return rollout(params, hist, bc_block, static_arr, geom)
+            h, _, preds = rollout(params, hist, None, bc_block, static_arr,
+                                  geom)
+            return h, preds
         specs = (
             jax.ShapeDtypeStruct((batch_size, H, V, f_dyn), np.float32),
             jax.ShapeDtypeStruct(
@@ -110,7 +115,8 @@ def export_rollout(model, params, *, input_k: Sequence[int],
         )
     else:
         def fn(hist):
-            return rollout(params, hist, None, static_arr, geom)
+            h, _, preds = rollout(params, hist, None, None, static_arr, geom)
+            return h, preds
         specs = (
             jax.ShapeDtypeStruct((batch_size, H, V, f_dyn), np.float32),
         )
@@ -180,7 +186,7 @@ def export_ensemble_rollout(model, member_params, *, input_k: Sequence[int],
     indexer = ARIndexer.build(list(input_k), list(output_k),
                               forecast_cycle, 1)
     rollout, H = make_rollout_block(model, indexer, block_size, jit=False)
-    vmapped = jax.vmap(rollout, in_axes=(0, 0, None, None, None))
+    vmapped = jax.vmap(rollout, in_axes=(0, 0, None, None, None, None))
 
     V = model.input_n_node
     f_dyn = model.output_n_feature
@@ -191,13 +197,17 @@ def export_ensemble_rollout(model, member_params, *, input_k: Sequence[int],
         (n_members, batch_size, H, V, f_dyn), np.float32)
     if n_bc_features > 0:
         def fn(hist, bc_block):
-            return vmapped(member_params, hist, bc_block, static_arr, geom)
+            h, _, preds = vmapped(member_params, hist, None, bc_block,
+                                  static_arr, geom)
+            return h, preds
         specs = (hist_spec, jax.ShapeDtypeStruct(
             (batch_size, block_size, len(input_k), V, n_bc_features),
             np.float32))
     else:
         def fn(hist):
-            return vmapped(member_params, hist, None, static_arr, geom)
+            h, _, preds = vmapped(member_params, hist, None, None,
+                                  static_arr, geom)
+            return h, preds
         specs = (hist_spec,)
 
     plats = tuple(platforms) if platforms else (jax.default_backend(),)

@@ -201,9 +201,14 @@ def deterministic(forecast, obs_dataset, forecast_type: str = "continuous",
     store_bytes = forecast.n_frt * L * len(obs_dataset.lat) * n_var * 4
     cached = None
     if store_bytes <= ram_budget:
-        cached = np.stack(
-            [np.asarray(forecast.variables[n][...], dtype=np.float32)
-             for n in forecast.feature_order], axis=-1)    # [frt, L, V, F]
+        # preallocate and fill per variable: np.stack over a list of all
+        # variables would transiently hold 2x store_bytes, defeating the
+        # budget check on the hosts it is meant to protect
+        cached = np.empty(
+            (forecast.n_frt, L, len(obs_dataset.lat), n_var),
+            dtype=np.float32)                              # [frt, L, V, F]
+        for f, n in enumerate(forecast.feature_order):
+            cached[..., f] = forecast.variables[n][...]
 
     def read_lt(lt):
         if cached is not None:

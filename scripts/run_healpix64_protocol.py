@@ -118,7 +118,9 @@ def main():
         data_dir / "Data" / "dynamic" / "time_chunked" / "dynamic.zarr")
     i_train, i_val = train_val_test_split_indices(dyn.n_time)
     test_dyn = dyn.subset(i_val, dyn.n_time)
-    leadtimes = np.arange(1, args.ar_iterations_prediction + 1)
+    # the model store holds ar_iterations_prediction + 1 leadtimes
+    # (iterations 0..N inclusive); match persistence to every one of them
+    leadtimes = np.arange(1, args.ar_iterations_prediction + 2)
     pers = persistence_skills(test_dyn, leadtimes)
     samp = build_sampling("healpix", {"subdivisions": 64, "nest": True})
     area_w = np.asarray(AreaWeights(samp))

@@ -53,7 +53,8 @@ geom = jax.device_put(model.geometry_pytree())
 h, chunks = hist, []
 bcp = np.concatenate([bc, np.repeat(bc[:, -1:], 3, axis=1)], axis=1)
 for b in range(2):
-    h, p = jax.jit(fn)(params, h, bcp[:, b * 5:(b + 1) * 5], static, geom)
+    h, _, p = jax.jit(fn)(params, h, None, bcp[:, b * 5:(b + 1) * 5],
+                          static, geom)
     chunks.append(np.asarray(p))
 want = np.concatenate(chunks, axis=1)[:, :7]
 err = np.abs(fc - want).max() / (np.abs(want).max() + 1e-9)

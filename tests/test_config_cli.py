@@ -548,3 +548,67 @@ class TestConfigReviewRegressions:
         stale.write_bytes(b"ckpt")
         d3 = create_experiment_directories(tmp_path, "m1", resume=True)
         assert d3 == d and stale.read_bytes() == b"ckpt"
+
+
+class TestCliCommonHelpers:
+    """cli/common.py: the scaler/split resolution shared by EVERY driver
+    (round-2 review: finetune_swag/predict/experiments previously ignored
+    scaler composition and date-range periods, silently feeding models
+    data scaled differently than training)."""
+
+    @pytest.fixture(scope="class")
+    def toy(self, tmp_path_factory):
+        from deepsphere_weather_tpu.data import (GlobalStandardScaler,
+                                                 SphericalDataset,
+                                                 generate_toy_data)
+        root = tmp_path_factory.mktemp("common")
+        generate_toy_data(root, sampling_kwargs={"subdivisions": 4,
+                                                 "nest": True},
+                          n_timesteps=120, seed=2)
+        dyn = SphericalDataset.open(
+            root / "Data" / "dynamic" / "time_chunked" / "dynamic.zarr")
+        sdir = root / "Scalers"
+        sdir.mkdir(exist_ok=True)
+        sc = GlobalStandardScaler().fit_dataset(dyn)
+        sc.save(sdir / "GlobalStandardScaler_dynamic.npz")
+        sc.save(sdir / "extra.npz")
+        return root, dyn
+
+    def test_resolve_scalers_default_and_composition(self, toy):
+        from deepsphere_weather_tpu.cli.common import resolve_scalers
+        from deepsphere_weather_tpu.data import SequentialScaler
+        root, dyn = toy
+        # default: conventional file picked up; no BC file -> None
+        scaler, scaler_bc = resolve_scalers({}, root)
+        assert scaler is not None and scaler_bc is None
+        # list spec -> SequentialScaler composition
+        scaler, _ = resolve_scalers(
+            {"scaler_dynamic": ["GlobalStandardScaler_dynamic.npz",
+                                "extra.npz"]}, root)
+        assert isinstance(scaler, SequentialScaler)
+        # round-trip through the composition
+        x = dyn.read_stacked(np.arange(4))
+        np.testing.assert_allclose(
+            scaler.inverse_transform(scaler.transform(x)), x,
+            rtol=1e-4, atol=1e-4)
+
+    def test_split_datasets_periods_and_fractional(self, toy):
+        from deepsphere_weather_tpu.cli.common import split_datasets
+        root, dyn = toy
+        # fractional default: contiguous cover of the timeline
+        s = split_datasets({}, dyn)
+        (a, b), (c, d), (e, f) = s["bounds"]
+        assert a == 0 and b == c and d == e and f == dyn.n_time
+        # explicit periods pin the boundaries
+        s2 = split_datasets({
+            "training_period": ["2010-01-01", "2010-01-10"],
+            "validation_period": ["2010-01-10", "2010-01-15"],
+            "test_period": ["2010-01-15", "2010-01-31"]}, dyn)
+        assert s2["train"].n_time + s2["val"].n_time + s2["test"].n_time \
+            <= dyn.n_time
+        assert s2["train"].time[-1] < s2["val"].time[0] <= s2["test"].time[0]
+        # partial period spec is a loud error
+        with pytest.raises(ValueError, match="must\\s+all"):
+            split_datasets({"training_period": ["2010-01-01", "2010-01-10"],
+                            "validation_period": None,
+                            "test_period": None}, dyn)

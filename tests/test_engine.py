@@ -588,3 +588,51 @@ class TestPredictionReviewRegressions:
         tgt = jnp.zeros((7, 3))
         # mean over nodes/features of se=4 with unit weights == 4
         assert float(weighted_mse(pred, tgt, None)) == pytest.approx(4.0)
+
+
+class TestKeepFirstRolloutBlocks:
+    def test_written_mask_survives_block_boundaries(self):
+        """Round-2 review regression: the keep-first written-mask is part
+        of the rollout STATE — a horizon rolled in two blocks must equal
+        the same horizon rolled in one block (resetting the mask per block
+        silently fell back to most-recent feedback across boundaries)."""
+        import pytest as _pytest
+        from deepsphere_weather_tpu.engine.step import (keep_first_feedback,
+                                                        make_rollout_block)
+
+        ti = {"input_n_feature": 2, "output_n_feature": 2,
+              "input_n_time": 2, "output_n_time": 2,
+              "input_shape_info": {"dynamic": {"node": 192}},
+              "output_shape_info": {"dynamic": {"node": 192}},
+              "dim_order": {"dynamic": ["sample", "time", "node",
+                                        "feature"]}}
+        m = UNetSpherical(
+            tensor_info=ti, sampling="healpix",
+            sampling_kwargs={"subdivisions": 4, "nest": True},
+            knn=8, pool_method="max")
+        p = jax.tree_util.tree_map(lambda x: x + 0.05,
+                                   m.init(jax.random.key(1)))
+        ix = ARIndexer.build([-2, -1], [0, 1], 1, 3,
+                             stack_most_recent_prediction=False)
+        assert keep_first_feedback(ix)
+        geom = m.geometry_pytree()
+        rng = np.random.default_rng(3)
+
+        fn4, H = make_rollout_block(m, ix, 4, jit=False)
+        hist0 = jnp.asarray(rng.standard_normal(
+            (1, H, 192, 2)).astype(np.float32))
+        wm0 = jnp.zeros((H,), dtype=bool)
+        _, _, preds_full = fn4(p, hist0, wm0, None, None, geom)
+
+        fn2, _ = make_rollout_block(m, ix, 2, jit=False)
+        h, wm, chunks = hist0, wm0, []
+        for _ in range(2):
+            h, wm, pr = fn2(p, h, wm, None, None, geom)
+            chunks.append(np.asarray(pr))
+        np.testing.assert_allclose(np.concatenate(chunks, axis=1),
+                                   np.asarray(preds_full),
+                                   rtol=1e-5, atol=1e-5)
+
+        # forgetting the mask is a loud error, not silent wrongness
+        with _pytest.raises(ValueError, match="keeps FIRST"):
+            fn2(p, hist0, None, None, None, geom)

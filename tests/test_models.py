@@ -435,3 +435,68 @@ class TestBatchNorm:
             (3, 192, 5)).astype(np.float32)
         y = np.asarray(blk.apply(params, jnp.asarray(x)))
         assert np.isfinite(y).all()
+
+
+class TestVariantBatchNorm:
+    """Round-2 review regression: variants with batch_norm=True must expose
+    the SAME eval-mode contract as UNetSpherical (has_batch_norm /
+    init_norm_state / norm_state+train plumbing) — without it they silently
+    predicted in train mode forever."""
+
+    def _model(self, arch="ConvNetSpherical"):
+        return get_model(arch, make_tensor_info(192),
+                         sampling="healpix",
+                         sampling_kwargs={"subdivisions": 4, "nest": True},
+                         knn=8, batch_norm=True)
+
+    @pytest.mark.parametrize("arch", ["ResNetSpherical", "EPDNetSpherical",
+                                      "ConvNetSpherical"])
+    def test_has_batch_norm_and_state(self, arch):
+        m = self._model(arch)
+        assert m.has_batch_norm
+        state = m.init_norm_state()
+        assert state
+        # the final conv is norm-free by construction (_final_kwargs)
+        assert "conv_final" not in state
+
+    def test_eval_mode_is_batch_composition_independent(self):
+        m = self._model()
+        params = m.init(jax.random.key(0))
+        state = m.init_norm_state()
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (3, 2, 192, 4)).astype(np.float32))
+        y_train = np.asarray(m.apply(params, x, train=True))
+        y_eval = np.asarray(m.apply(params, x, norm_state=state,
+                                    train=False))
+        # train mode uses the batch's own stats, eval the running (0, 1)
+        # stats: they must differ on non-trivial input
+        assert not np.allclose(y_train, y_eval)
+        # eval-mode forecasts must not depend on batch composition
+        y0 = np.asarray(m.apply(params, x[:1], norm_state=state,
+                                train=False))
+        np.testing.assert_allclose(y_eval[:1], y0, rtol=1e-5, atol=1e-5)
+
+    def test_stats_out_collection_matches_state_tree(self):
+        m = self._model("ResNetSpherical")     # mixes ResBlocks + ConvBlocks
+        params = m.init(jax.random.key(0))
+        x = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (2, 2, 192, 4)).astype(np.float32))
+        stats = {}
+        m.apply(params, x, train=True, stats_out=stats)
+        assert set(stats) == set(m.init_norm_state())
+
+    def test_running_update_mixed_nesting(self):
+        # bn_update must walk BOTH 1-level (plain ConvBlock) and 2-level
+        # (ResBlock) stats trees — the variants produce the mix
+        from deepsphere_weather_tpu.prob.bn import _running_update
+        state = {"conv1": {"mean": np.zeros(3), "var": np.ones(3)},
+                 "res": {"convblock1": {"mean": np.zeros(2),
+                                        "var": np.ones(2)}}}
+        stats = {"conv1": {"mean": np.full(3, 2.0), "var": np.full(3, 4.0)},
+                 "res": {"convblock1": {"mean": np.full(2, 6.0),
+                                        "var": np.full(2, 8.0)}}}
+        _running_update(state, stats, 0.5)
+        np.testing.assert_allclose(state["conv1"]["mean"], 1.0)
+        np.testing.assert_allclose(state["conv1"]["var"], 2.5)
+        np.testing.assert_allclose(state["res"]["convblock1"]["mean"], 3.0)
+        np.testing.assert_allclose(state["res"]["convblock1"]["var"], 4.5)

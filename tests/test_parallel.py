@@ -191,7 +191,7 @@ class TestMemberParallel:
         bc = jnp.asarray(rng.standard_normal((2, 4, 3, 192, 1))
                          .astype(np.float32))
         static = jnp.asarray(rng.standard_normal((192, 4)).astype(np.float32))
-        _, preds = fn(members, hist, bc, static, geom)
+        _, _, preds = fn(members, hist, None, bc, static, geom)
         assert preds.shape == (4, 2, 4, 1, 192, 2)
         # members differ (distinct sampled params)
         p = np.asarray(preds)

@@ -243,3 +243,34 @@ class TestPerVariableRemap:
         dst = build_sampling("healpix", {"subdivisions": 4, "nest": True})
         with pytest.raises(ImportError, match="cfgrib"):
             remap_grib_files(["x.grib"], dst)
+
+
+class TestLAFEmptyRows:
+    def test_no_overlap_rows_stay_empty(self):
+        """Round-2 review regression: destination rows with NO source
+        overlap must remap to 0, not inherit source cell 0's categorical
+        value via a spurious one-hot."""
+        from scipy import sparse as _sparse
+
+        from deepsphere_weather_tpu.data import preprocess as pp
+
+        # forge a cached conservative-weights matrix with an empty row 1
+        W = _sparse.csr_matrix(
+            (np.array([0.25, 0.75, 1.0]),
+             np.array([0, 2, 1]),
+             np.array([0, 2, 2, 3])), shape=(3, 4))
+        import unittest.mock as mock
+        with mock.patch.object(pp, "cached_arrays",
+                               side_effect=lambda key, build: {
+                                   "data": W.data, "indices": W.indices,
+                                   "indptr": W.indptr,
+                                   "shape": np.asarray(W.shape)}):
+            from deepsphere_weather_tpu.sphere import build_sampling
+            dst = build_sampling("healpix", {"subdivisions": 1,
+                                             "nest": True})
+            laf = pp.remap_weights_for_grid(2, 2, dst,
+                                            method="largest_area_fraction")
+        laf = laf.toarray()
+        np.testing.assert_array_equal(laf[0], [0, 0, 1, 0])   # argmax 0.75
+        np.testing.assert_array_equal(laf[1], [0, 0, 0, 0])   # empty stays
+        np.testing.assert_array_equal(laf[2], [0, 1, 0, 0])

@@ -79,7 +79,7 @@ def _direct_rollout(model, params, hist, bc, static, n_steps):
     indexer = ARIndexer.build(INPUT_K, OUTPUT_K, FC, 1)
     fn, H = make_rollout_block(model, indexer, n_steps, jit=False)
     geom = model.geometry_pytree()
-    _, preds = fn(params, hist, bc, static, geom)
+    _, _, preds = fn(params, hist, None, bc, static, geom)
     return np.asarray(preds)
 
 
@@ -156,8 +156,9 @@ class TestForecastService:
         geom = a["model"].geometry_pytree()
         h, chunks = hs, []
         for b in range(n_blocks):
-            h, p = fn(a["params"], h, bs[:, b * block:(b + 1) * block],
-                      a["static"], geom)
+            h, _, p = fn(a["params"], h, None,
+                         bs[:, b * block:(b + 1) * block],
+                         a["static"], geom)
             chunks.append(np.asarray(p))
         preds = np.concatenate(chunks, axis=1)[:, :n_steps]
         return np.asarray(a["scaler"].inverse_transform(preds), np.float32)
