@@ -243,9 +243,12 @@ def remap_grib_files(paths: Sequence, dst: Sampling,
 # ---------------------------------------------------------------------------
 
 def zarrify_raw_data(out_path, batches, time_chunk: int = 24 * 7,
-                     lat=None, lon=None) -> SphericalDataset:
+                     lat=None, lon=None, compressor="zlib") -> SphericalDataset:
     """Append-mode ingest: iterate over (variables_dict, time_array) batches
     and write the canonical time_chunked store (reference scripts/03c:91-163).
+
+    `compressor`: "zlib" (default, no system deps), "blosc:zstd"/"blosc:lz4"
+    (the reference's store codecs, scripts/03c:320-331), or None.
     """
     out_path = Path(out_path)
     first = True
@@ -253,7 +256,8 @@ def zarrify_raw_data(out_path, batches, time_chunk: int = 24 * 7,
         time = np.asarray(time, dtype="datetime64[ns]")
         if first:
             save_dynamic(out_path, variables, time=time, lat=lat, lon=lon,
-                         time_chunk=time_chunk, overwrite=True)
+                         time_chunk=time_chunk, compressor=compressor,
+                         overwrite=True)
             first = False
         else:
             g = ZarrGroup(out_path)

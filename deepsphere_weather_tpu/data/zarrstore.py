@@ -8,8 +8,11 @@ v2 directory format:
 
 - `.zarray` / `.zattrs` / `.zgroup` JSON metadata, C-order chunks in
   `<i>.<j>` files
-- compressors: None (raw) or zlib (stdlib) — stores written by real zarr
-  with `compressor: {"id": "zlib"}` or uncompressed are interoperable
+- compressors: None (raw), zlib (stdlib), or blosc (system libblosc via
+  ctypes — the SAME C library numcodecs wraps, so stores the reference
+  writes with numcodecs.Blosc zstd/lz4 (scripts/03c:320-331) read
+  byte-exactly, and stores written here with `compressor="blosc:zstd"`
+  open in real zarr)
 - chunked reads/writes with region selection and append along axis 0
   (the time axis), which is what the AR data pipeline and the streaming
   prediction writer need (reference ar_blocks flushing,
@@ -228,8 +231,17 @@ class ZarrArray:
         self.fill_value = meta.get("fill_value", 0)
         comp = meta.get("compressor")
         self.compressor = comp["id"] if comp else None
-        if self.compressor not in (None, "zlib"):
+        if self.compressor not in (None, "zlib", "blosc"):
             raise ValueError(f"unsupported compressor {self.compressor!r}")
+        # numcodecs.Blosc meta: cname/clevel/shuffle/blocksize (write-side;
+        # reads take codec+shuffle from each chunk's own blosc header)
+        self._blosc = ({"cname": comp.get("cname", "zstd"),
+                        "clevel": int(comp.get("clevel", 3)),
+                        "shuffle": int(comp.get("shuffle", 1)),
+                        "blocksize": int(comp.get("blocksize", 0))}
+                       if self.compressor == "blosc" else None)
+        if meta.get("filters"):
+            raise ValueError("zarr filters are not supported")
         if meta.get("order", "C") != "C":
             raise ValueError("only C order supported")
         self.attrs = {}
@@ -250,12 +262,27 @@ class ZarrArray:
             _rmtree(path)
         path.mkdir(parents=True)
         dt = np.dtype(dtype)
+        if compressor is None:
+            comp_meta = None
+        elif compressor == "zlib":
+            comp_meta = {"id": "zlib", "level": 1}
+        elif isinstance(compressor, dict):
+            comp_meta = dict(compressor)     # raw numcodecs-style meta
+        elif isinstance(compressor, str) and (
+                compressor == "blosc" or compressor.startswith("blosc:")):
+            # "blosc" / "blosc:zstd" / "blosc:lz4" — reference store format
+            # (numcodecs.Blosc zstd/lz4, scripts/03c:320-331)
+            _, _, cname = compressor.partition(":")
+            comp_meta = {"id": "blosc", "cname": cname or "zstd",
+                         "clevel": 3, "shuffle": 1, "blocksize": 0}
+        else:
+            raise ValueError(f"unsupported compressor {compressor!r}")
         meta = {
             "zarr_format": 2,
             "shape": list(int(s) for s in shape),
             "chunks": list(int(c) for c in chunks),
             "dtype": _dtype_to_str(dt),
-            "compressor": {"id": "zlib", "level": 1} if compressor == "zlib" else None,
+            "compressor": comp_meta,
             "fill_value": fill_value,
             "order": "C",
             "filters": None,
@@ -285,6 +312,10 @@ class ZarrArray:
         raw = p.read_bytes()
         if self.compressor == "zlib":
             raw = zlib.decompress(raw)
+        elif self.compressor == "blosc":
+            from ..native import bloscio
+            raw = bloscio.decompress(
+                raw, int(np.prod(cshape)) * self.dtype.itemsize)
         return np.frombuffer(raw, dtype=self.dtype).reshape(cshape).copy()
 
     def _cache_key(self, idx: Tuple[int, ...]):
@@ -307,6 +338,9 @@ class ZarrArray:
         raw = np.ascontiguousarray(data, dtype=self.dtype).tobytes()
         if self.compressor == "zlib":
             raw = zlib.compress(raw, 1)
+        elif self.compressor == "blosc":
+            from ..native import bloscio
+            raw = bloscio.compress(raw, self.dtype.itemsize, **self._blosc)
         self._chunk_path(idx).write_bytes(raw)
         _chunk_cache.invalidate(self._cache_key(idx))
 
@@ -388,8 +422,7 @@ class ZarrArray:
             part = idxs[lo: lo + batch]
             buf = np.empty((len(part),) + self.chunks, dtype=self.dtype)
             paths = [str(self._chunk_path(i)) for i in part]
-            if not chunkio.read_chunks(paths, buf,
-                                       self.compressor == "zlib",
+            if not chunkio.read_chunks(paths, buf, self.compressor,
                                        fill_value=self.fill_value):
                 for i in part:
                     yield i, self._read_chunk(i)

@@ -154,6 +154,10 @@ def AutoregressivePredictions(
     rounding: Optional[int] = None,
     zarr_fpath=None,
     chunks: Optional[Dict] = None,
+    # store codec for the forecast variables ("zlib" default; "blosc:zstd"
+    # matches the reference's prediction stores — xforecasting
+    # AutoregressivePredictions' `compressor` arg, SURVEY.md §2.9)
+    compressor: Optional[str] = "zlib",
     # BatchNorm running stats (prob.bn.bn_update) for eval-mode
     # normalization; required when the model has 'batch' normalization
     # (reference runs model.eval() during predictions)
@@ -244,7 +248,7 @@ def AutoregressivePredictions(
                      attrs={"feature_order": list(data_dynamic.feature_order)})
     for name in data_dynamic.feature_order:
         g.create_array(name, shape=(len(frts), L, V), chunks=(cf, cl, cn),
-                       dtype=np.float32, compressor="zlib")
+                       dtype=np.float32, compressor=compressor)
     a = g.create_array("forecast_reference_time", shape=(len(frts),),
                        chunks=(len(frts),), dtype=np.int64, compressor=None)
     a[...] = np.asarray(frts, dtype="datetime64[ns]").view(np.int64)

@@ -25,7 +25,7 @@ def build_chunkio(verbose: bool = True) -> Path:
     src = here / "chunkio.cpp"
     out = here / "libdsw_chunkio.so"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           str(src), "-o", str(out), "-lz", "-lpthread"]
+           str(src), "-o", str(out), "-lz", "-lpthread", "-ldl"]
     if verbose:
         print(" ".join(cmd))
     subprocess.run(cmd, check=True)

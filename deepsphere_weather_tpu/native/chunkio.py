@@ -52,16 +52,33 @@ def available() -> bool:
     return _load() is not None
 
 
-def read_chunks(paths: List[str], out: np.ndarray, compressed: bool,
+#: codec ids shared with chunkio.cpp
+CODEC_RAW, CODEC_ZLIB, CODEC_BLOSC = 0, 1, 2
+_CODECS = {None: CODEC_RAW, "raw": CODEC_RAW, False: CODEC_RAW,
+           "zlib": CODEC_ZLIB, True: CODEC_ZLIB, "blosc": CODEC_BLOSC}
+
+
+def read_chunks(paths: List[str], out: np.ndarray, compressed,
                 fill_value=0,
                 n_threads: Optional[int] = None) -> bool:
     """Fill out[i] (shape [n, *chunk_shape], C-contiguous) from chunk
     files; rows whose file is absent are set to `fill_value` (the reader
-    reports absence itself — no check/read race). Returns False if the
-    native library is unavailable (caller must use the Python path)."""
+    reports absence itself — no check/read race). `compressed` is a codec
+    name (None/"zlib"/"blosc"; bools kept for the legacy zlib flag).
+    Returns False if the native library is unavailable (caller must use
+    the Python path)."""
     lib = _load()
     if lib is None:
         return False
+    codec = _CODECS[compressed]
+    if codec == CODEC_BLOSC:
+        # same system library the C++ side dlopens; if ctypes can't find
+        # it, neither will the native reader — use the Python path (which
+        # raises a clear error)
+        from . import bloscio
+
+        if not bloscio.available():
+            return False
     n = len(paths)
     if n == 0:
         return True
@@ -80,7 +97,7 @@ def read_chunks(paths: List[str], out: np.ndarray, compressed: bool,
             n_cpu = os.cpu_count() or 1
         n_threads = max(1, min(n_cpu, n, 16))
     rc = lib.dsw_read_chunks(
-        arr, n, chunk_bytes, 1 if compressed else 0,
+        arr, n, chunk_bytes, codec,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         int(n_threads))

@@ -53,6 +53,60 @@ class TestZarrStore:
         assert meta["zarr_format"] == 2
         assert meta["compressor"] == {"id": "zlib", "level": 1}
 
+    def test_blosc_roundtrip_all_paths(self, tmp_path):
+        """blosc (reference store codec, scripts/03c:320-331): write/read
+        through the Python path, the native bulk reader, and the cache."""
+        from deepsphere_weather_tpu.data.zarrstore import set_chunk_cache_bytes
+        from deepsphere_weather_tpu.native import bloscio
+
+        if not bloscio.available():
+            pytest.skip("libblosc not available on this system")
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((60, 24)).astype(np.float32)
+        for comp in ("blosc", "blosc:lz4", "blosc:zstd"):
+            p = tmp_path / comp.replace(":", "_")
+            arr = ZarrArray.create(p, shape=x.shape, chunks=(8, 24),
+                                   dtype=np.float32, compressor=comp)
+            arr[...] = x
+            set_chunk_cache_bytes(0)       # force disk reads (native bulk)
+            try:
+                np.testing.assert_array_equal(ZarrArray(p)[...], x)
+                np.testing.assert_array_equal(
+                    ZarrArray(p)[5:37, 3:20], x[5:37, 3:20])
+            finally:
+                set_chunk_cache_bytes(512 * 1024 * 1024)
+            np.testing.assert_array_equal(ZarrArray(p)[...], x)
+
+    def test_blosc_reads_reference_style_chunks(self, tmp_path):
+        """A chunk compressed exactly as numcodecs.Blosc would (same C
+        library, bitshuffle + lz4, one blosc frame per chunk) must read
+        back — migration path for stores the reference already wrote."""
+        import json
+
+        from deepsphere_weather_tpu.native import bloscio
+
+        if not bloscio.available():
+            pytest.skip("libblosc not available on this system")
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((40, 16)).astype(np.float32)
+        p = tmp_path / "ref"
+        p.mkdir()
+        meta = {"zarr_format": 2, "shape": [40, 16], "chunks": [40, 16],
+                "dtype": "<f4",
+                "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5,
+                               "shuffle": 2, "blocksize": 0},
+                "fill_value": 0, "order": "C", "filters": None}
+        (p / ".zarray").write_text(json.dumps(meta))
+        (p / "0.0").write_bytes(
+            bloscio.compress(x.tobytes(), 4, cname="lz4", clevel=5,
+                             shuffle=2))
+        np.testing.assert_array_equal(ZarrArray(p)[...], x)
+
+    def test_unknown_compressor_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="unsupported compressor"):
+            ZarrArray.create(tmp_path / "a", shape=(4,), chunks=(4,),
+                             dtype=np.float32, compressor="gzip")
+
     def test_chunk_cache_hits_and_write_invalidation(self, tmp_path):
         from deepsphere_weather_tpu.data.zarrstore import (
             chunk_cache_stats, set_chunk_cache_bytes)
