@@ -27,6 +27,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.custom_partitioning import custom_partitioning
@@ -111,6 +112,89 @@ def bcsr_from_scipy(mat, block_size: int = _BS, dtype=np.float32):
     return _cast_f32_to(vals, dtype), cols, n_pad
 
 
+def _slot_schedule(ucols_list, max_u):
+    """Two-parity-buffer VMEM slot schedule for the super-row kernel.
+
+    The kernel keeps TWO union x buffers that alternate by super-row
+    parity; the union of super-row s lives in buffer s%2 at HOST-ASSIGNED
+    slots. For s>=2, blocks already resident in buffer s%2 from step s-2
+    STAY at their slot (zero traffic); blocks present in buffer (s-1)%2
+    are COPIED (VMEM->VMEM, ~order-of-magnitude cheaper than HBM); the
+    rest are NEW (HBM DMA). Nested-HEALPix ordering makes adjacent
+    super-row unions overlap heavily, so this cuts the x-block HBM
+    multiplicity from ~5.9x to ~2.6x at HEALPix-64/128 with ~3 VMEM
+    copies per super-row — fully host-precomputed, so the kernel stays
+    free of dynamic slot-allocation control flow.
+
+    Returns (slot_maps, plans): slot_maps[s] maps block-col -> slot;
+    plans[s] = (stay [(col, slot)], copy [(src_slot, dst_slot)],
+    new [(col, slot)]).
+    """
+    slot_maps, plans = [], []
+    for s, cols in enumerate(ucols_list):
+        assert len(cols) <= max_u
+        stay, cp, new = [], [], []
+        pinned = {}
+        if s >= 2:
+            prev2 = slot_maps[s - 2]
+            for c in cols:
+                if c in prev2:
+                    pinned[c] = prev2[c]
+                    stay.append((int(c), prev2[c]))
+        taken = set(pinned.values())
+        free = [sl for sl in range(max_u) if sl not in taken]
+        fi = 0
+        prev1 = slot_maps[s - 1] if s >= 1 else {}
+        m = dict(pinned)
+        for c in cols:
+            if c in pinned:
+                continue
+            sl = free[fi]
+            fi += 1
+            m[c] = sl
+            if c in prev1:
+                cp.append((prev1[c], sl))
+            else:
+                new.append((int(c), sl))
+        slot_maps.append(m)
+        plans.append((stay, cp, new))
+    # rows 0 and 1 must FULLY initialize their parity buffers: unassigned
+    # slots would otherwise hold uninitialized VMEM, and although the deep
+    # matmul multiplies them by zero A blocks, garbage NaNs would poison
+    # the accumulator (0 * NaN = NaN). Cover them with duplicate-source
+    # DMAs (same trick as the union kernel's padding slots). Each m-pass
+    # re-enters at s=0, so this also refreshes both buffers per pass.
+    for s in range(min(2, len(plans))):
+        stay, cp, new = plans[s]
+        covered = ({sl for _c, sl in new} | {dst for _src, dst in cp}
+                   | {sl for _c, sl in stay})
+        dup = int(ucols_list[s][0])
+        new.extend((dup, sl) for sl in range(max_u) if sl not in covered)
+    return slot_maps, plans
+
+
+def _pack_schedule(plans, max_u):
+    """Pack (copy, new) plans into the kernel's scalar-prefetch table.
+
+    Row s: word0 = n_new + 1024*n_cp; then n_new packed NEW entries
+    (col*max_u + dst_slot) immediately followed by n_cp packed COPY
+    entries (src_slot*max_u + dst_slot) — copies start at the DYNAMIC
+    offset 1+n_new, keeping the table at width 1 + max(n_new+n_cp)
+    (SMEM is the scarce resource: prefetching wide per-row metadata
+    overflowed it at HEALPix-128).
+    """
+    mx_tot = max(len(cp) + len(new) for _, cp, new in plans)
+    sched = np.zeros((len(plans), 1 + mx_tot), dtype=np.int32)
+    for s, (_stay, cp, new) in enumerate(plans):
+        assert len(new) < 1024 and len(cp) < 1024
+        sched[s, 0] = len(new) + 1024 * len(cp)
+        for j, (c, sl) in enumerate(new):
+            sched[s, 1 + j] = c * max_u + sl
+        for j, (src, dst) in enumerate(cp):
+            sched[s, 1 + len(new) + j] = src * max_u + dst
+    return sched
+
+
 def bcsr_super_from_scipy(mat, block_size: int = _BS, rows_per_super: int = 4,
                           dtype=np.float32, _bcsr=None):
     """Convert scipy sparse [N, N] to SUPER-ROW BCSR.
@@ -122,26 +206,34 @@ def bcsr_super_from_scipy(mat, block_size: int = _BS, rows_per_super: int = 4,
     of their neighborhood, so the union is ~½ (R=4) to ~⅓ (R=8) of the
     per-row total — and the x traffic is the dominant HBM cost of the SpMM.
 
+    Union members are placed at SCHEDULED slots (`_slot_schedule`): the
+    slot assignment maximizes cross-super-row residency in the kernel's
+    ping-pong buffers, so consecutive super-rows re-DMA only the blocks
+    that actually change. The plain union kernel (used by the row-sharded
+    SPMD lowering, where schedule continuity would break at shard
+    boundaries) is slot-order-agnostic and reads the same layout.
+
     The layout is built for an ALL-STATIC-INDEX kernel (this Pallas/Mosaic
     version silently miscompiles dynamically-indexed VMEM reads feeding the
     MXU, and >4-D BlockSpec blocks), and for ONE DEEP MATMUL per row: row
     r's blocks are horizontally concatenated over the union slots —
-    svals[s, r, :, u*bs:(u+1)*bs] is row r's block for union column u
-    (zero where row r does not touch that column) — so
+    svals[s, r, :, u*bs:(u+1)*bs] is row r's block for union slot u
+    (zero where row r does not touch that slot's column) — so
     y_r = svals[s, r] @ vstack(x_union) runs as a single [bs, max_u*bs] @
     [max_u*bs, mt] MXU contraction (a per-slot loop of shallow
     [bs,bs]@[bs,mt] matmuls measured ~2x slower: pipeline-fill bound).
 
     Returns (svals [n_s, R, bs, max_u*bs], use [n_s, R*max_u] int32,
     wait_row [n_s, max_u] int32, ucols [n_s, max_u] int32,
-    ucount [n_s] int32, n_pad).
+    ucount [n_s] int32, sched [n_s, W] int32, n_pad).
     - use: 1 where row r has a nonzero block for union slot u (metadata —
       the deep matmul multiplies zero blocks; tests use it).
     - wait_row: first row (within the super-row) using each union slot;
       R for never-used padding slots (metadata for tests).
     - ucount: number of REAL union slots per super-row; padding slots
-      repeat the last real block-column (their DMA is started and waited
+      repeat a real block-column (their DMA is started and waited
       like any other — duplicate sources are harmless).
+    - sched: packed stay/copy/new schedule (`_pack_schedule`).
     """
     # _bcsr: precomputed (vals, cols, n_pad) from bcsr_from_scipy, so
     # from_scipy does not pay the conversion twice
@@ -169,14 +261,21 @@ def bcsr_super_from_scipy(mat, block_size: int = _BS, rows_per_super: int = 4,
                   np.zeros(1, dtype=cols.dtype)
                   for s in range(n_s)]
     max_u = max(u.size for u in ucols_list)
+    slot_maps, plans = _slot_schedule(ucols_list, max_u)
+    sched = _pack_schedule(plans, max_u)
     svals = np.zeros((n_s, R, bs, max_u * bs), dtype=vals.dtype)
     use = np.zeros((n_s, R * max_u), dtype=np.int32)
     ucols = np.zeros((n_s, max_u), dtype=np.int32)
     ucount = np.zeros((n_s,), dtype=np.int32)
     wait_row = np.full((n_s, max_u), R, dtype=np.int32)
+    # perm[s, rank] = scheduled slot of the rank-th (sorted) union member
+    perm = np.zeros((n_s, max_u), dtype=np.int64)
     for s, u in enumerate(ucols_list):
-        ucols[s, : u.size] = u
-        ucols[s, u.size:] = u[-1]     # padding: duplicate source, own slot
+        sm = slot_maps[s]
+        slots = np.array([sm[c] for c in u], dtype=np.int64)
+        perm[s, : u.size] = slots
+        ucols[s] = u[-1]              # padding slots: any real source col
+        ucols[s, slots] = u
         ucount[s] = u.size
 
     # vectorized slot lookup + block fill (a per-block Python loop with
@@ -192,7 +291,8 @@ def bcsr_super_from_scipy(mat, block_size: int = _BS, rows_per_super: int = 4,
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     keys = (np.concatenate(ucols_list).astype(np.int64)
             + np.repeat(np.arange(n_s, dtype=np.int64), lens) * n_cb)
-    slot = np.searchsorted(keys, s_idx * n_cb + c_idx) - starts[s_idx]
+    rank = np.searchsorted(keys, s_idx * n_cb + c_idx) - starts[s_idx]
+    slot = perm[s_idx, rank]          # union rank -> scheduled slot
 
     # fill through a same-width integer view: ml_dtypes bf16 assignment is
     # elementwise-slow, raw uint16 moves are memcpys
@@ -201,7 +301,7 @@ def bcsr_super_from_scipy(mat, block_size: int = _BS, rows_per_super: int = 4,
     sv[s_idx, r_idx, :, slot, :] = vals.view(itype)[g_idx, b_idx]
     use[s_idx, r_idx * max_u + slot] = 1
     np.minimum.at(wait_row, (s_idx, slot), r_idx.astype(np.int32))
-    return svals, use, wait_row, ucols, ucount, n_pad
+    return svals, use, wait_row, ucols, ucount, sched, n_pad
 
 
 def _spmm_kernel(cols_ref, a_ref, x_ref, o_ref):
@@ -370,6 +470,128 @@ def _spmm_kernel_super(ucols_ref, a_ref, x_hbm, o_ref,
         body(xbuf1, sem1, xbuf0, sem0)
 
 
+def _spmm_kernel_super_sched(sched_ref, a_ref, x_hbm, o_ref,
+                             xbuf0, sem0, xbuf1, sem1,
+                             *, rows_per_super, precision, out_dtype):
+    """Slot-scheduled super-row SpMM (see `_slot_schedule`).
+
+    Differences from `_spmm_kernel_super`:
+    - the grid is (n_mt, n_s) with SUPER-ROWS FASTEST, so consecutive grid
+      steps walk adjacent super-rows of the same m-pass and the ping-pong
+      buffers carry residency across steps (m-fast order would invalidate
+      the cache every step: different m tiles read different x columns);
+    - per super-row the kernel executes only the host-packed schedule:
+      n_new HBM DMAs plus n_cp VMEM->VMEM copies from the other parity
+      buffer, via dynamic-trip-count `fori_loop`s steered by the
+      scalar-prefetched table (both verified to compile and run correctly
+      on this Mosaic: shared DMA semaphore, scalar-steered HBM sources,
+      scalar-steered VMEM source AND destination offsets);
+    - STAY blocks (resident from step s-2) cost nothing and appear in no
+      loop: the scheduler pinned them to their old slots;
+    - schedule rows 0 and 1 are cold (all NEW / no stays), which also
+      makes every m-pass boundary correct: s wraps to 0 with the new m.
+
+    Ordering invariant: each body WAITS its own transfers BEFORE starting
+    the next step's — the next step's copies read this buffer, which is
+    only final after this body's waits (the plain kernel starts first;
+    here that would race).
+    """
+    m = pl.program_id(0)
+    s = pl.program_id(1)
+    n_mt = pl.num_programs(0)
+    n_s = pl.num_programs(1)
+    R = rows_per_super
+    bs = a_ref.shape[2]
+    mt = o_ref.shape[1]
+    max_u = a_ref.shape[3] // bs
+    lin = m * n_s + s
+    s_nxt = (lin + 1) % n_s
+    m_nxt = (lin + 1) // n_s
+
+    def start_sched(cur_buf, oth_buf, oth_sem, s_, m_):
+        # new blocks: HBM -> scheduled slot of the destination buffer
+        w0 = sched_ref[s_, 0]
+        n_new = w0 % 1024
+        n_cp = w0 // 1024
+
+        def new_body(j, carry):
+            v = sched_ref[s_, 1 + j]
+            c = v // max_u
+            sl = v % max_u
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(c * bs, bs), pl.ds(m_ * mt, mt)],
+                oth_buf.at[pl.ds(sl * bs, bs)],
+                oth_sem.at[0]).start()
+            return carry
+
+        lax.fori_loop(0, n_new, new_body, 0)
+
+        # overlap blocks: VMEM -> VMEM from the other parity buffer
+        def cp_body(j, carry):
+            v = sched_ref[s_, 1 + n_new + j]
+            src = v // max_u
+            dst = v % max_u
+            pltpu.make_async_copy(
+                cur_buf.at[pl.ds(src * bs, bs)],
+                oth_buf.at[pl.ds(dst * bs, bs)],
+                oth_sem.at[0]).start()
+            return carry
+
+        lax.fori_loop(0, n_cp, cp_body, 0)
+
+    def wait_sched(cur_buf, cur_sem):
+        # all transfers are [bs, mt] in x's dtype, so one same-shaped
+        # descriptor serves every wait on the shared byte-counting sem
+        w0 = sched_ref[s, 0]
+        total = w0 % 1024 + w0 // 1024
+
+        def wait_body(j, carry):
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, bs), pl.ds(0, mt)],
+                cur_buf.at[pl.ds(0, bs)],
+                cur_sem.at[0]).wait()
+            return carry
+
+        lax.fori_loop(0, total, wait_body, 0)
+
+    if a_ref.dtype == xbuf0.dtype:
+        cast = None
+    elif precision == jax.lax.Precision.HIGHEST:
+        cast = jnp.float32
+    else:
+        cast = jnp.bfloat16
+
+    def body(cur_buf, cur_sem, oth_buf, oth_sem):
+        @pl.when(lin == 0)
+        def _():
+            start_sched(oth_buf, cur_buf, cur_sem, s, m)
+
+        wait_sched(cur_buf, cur_sem)
+
+        @pl.when(lin + 1 < n_mt * n_s)
+        def _():
+            start_sched(cur_buf, oth_buf, oth_sem, s_nxt, m_nxt)
+
+        x_all = cur_buf[:]              # [max_u*bs, mt]
+        if cast is not None:
+            x_all = x_all.astype(cast)
+        for r in range(R):              # one deep matmul per row
+            a_row = a_ref[0, r]         # [bs, max_u*bs]
+            if cast is not None:
+                a_row = a_row.astype(cast)
+            o_ref[pl.ds(r * bs, bs), :] = jnp.dot(
+                a_row, x_all, preferred_element_type=jnp.float32,
+                precision=precision).astype(out_dtype)
+
+    @pl.when(lin % 2 == 0)
+    def _():
+        body(xbuf0, sem0, xbuf1, sem1)
+
+    @pl.when(lin % 2 == 1)
+    def _():
+        body(xbuf1, sem1, xbuf0, sem0)
+
+
 def _super_m_tile(max_u: int, R: int, bs: int, m_pad: int,
                   x_dtype, a_dtype, cap: int,
                   budget: int = 15 << 20) -> int:
@@ -414,13 +636,23 @@ def _super_m_tile(max_u: int, R: int, bs: int, m_pad: int,
     return 128
 
 
-def _bcsr_super_matmul(svals, use, wait_row, ucols, ucount, x, m_tile,
-                       precision=jax.lax.Precision.HIGHEST):
+def _bcsr_super_matmul(svals, steer, x, m_tile,
+                       precision=jax.lax.Precision.HIGHEST,
+                       scheduled=False):
     """y = A @ x with A in super-row BCSR; x: [n_pad, M] (M % m_tile == 0).
-    Output has n_s * R * bs rows (>= n_pad; caller truncates)."""
+    Output has n_s * R * bs rows (>= n_pad; caller truncates).
+
+    `steer` is the scalar-prefetched DMA-control table: the packed
+    stay/copy/new schedule when `scheduled` (slot-resident kernel — full
+    rows only: schedule continuity assumes super-row s-1/s-2 ran on this
+    device), else the per-slot block-column table `ucols` (slot-order-
+    agnostic union kernel — safe under row sharding). Only the chosen
+    table is prefetched: SMEM is the scarce resource (prefetching the
+    build-time metadata arrays alongside overflowed it at HEALPix-128:
+    n_s=768).
+    """
     n_s, R, bs, ubs = svals.shape
-    max_u = ucols.shape[1]
-    assert ubs == max_u * bs
+    max_u = ubs // bs
     n_pad, M = x.shape
     n_mt = M // m_tile
     out_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
@@ -431,35 +663,51 @@ def _bcsr_super_matmul(svals, use, wait_row, ucols, ucount, x, m_tile,
                         + n_pad * M * jnp.dtype(out_dtype).itemsize),
         transcendentals=0,
     )
-    # ONLY ucols is prefetched: SMEM is ~1 MB and the other super-format
-    # arrays (use/wait_row/ucount) are build-time metadata the
-    # unconditional kernel never reads (prefetching them overflowed SMEM
-    # at HEALPix-128: n_s=768)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_s, n_mt),
-        in_specs=[
-            pl.BlockSpec((1, R, bs, ubs),
-                         lambda s, m, *_: (s, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
-        ],
-        out_specs=pl.BlockSpec((R * bs, m_tile), lambda s, m, *_: (s, m)),
-        scratch_shapes=[
-            pltpu.VMEM((max_u * bs, m_tile), x.dtype),  # union ping
-            pltpu.SemaphoreType.DMA((max_u,)),
-            pltpu.VMEM((max_u * bs, m_tile), x.dtype),  # union pong
-            pltpu.SemaphoreType.DMA((max_u,)),
-        ],
-    )
+    scratch_shapes = [
+        pltpu.VMEM((max_u * bs, m_tile), x.dtype),  # union ping
+        pltpu.SemaphoreType.DMA((1 if scheduled else max_u,)),
+        pltpu.VMEM((max_u * bs, m_tile), x.dtype),  # union pong
+        pltpu.SemaphoreType.DMA((1 if scheduled else max_u,)),
+    ]
+    if scheduled:
+        # super-rows are the FAST grid axis (residency across steps)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_mt, n_s),
+            in_specs=[
+                pl.BlockSpec((1, R, bs, ubs),
+                             lambda m, s, *_: (s, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            ],
+            out_specs=pl.BlockSpec((R * bs, m_tile),
+                                   lambda m, s, *_: (s, m)),
+            scratch_shapes=scratch_shapes,
+        )
+        kernel_fn = functools.partial(
+            _spmm_kernel_super_sched, rows_per_super=R,
+            precision=precision, out_dtype=out_dtype)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_s, n_mt),
+            in_specs=[
+                pl.BlockSpec((1, R, bs, ubs),
+                             lambda s, m, *_: (s, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            ],
+            out_specs=pl.BlockSpec((R * bs, m_tile), lambda s, m, *_: (s, m)),
+            scratch_shapes=scratch_shapes,
+        )
+        kernel_fn = functools.partial(
+            _spmm_kernel_super, rows_per_super=R,
+            precision=precision, out_dtype=out_dtype, n_mt=n_mt)
     kernel = pl.pallas_call(
-        functools.partial(_spmm_kernel_super, rows_per_super=R,
-                          precision=precision, out_dtype=out_dtype,
-                          n_mt=n_mt),
+        kernel_fn,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_s * R * bs, M), out_dtype),
         cost_estimate=cost,
     )
-    return kernel(ucols, svals, x)
+    return kernel(steer, svals, x)
 
 
 def _ring_depth(max_nb: int, bs: int, m_tile: int, dtype) -> int:
@@ -601,18 +849,39 @@ def _partitioned_spmm(kind: str, w: int, m_cap: int, interpret: bool,
     axis into the columns via `custom_vmap` — the matvec is linear per
     column, so this is exact, and wide M is the kernel's best regime.
 
+    For `kind == "super"`, a1 is the COMBINED steering table
+    [ucols | sched] (both row-indexed, so row sharding slices them
+    together). The default lowering (full rows on every device) slices
+    out the packed schedule and runs the slot-resident kernel; a
+    row-sharded lowering slices out ucols and runs the slot-order-
+    agnostic union kernel, because schedule continuity (stay/copy from
+    super-rows s-1/s-2) breaks at shard boundaries.
+
     Cached per static config: the returned callable is reused across
     traces so jit caches stay warm.
     """
     if kind == "super":
+        def steer_split(a0, a1):
+            max_u = a0.shape[3] // a0.shape[2]
+            return a1[:, :max_u], a1[:, max_u:]
+
         def local_fn(a0, a1, x):
             mt = _pick_tile(x.shape[1], m_cap)
-            return _bcsr_super_matmul(a0, None, None, a1, None, x, mt,
-                                      precision)
+            _ucols, sched = steer_split(a0, a1)
+            return _bcsr_super_matmul(a0, sched, x, mt, precision,
+                                      scheduled=True)
+
+        def rowsharded_fn(a0, a1, x):
+            mt = _pick_tile(x.shape[1], m_cap)
+            ucols, _sched = steer_split(a0, a1)
+            return _bcsr_super_matmul(a0, ucols, x, mt, precision,
+                                      scheduled=False)
     else:
         def local_fn(a0, a1, x):
             mt = _pick_tile(x.shape[1], m_cap)
             return _bcsr_matmul(a0, a1, x, mt, interpret, precision)
+
+        rowsharded_fn = local_fn
 
     f = custom_partitioning(local_fn)
 
@@ -651,7 +920,11 @@ def _partitioned_spmm(kind: str, w: int, m_cap: int, interpret: bool,
         out_sharding = NamedSharding(mesh, PartitionSpec(row, col))
 
         def lower_fn(a0, a1, x):
-            return local_fn(a0, a1, x)
+            # row-sharded shards hold contiguous super-row slices without
+            # their schedule predecessors -> union kernel; full-row shards
+            # (row is None) keep the slot-resident schedule
+            return (rowsharded_fn if row is not None else local_fn)(
+                a0, a1, x)
 
         return mesh, lower_fn, out_sharding, arg_shardings
 
@@ -732,7 +1005,7 @@ class BlockSparseOperator:
             sup = bcsr_super_from_scipy(mat, block_size=block_size,
                                         rows_per_super=rows_per_super,
                                         dtype=dtype,
-                                        _bcsr=(vals, cols, n_pad))[:5]
+                                        _bcsr=(vals, cols, n_pad))[:6]
         if symmetric:
             vals_t = cols_t = None
         else:
@@ -743,7 +1016,7 @@ class BlockSparseOperator:
                 sup_t = bcsr_super_from_scipy(
                     matT, block_size=block_size,
                     rows_per_super=rows_per_super, dtype=dtype,
-                    _bcsr=(vals_t, cols_t, n_pad))[:5]
+                    _bcsr=(vals_t, cols_t, n_pad))[:6]
         if sup is not None and not interpret:
             # the compiled path only ever reads the super format; keeping
             # the plain padded BCSR would pin ~1 GB of dead HBM per
@@ -768,7 +1041,7 @@ class BlockSparseOperator:
                  if t <= cap and m_pad % t == 0)
         use_super = self.sup is not None and not self.interpret
         if use_super:
-            svals, _use, _wait_row, ucols, _ucount = self.sup
+            svals, _use, _wait_row, ucols, _ucount, _sched = self.sup
             max_u = ucols.shape[1]
             # the backward pass runs the SAME m_tile against the transposed
             # super format, whose union can be wider for non-symmetric
@@ -837,11 +1110,15 @@ def _run_mv(static, vals, cols, sup, x_pad, n_out):
     Output padded/truncated to n_out rows."""
     m_tile, interpret, precision, _xdt, use_super = static
     if use_super and sup is not None:
-        svals, _use, _wait_row, ucols, _ucount = sup
+        svals, _use, _wait_row, ucols, _ucount, sched = sup
         rows = svals.shape[0] * svals.shape[1] * svals.shape[2]
         mm = _partitioned_spmm("super", svals.shape[1] * svals.shape[2],
                                m_tile, False, precision)
-        return _fit_rows(mm(svals, ucols, _fit_rows(x_pad, rows)), n_out)
+        # combined steering table [ucols | sched]: the wrapper picks the
+        # half its lowering needs (scheduled kernel on full rows, union
+        # kernel under row sharding)
+        table = jnp.concatenate([ucols, sched], axis=1)
+        return _fit_rows(mm(svals, table, _fit_rows(x_pad, rows)), n_out)
     rows = vals.shape[0] * vals.shape[2]
     mm = _partitioned_spmm("v2", vals.shape[2], m_tile, interpret, precision)
     return _fit_rows(mm(vals, cols, _fit_rows(x_pad, rows)), n_out)

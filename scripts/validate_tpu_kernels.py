@@ -86,6 +86,29 @@ def main() -> int:
                                                 interpret=interpret)
             check(f"super R={R} {name}", mv(op, x), tol)
 
+    # 2a2. the slot-order-agnostic UNION kernel (what the row-sharded SPMD
+    # lowering runs; matvec's default full-row path picks the slot-
+    # scheduled kernel, so this variant needs its own compiled check)
+    if not interpret:
+        from deepsphere_weather_tpu.ops.pallas_spmm import (
+            _bcsr_super_matmul, _super_m_tile)
+        op = BlockSparseOperator.from_scipy(g.L, symmetric=True,
+                                            dtype=jnp.bfloat16,
+                                            rows_per_super=2)
+        svals, _use, _wr, ucols, _uc, sched = op.sup
+        mtile = _super_m_tile(ucols.shape[1], 2, 128, 1024,
+                              jnp.bfloat16, svals.dtype, 1024)
+        xb16 = jnp.asarray(x_np, dtype=jnp.bfloat16)
+        xp = jnp.pad(xb16, ((0, op.n_pad - n), (0, 0)))
+        y_u = jax.jit(lambda a, t, v: _bcsr_super_matmul(
+            a, t, v, mtile, jax.lax.Precision.DEFAULT,
+            scheduled=False))(svals, ucols, xp)
+        check("union-kernel (row-sharded path) bf16", y_u[:n], 2e-2)
+        y_s = jax.jit(lambda a, t, v: _bcsr_super_matmul(
+            a, t, v, mtile, jax.lax.Precision.DEFAULT,
+            scheduled=True))(svals, sched, xp)
+        check("scheduled-kernel (explicit) bf16", y_s[:n], 2e-2)
+
     # 2b. mixed dtypes: bf16-stored A with fp32 activations exercises the
     # kernel's A-row casts and the branch-doubled VMEM copy model
     # (regression: this combination OOMed scoped VMEM at compile time)

@@ -202,15 +202,15 @@ class TestBlockSparse:
         )
 
         for R in (2, 3, 4):
-            svals, use, wait_row, ucols, ucount, n_pad = \
+            svals, use, wait_row, ucols, ucount, sched, n_pad = \
                 bcsr_super_from_scipy(graph.L, rows_per_super=R)
             n_s, R_, bs, ubs = svals.shape
             max_u = ucols.shape[1]
             assert R_ == R and ubs == max_u * bs
             dense = np.zeros((n_s * R * bs, n_pad), dtype=np.float32)
             for s in range(n_s):
-                for r in range(R):
-                    for u in range(max_u):
+                for u in range(max_u):
+                    for r in range(R):
                         blk = svals[s, r, :, u * bs:(u + 1) * bs]
                         if not use[s, r * max_u + u]:
                             # unused slots must hold zero blocks (the deep
@@ -220,19 +220,61 @@ class TestBlockSparse:
                         # every used slot is a real union member whose
                         # first-use row is <= r
                         assert wait_row[s, u] <= r
-                        assert u < ucount[s]
                         c = ucols[s, u]
                         row0 = (s * R + r) * bs
                         dense[row0:row0 + bs, c * bs:(c + 1) * bs] += blk
             n = graph.n_nodes
             np.testing.assert_allclose(dense[:n, :n], graph.L.toarray(),
                                        atol=1e-6)
-            # real union slots have a first user; padding slots do not
+            # exactly ucount[s] slots are used per super-row (the slot
+            # POSITIONS are schedule-assigned, not contiguous)
             for s in range(n_s):
-                real_slots = set(range(int(ucount[s])))
                 used_slots = {u for u in range(max_u)
                               if wait_row[s, u] < R}
-                assert used_slots == real_slots
+                assert len(used_slots) == int(ucount[s])
+                # used slots hold distinct real columns
+                assert len({int(ucols[s, u]) for u in used_slots}) \
+                    == int(ucount[s])
+
+    def test_super_schedule_consistency(self, graph):
+        # replaying the packed stay/copy/new schedule through the kernel's
+        # ping-pong buffer semantics must reproduce, at every super-row,
+        # exactly the slot->column residency the svals layout assumes
+        from deepsphere_weather_tpu.ops.pallas_spmm import (
+            bcsr_super_from_scipy,
+        )
+
+        for R in (2, 4):
+            svals, use, wait_row, ucols, ucount, sched, n_pad = \
+                bcsr_super_from_scipy(graph.L, rows_per_super=R)
+            n_s = svals.shape[0]
+            max_u = ucols.shape[1]
+            bufs = [dict(), dict()]     # slot -> col, per parity
+            for s in range(n_s):
+                cur, oth = bufs[s % 2], bufs[1 - s % 2]
+                w0 = int(sched[s, 0])
+                n_new, n_cp = w0 % 1024, w0 // 1024
+                for j in range(n_new):
+                    v = int(sched[s, 1 + j])
+                    cur[v % max_u] = v // max_u
+                for j in range(n_cp):
+                    v = int(sched[s, 1 + n_new + j])
+                    src, dst = v // max_u, v % max_u
+                    # copy source must be resident in the other buffer
+                    assert src in oth
+                    cur[dst] = oth[src]
+                # rows 0 and 1 are cold (m-pass-boundary correctness) and
+                # must FULLY initialize their parity buffer — unwritten
+                # slots would be uninitialized VMEM whose NaNs poison the
+                # zero-A-block multiplies
+                if s == 0:
+                    assert n_cp == 0
+                if s <= 1:
+                    assert set(cur.keys()) == set(range(max_u))
+                # after the transfers, every USED slot holds its column
+                for u in range(max_u):
+                    if wait_row[s, u] < R:
+                        assert cur.get(u) == int(ucols[s, u]), (s, u)
 
     def test_bcsr_builds_bf16(self, graph):
         # the builders take a vectorized bit-level path for bf16 (integer
