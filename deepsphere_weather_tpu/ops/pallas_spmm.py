@@ -38,6 +38,11 @@ __all__ = ["BlockSparseOperator", "bcsr_from_scipy",
            "bcsr_super_from_scipy"]
 
 _BS = 128  # MXU-native block size
+# word0 packing radix of the slot schedule: word0 = n_new + RADIX*n_cp.
+# Shared by _pack_schedule (encode), _spmm_kernel_super_sched (decode) and
+# tests/test_ops.py's schedule replay. Bounds the per-super-row transfer
+# counts, hence max_u (union slots) must stay < _SCHED_RADIX.
+_SCHED_RADIX = 1024
 
 
 def _cast_f32_to(vals: np.ndarray, dtype) -> np.ndarray:
@@ -176,7 +181,7 @@ def _slot_schedule(ucols_list, max_u):
 def _pack_schedule(plans, max_u):
     """Pack (copy, new) plans into the kernel's scalar-prefetch table.
 
-    Row s: word0 = n_new + 1024*n_cp; then n_new packed NEW entries
+    Row s: word0 = n_new + _SCHED_RADIX*n_cp; then n_new packed NEW entries
     (col*max_u + dst_slot) immediately followed by n_cp packed COPY
     entries (src_slot*max_u + dst_slot) — copies start at the DYNAMIC
     offset 1+n_new, keeping the table at width 1 + max(n_new+n_cp)
@@ -186,8 +191,14 @@ def _pack_schedule(plans, max_u):
     mx_tot = max(len(cp) + len(new) for _, cp, new in plans)
     sched = np.zeros((len(plans), 1 + mx_tot), dtype=np.int32)
     for s, (_stay, cp, new) in enumerate(plans):
-        assert len(new) < 1024 and len(cp) < 1024
-        sched[s, 0] = len(new) + 1024 * len(cp)
+        if len(new) >= _SCHED_RADIX or len(cp) >= _SCHED_RADIX:
+            raise ValueError(
+                f"super-row {s} needs {len(new)} new + {len(cp)} copy "
+                f"transfers, but the packed schedule encodes counts < "
+                f"{_SCHED_RADIX} (word0 = n_new + {_SCHED_RADIX}*n_cp). "
+                f"Graphs with union width max_u >= {_SCHED_RADIX} are "
+                "unsupported — reduce rows_per_super or the graph degree.")
+        sched[s, 0] = len(new) + _SCHED_RADIX * len(cp)
         for j, (c, sl) in enumerate(new):
             sched[s, 1 + j] = c * max_u + sl
         for j, (src, dst) in enumerate(cp):
@@ -511,8 +522,8 @@ def _spmm_kernel_super_sched(sched_ref, a_ref, x_hbm, o_ref,
     def start_sched(cur_buf, oth_buf, oth_sem, s_, m_):
         # new blocks: HBM -> scheduled slot of the destination buffer
         w0 = sched_ref[s_, 0]
-        n_new = w0 % 1024
-        n_cp = w0 // 1024
+        n_new = w0 % _SCHED_RADIX
+        n_cp = w0 // _SCHED_RADIX
 
         def new_body(j, carry):
             v = sched_ref[s_, 1 + j]
@@ -543,7 +554,7 @@ def _spmm_kernel_super_sched(sched_ref, a_ref, x_hbm, o_ref,
         # all transfers are [bs, mt] in x's dtype, so one same-shaped
         # descriptor serves every wait on the shared byte-counting sem
         w0 = sched_ref[s, 0]
-        total = w0 % 1024 + w0 // 1024
+        total = w0 % _SCHED_RADIX + w0 // _SCHED_RADIX
 
         def wait_body(j, carry):
             pltpu.make_async_copy(

@@ -18,9 +18,12 @@ Re-design of the reference's buffer-mutating torch implementation
   replaces the reference's sequential member loop
   (swag_predictions.py:59-91, SURVEY.md §2.14)
 
-BatchNorm re-estimation (reference utils_swag.py bn_update) is not
-needed: the architectures here use stateless normalization (see
-models/layers.py ConvBlock) — documented deviation.
+For models built with `batch_norm: true` (true stateful BatchNorm,
+models/layers.py), every sampled parameter set needs its running
+statistics re-estimated with `prob.bn.bn_update` before eval-mode
+prediction — exactly the reference flow (utils_swag.py:58-165);
+`prob.predictions.swag_predictions` wires this in. Models using the
+default stateless normalization skip it.
 """
 
 from __future__ import annotations

@@ -241,6 +241,7 @@ class TestBlockSparse:
         # ping-pong buffer semantics must reproduce, at every super-row,
         # exactly the slot->column residency the svals layout assumes
         from deepsphere_weather_tpu.ops.pallas_spmm import (
+            _SCHED_RADIX,
             bcsr_super_from_scipy,
         )
 
@@ -253,7 +254,7 @@ class TestBlockSparse:
             for s in range(n_s):
                 cur, oth = bufs[s % 2], bufs[1 - s % 2]
                 w0 = int(sched[s, 0])
-                n_new, n_cp = w0 % 1024, w0 // 1024
+                n_new, n_cp = w0 % _SCHED_RADIX, w0 // _SCHED_RADIX
                 for j in range(n_new):
                     v = int(sched[s, 1 + j])
                     cur[v % max_u] = v // max_u
