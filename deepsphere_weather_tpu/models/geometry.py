@@ -51,7 +51,10 @@ def _cached_graph_laplacian(name: str, kwargs: Dict, k: int, graph_type: str):
     from scipy import sparse
 
     samp = build_sampling(name, kwargs)
-    key = f"lap_{samp.cache_key()}_k{k}_{graph_type}"
+    # v2: deterministic-lmax era (sphere/graph.py::estimate_lmax fixed v0) —
+    # pre-v2 caches hold Laplacians rescaled by a RANDOM ARPACK start
+    # vector and would disagree with any fresh build by ~1e-3
+    key = f"lap_v2_{samp.cache_key()}_k{k}_{graph_type}"
 
     def _build():
         g = build_graph(name, kwargs, k=k, graph_type=graph_type, sampling=samp)

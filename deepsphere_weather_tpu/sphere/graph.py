@@ -103,11 +103,20 @@ def normalized_laplacian(W: sparse.csr_matrix) -> sparse.csr_matrix:
 
 
 def estimate_lmax(laplacian: sparse.spmatrix, tol: float = 5e-3) -> float:
-    """Largest-eigenvalue estimate with safety margin (reference: layers.py:57-69)."""
+    """Largest-eigenvalue estimate with safety margin (reference: layers.py:57-69).
+
+    Documented deviation: the reference lets ARPACK pick a RANDOM starting
+    vector, so within the 5e-3 tolerance every process rescales the
+    Laplacian slightly differently (~1e-3 operator jitter — enough to
+    break cross-process determinism and identical-weights parity checks).
+    A fixed v0 makes the estimate a pure function of the matrix.
+    """
+    n = laplacian.shape[0]
     try:
         lmax = sparse.linalg.eigs(
             laplacian, k=1, tol=tol,
-            ncv=min(laplacian.shape[0], 10),
+            ncv=min(n, 10),
+            v0=np.full(n, 1.0 / np.sqrt(n)),
             return_eigenvectors=False,
         )
         lmax = float(np.real(lmax[0]))
