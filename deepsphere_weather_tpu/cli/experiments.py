@@ -170,7 +170,7 @@ def _train_members_parallel(cfg, data_dir, exp_dir, n_members: int,
                           dict(model_settings["sampling_kwargs"]))
     area_w = AreaWeights(samp)
     from .train_predict import _make_optimizer
-    params, _, info = AutoregressiveTraining(
+    params, _, _, info = AutoregressiveTraining(
         model, params,
         training_data_dynamic=train_dyn,
         validation_data_dynamic=val_dyn,

@@ -111,7 +111,7 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
     mesh = training_mesh(training_settings.get("n_data_parallel", 1),
                          training_settings.get("n_node_parallel", 1))
 
-    params, _, info = AutoregressiveTraining(
+    params, _, _, info = AutoregressiveTraining(
         model, params,
         mesh=mesh,
         training_data_dynamic=split["train"],

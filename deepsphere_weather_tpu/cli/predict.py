@@ -85,7 +85,18 @@ def main(model_dir, data_dir, forecast_reference_times=None,
     model = get_model(model_settings["architecture_name"], tensor_info,
                       **model_kwargs)
     template = model.init(jax.random.key(0))
-    params = Checkpointer(model_dir).load_model(template)
+    ck = Checkpointer(model_dir)
+    params = ck.load_model(template)
+    # BatchNorm models: eval-mode prediction needs the running statistics
+    # checkpointed by training (norm_state.npz)
+    norm_state = None
+    if getattr(model, "has_batch_norm", False):
+        norm_state = ck.load_norm_state(model.init_norm_state())
+        if norm_state is None:
+            raise FileNotFoundError(
+                f"{model_dir}: batch_norm model has no "
+                "model_weights/norm_state.npz — retrain or run "
+                "prob.bn.bn_update to produce running statistics")
 
     if forecast_reference_times is not None:
         forecast_reference_times = np.asarray(
@@ -103,6 +114,7 @@ def main(model_dir, data_dir, forecast_reference_times=None,
 
     forecast = AutoregressivePredictions(
         model, params,
+        norm_state=norm_state,
         data_dynamic=data_dynamic, data_bc=data_bc,
         bc_generator=bc_generator, data_static=data_static,
         scaler=scaler, scaler_bc=scaler_bc,

@@ -165,6 +165,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     #     grown AR-scheduler state (durability beyond the reference,
     #     which restarts from scratch — SURVEY.md §5.3) -------------------
     initial_opt_state = None
+    initial_norm_state = None
     resumed_scheduler = None
     resumed_early_stopping = None
     if resume:
@@ -175,6 +176,8 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
                 f"{exp_path / 'model_weights' / 'model.npz'} — nothing to "
                 "resume (use --force for a fresh run)")
         params = ck.load_model(params)
+        if getattr(model, "has_batch_norm", False):
+            initial_norm_state = ck.load_norm_state(model.init_norm_state())
         sched_state = ck.load_scheduler_state()
         if sched_state is not None:
             from ..engine import ARScheduler, EarlyStopping
@@ -223,7 +226,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     if mesh is not None and verbose:
         print(f"training mesh: {dict(mesh.shape)}")
 
-    params, opt_state, info = AutoregressiveTraining(
+    params, opt_state, norm_state, info = AutoregressiveTraining(
         model, params,
         training_data_dynamic=train_dyn,
         validation_data_dynamic=val_dyn,
@@ -255,6 +258,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         autotune_num_workers=dl_settings.get("autotune_num_workers", False),
         device_cache=dl_settings.get("device_cache", "auto"),
         initial_opt_state=initial_opt_state,
+        initial_norm_state=initial_norm_state,
         shuffle=dl_settings["random_shuffling"],
         shuffle_seed=int(training_settings["seed_random_shuffling"]),
         verbose=verbose,
@@ -263,20 +267,12 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
 
     # --- prediction on the test period (reference: AR=20 -> +120 h,
     #     train_predict_state.py:484) --------------------------------------
-    # BatchNorm models: re-estimate running stats over the training period
-    # before eval-mode predictions (reference model.eval() semantics;
-    # bn_update parity utils_swag.py:58-165)
-    norm_state = None
-    if getattr(model, "has_batch_norm", False):
-        from ..prob import bn_update
-        norm_state = bn_update(
-            model, params, data_dynamic=train_dyn, data_bc=train_bc,
-            data_static=data_static, scaler=scaler, scaler_bc=scaler_bc,
-            input_k=ar_settings["input_k"], output_k=ar_settings["output_k"],
-            forecast_cycle=ar_settings["forecast_cycle"],
-            ar_iterations=ar_settings["ar_iterations"],
-            batch_size=training_settings["training_batch_size"],
-            max_batches=100, verbose=verbose)
+    # BatchNorm models predict in eval mode with the running statistics
+    # accumulated DURING training (torch momentum-0.1 semantics, updated
+    # inside the jitted step — engine/step.py). The post-hoc bn_update
+    # pass (reference utils_swag.py:58-165) remains for SWAG-sampled
+    # weights, whose statistics the training run never saw.
+    norm_state = norm_state or None
     forecast = AutoregressivePredictions(
         model, params,
         norm_state=norm_state,

@@ -34,7 +34,8 @@ import optax
 from ..data.ar import ARIndexer
 from .loss import weighted_mse
 
-__all__ = ["assemble_input", "make_ar_loss_fn", "make_train_step",
+__all__ = ["assemble_input", "make_ar_loss_fn", "fold_running_stats",
+           "make_train_step",
            "make_member_train_step", "make_validation_fn",
            "make_cached_train_step", "make_cached_validation_fn",
            "make_cached_member_train_step", "make_member_validation_fn",
@@ -89,8 +90,21 @@ def make_context(model, area_w: jnp.ndarray) -> Dict:
 def make_ar_loss_fn(model, indexer: ARIndexer,
                     n_scan_iterations: int,
                     ar_training_strategy: str = "RNN",
-                    remat: bool = False) -> Callable:
-    """Build loss(params, batch, ar_weights, ctx) -> (total, per_iter).
+                    remat: bool = False,
+                    collect_stats: bool = False,
+                    eval_mode: bool = False) -> Callable:
+    """Build loss(params, batch, ar_weights, ctx) -> (total, aux).
+
+    aux is per_iter losses, or (per_iter, stats) with `collect_stats` —
+    stats is the model's per-AR-iteration batch-normalization statistics
+    pytree (leaves stacked over the scan axis), consumed by the train
+    step's running update (torch BN training semantics, reference:
+    my_models_graph.py:97-99 + torch.nn.BatchNorm1d momentum 0.1).
+
+    `eval_mode=True` scores with running statistics from ctx["norm_state"]
+    (model.apply(train=False)) — the reference validates BatchNorm models
+    in model.eval() mode, so early stopping / AR growth must see the
+    eval-mode loss, not train-mode batch statistics.
 
     `n_scan_iterations` is static (= current AR iterations + 1); the AR
     weight vector is a traced [n_scan_iterations] array; ctx comes from
@@ -105,6 +119,8 @@ def make_ar_loss_fn(model, indexer: ARIndexer,
     """
     if ar_training_strategy not in ("RNN", "AR"):
         raise ValueError("ar_training_strategy must be 'RNN' or 'AR'")
+    if collect_stats and eval_mode:
+        raise ValueError("collect_stats is a training-mode channel")
     in_pos = jnp.asarray(indexer.input_pos)
     out_pos = jnp.asarray(indexer.output_pos)
     stop_grad = ar_training_strategy == "AR"
@@ -124,7 +140,17 @@ def make_ar_loss_fn(model, indexer: ARIndexer,
         def step(carry, i):
             dyn_buf, written = carry
             x = assemble_input(dyn_buf, bc, static, in_pos[i])
-            y_pred = model.apply(params, x, geom=geom)   # [B, n_out, V, Fd]
+            if eval_mode:
+                y_pred = model.apply(params, x, geom=geom,
+                                     norm_state=ctx.get("norm_state"),
+                                     train=False)
+                stats = None
+            elif collect_stats:
+                stats = {}
+                y_pred = model.apply(params, x, geom=geom, stats_out=stats)
+            else:
+                y_pred = model.apply(params, x, geom=geom)
+                stats = None
             y_true = jnp.take(dyn, out_pos[i], axis=1)
             l = weighted_mse(y_pred, y_true, area_w)
             y_write = jax.lax.stop_gradient(y_pred) if stop_grad else y_pred
@@ -137,36 +163,83 @@ def make_ar_loss_fn(model, indexer: ARIndexer,
                                     y_write)
                 written = written.at[out_pos[i]].set(True)
             dyn_buf = dyn_buf.at[:, out_pos[i]].set(y_write)
-            return (dyn_buf, written), l
+            ys = (l, stats) if collect_stats else l
+            return (dyn_buf, written), ys
 
         # fully unrolled: AR depth is small (<= ~20) and unrolling lets XLA
         # overlap/fuse across iterations (measured ~7% step-time win)
         step_fn = jax.checkpoint(step) if remat else step
         carry0 = (dyn, jnp.zeros((W,), dtype=bool))
-        _, losses = jax.lax.scan(step_fn, carry0,
-                                 jnp.arange(n_scan_iterations),
-                                 unroll=True)
+        _, ys = jax.lax.scan(step_fn, carry0,
+                             jnp.arange(n_scan_iterations),
+                             unroll=True)
+        losses, stats = ys if collect_stats else (ys, None)
         w = ar_weights[:n_scan_iterations]
         w = w / jnp.maximum(w.sum(), 1e-12)
-        return jnp.sum(losses * w), losses
+        total = jnp.sum(losses * w)
+        if collect_stats:
+            # statistics feed the running update only — no gradient
+            return total, (losses, jax.lax.stop_gradient(stats))
+        return total, losses
 
     return loss_fn
+
+
+def fold_running_stats(norm_state: Dict, scan_stats: Dict,
+                       momentum: float = 0.1) -> Dict:
+    """Fold a scan's per-iteration batch statistics into the running state.
+
+    `scan_stats` mirrors norm_state's nesting with leaves stacked over the
+    scan axis [n_scan, C]; each AR iteration's model call applies one
+    momentum-0.1 update in order, exactly like torch BN updating during
+    every training-mode forward (reference my_models_graph.py:97-99).
+    """
+    def fold(state_leaf, stats_leaf):
+        out = state_leaf
+        for i in range(stats_leaf.shape[0]):
+            out = (1.0 - momentum) * out + momentum * stats_leaf[i]
+        return out
+
+    return jax.tree_util.tree_map(fold, norm_state, scan_stats)
 
 
 def make_train_step(model, indexer: ARIndexer,
                     optimizer: optax.GradientTransformation,
                     n_scan_iterations: int,
                     ar_training_strategy: str = "RNN",
-                    remat: bool = False) -> Callable:
+                    remat: bool = False,
+                    with_norm_state: bool = False) -> Callable:
     """Jitted train step: (params, opt_state, batch, ar_weights, ctx) ->
-    (params, opt_state, total_loss, per_iter_losses)."""
+    (params, opt_state, total_loss, per_iter_losses).
+
+    `with_norm_state=True` (BatchNorm models): signature becomes
+    (params, opt_state, norm_state, batch, ar_weights, ctx) ->
+    (params, opt_state, norm_state, total, per_iter) — each AR iteration's
+    batch statistics fold into the running state with momentum 0.1 inside
+    the jitted step (torch BN training semantics,
+    reference my_models_graph.py:97-99), so BatchNorm training needs no
+    per-step host sync and no post-hoc bn_update pass."""
     loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations,
-                              ar_training_strategy, remat=remat)
+                              ar_training_strategy, remat=remat,
+                              collect_stats=with_norm_state)
 
     # params/opt_state are rebound by the caller every step — donate both
     # (in-place Adam updates, no spurious HBM copies). The batch is NOT
     # donated: callers may legitimately reuse a device-resident batch
     # (benchmarks, bn_update passes).
+    if with_norm_state:
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step(params, opt_state, norm_state, batch, ar_weights,
+                       ctx):
+            (total, (per_iter, stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, ar_weights, ctx)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            norm_state = fold_running_stats(norm_state, stats)
+            return params, opt_state, norm_state, total, per_iter
+
+        return train_step
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, ar_weights, ctx):
         (total, per_iter), grads = jax.value_and_grad(
@@ -182,7 +255,8 @@ def make_member_train_step(model, indexer: ARIndexer,
                            optimizer: optax.GradientTransformation,
                            n_scan_iterations: int,
                            ar_training_strategy: str = "RNN",
-                           remat: bool = False) -> Callable:
+                           remat: bool = False,
+                           with_norm_state: bool = False) -> Callable:
     """MEMBER-PARALLEL train step: every DeepEnsemble member advances in
     one jitted executable.
 
@@ -200,9 +274,27 @@ def make_member_train_step(model, indexer: ARIndexer,
     `use_pallas=True` at 12k+ nodes too; only member-stacked operator
     arrays (per-member Laplacians) are unsupported, and the geometry ctx
     is shared across members here.
+
+    `with_norm_state=True`: norm_state is member-STACKED like params (each
+    member's BN running statistics evolve with its own weights); signature
+    gains it as the third donated argument/output.
     """
     loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations,
-                              ar_training_strategy, remat=remat)
+                              ar_training_strategy, remat=remat,
+                              collect_stats=with_norm_state)
+
+    if with_norm_state:
+        def one_member_ns(params, opt_state, norm_state, batch, ar_weights,
+                          ctx):
+            (total, (per_iter, stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, ar_weights, ctx)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            norm_state = fold_running_stats(norm_state, stats)
+            return params, opt_state, norm_state, total, per_iter
+
+        vstep = jax.vmap(one_member_ns, in_axes=(0, 0, 0, None, None, None))
+        return functools.partial(jax.jit, donate_argnums=(0, 1, 2))(vstep)
 
     def one_member(params, opt_state, batch, ar_weights, ctx):
         (total, per_iter), grads = jax.value_and_grad(
@@ -216,8 +308,13 @@ def make_member_train_step(model, indexer: ARIndexer,
 
 
 def make_validation_fn(model, indexer: ARIndexer,
-                       n_scan_iterations: int) -> Callable:
-    loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations, "RNN")
+                       n_scan_iterations: int,
+                       eval_mode: bool = False) -> Callable:
+    """`eval_mode=True` (BatchNorm models) scores with the running
+    statistics the caller merges into ctx as ctx["norm_state"]
+    (reference: validation runs under model.eval())."""
+    loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations, "RNN",
+                              eval_mode=eval_mode)
 
     @jax.jit
     def validate(params, batch, ar_weights, ctx):
@@ -227,9 +324,28 @@ def make_validation_fn(model, indexer: ARIndexer,
 
 
 def make_member_validation_fn(model, indexer: ARIndexer,
-                              n_scan_iterations: int) -> Callable:
-    """Validation over member-stacked params: returns ([M], [M, n_scan])."""
-    loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations, "RNN")
+                              n_scan_iterations: int,
+                              eval_mode: bool = False) -> Callable:
+    """Validation over member-stacked params: returns ([M], [M, n_scan]).
+
+    `eval_mode=True`: ctx carries a member-STACKED ctx["norm_state"],
+    vmapped alongside params."""
+    loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations, "RNN",
+                              eval_mode=eval_mode)
+
+    if eval_mode:
+        @jax.jit
+        def validate(member_params, batch, ar_weights, ctx):
+            ctx = dict(ctx)
+            norm_state = ctx.pop("norm_state")
+
+            def one(params, ns):
+                return loss_fn(params, batch, ar_weights,
+                               {**ctx, "norm_state": ns})
+
+            return jax.vmap(one)(member_params, norm_state)
+
+        return validate
 
     @jax.jit
     def validate(member_params, batch, ar_weights, ctx):
@@ -265,15 +381,32 @@ def make_cached_train_step(model, indexer: ARIndexer,
                            optimizer: optax.GradientTransformation,
                            n_scan_iterations: int,
                            ar_training_strategy: str = "RNN",
-                           remat: bool = False) -> Callable:
+                           remat: bool = False,
+                           with_norm_state: bool = False) -> Callable:
     """Train step over a device-resident dataset: (params, opt_state,
     data, widx, ar_weights, ctx) -> (params, opt_state, total, per_iter).
 
     Identical math to make_train_step on the host-assembled batch (the
     window gather moves inside jit); `data` is NOT donated — it is reused
-    by every step of the run."""
+    by every step of the run. `with_norm_state` matches make_train_step
+    (norm_state threaded as the third argument/output)."""
     loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations,
-                              ar_training_strategy, remat=remat)
+                              ar_training_strategy, remat=remat,
+                              collect_stats=with_norm_state)
+
+    if with_norm_state:
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step(params, opt_state, norm_state, data, widx,
+                       ar_weights, ctx):
+            batch = _gather_window_batch(data, widx)
+            (total, (per_iter, stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, ar_weights, ctx)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            norm_state = fold_running_stats(norm_state, stats)
+            return params, opt_state, norm_state, total, per_iter
+
+        return train_step
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, data, widx, ar_weights, ctx):
@@ -288,8 +421,10 @@ def make_cached_train_step(model, indexer: ARIndexer,
 
 
 def make_cached_validation_fn(model, indexer: ARIndexer,
-                              n_scan_iterations: int) -> Callable:
-    loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations, "RNN")
+                              n_scan_iterations: int,
+                              eval_mode: bool = False) -> Callable:
+    loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations, "RNN",
+                              eval_mode=eval_mode)
 
     @jax.jit
     def validate(params, data, widx, ar_weights, ctx):
@@ -303,14 +438,38 @@ def make_cached_member_train_step(model, indexer: ARIndexer,
                                   optimizer: optax.GradientTransformation,
                                   n_scan_iterations: int,
                                   ar_training_strategy: str = "RNN",
-                                  remat: bool = False) -> Callable:
+                                  remat: bool = False,
+                                  with_norm_state: bool = False) -> Callable:
     """Member-parallel train step over a device-resident dataset: the
     window batch is gathered ONCE and shared by every vmapped member
     (make_member_train_step semantics + make_cached_train_step H2D
     profile). Signature: (member_params, member_opt_state, data, widx,
-    ar_weights, ctx)."""
+    ar_weights, ctx); with_norm_state inserts the member-stacked
+    norm_state as the third donated argument/output."""
     loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations,
-                              ar_training_strategy, remat=remat)
+                              ar_training_strategy, remat=remat,
+                              collect_stats=with_norm_state)
+
+    if with_norm_state:
+        def one_member_ns(params, opt_state, norm_state, batch, ar_weights,
+                          ctx):
+            (total, (per_iter, stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, ar_weights, ctx)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            norm_state = fold_running_stats(norm_state, stats)
+            return params, opt_state, norm_state, total, per_iter
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step_ns(member_params, member_opt_state, member_norm_state,
+                          data, widx, ar_weights, ctx):
+            batch = _gather_window_batch(data, widx)
+            return jax.vmap(one_member_ns,
+                            in_axes=(0, 0, 0, None, None, None))(
+                member_params, member_opt_state, member_norm_state, batch,
+                ar_weights, ctx)
+
+        return train_step_ns
 
     def one_member(params, opt_state, batch, ar_weights, ctx):
         (total, per_iter), grads = jax.value_and_grad(
@@ -330,8 +489,25 @@ def make_cached_member_train_step(model, indexer: ARIndexer,
 
 
 def make_cached_member_validation_fn(model, indexer: ARIndexer,
-                                     n_scan_iterations: int) -> Callable:
-    loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations, "RNN")
+                                     n_scan_iterations: int,
+                                     eval_mode: bool = False) -> Callable:
+    loss_fn = make_ar_loss_fn(model, indexer, n_scan_iterations, "RNN",
+                              eval_mode=eval_mode)
+
+    if eval_mode:
+        @jax.jit
+        def validate(member_params, data, widx, ar_weights, ctx):
+            batch = _gather_window_batch(data, widx)
+            ctx = dict(ctx)
+            norm_state = ctx.pop("norm_state")
+
+            def one(params, ns):
+                return loss_fn(params, batch, ar_weights,
+                               {**ctx, "norm_state": ns})
+
+            return jax.vmap(one)(member_params, norm_state)
+
+        return validate
 
     @jax.jit
     def validate(member_params, data, widx, ar_weights, ctx):

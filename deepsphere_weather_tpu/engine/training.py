@@ -181,9 +181,19 @@ def AutoregressiveTraining(
     # resume support: continue a crashed/stopped run (optimizer moments
     # preserved). The reference has no mid-training resume (SURVEY.md §5.3).
     initial_opt_state=None,
+    initial_norm_state=None,
     verbose: bool = True,
 ):
-    """Train; returns (params, opt_state, ARTrainingInfo)."""
+    """Train; returns (params, opt_state, norm_state, ARTrainingInfo).
+
+    norm_state is the BatchNorm running statistics accumulated DURING
+    training with momentum 0.1 (torch semantics: every training-mode
+    forward updates the running stats — reference my_models_graph.py:97-99
+    + torch.nn.BatchNorm1d; the update folds inside the jitted step, see
+    engine/step.py::fold_running_stats). Validation/early-stopping score
+    in EVAL mode with these stats, like the reference's model.eval()
+    validation. {} for models without BatchNorm.
+    """
     indexer = ARIndexer.build(input_k, output_k, forecast_cycle, ar_iterations,
                               stack_most_recent_prediction)
     if optimizer is None:
@@ -212,6 +222,19 @@ def AutoregressiveTraining(
         opt_state = jax.vmap(optimizer.init)(params)
     else:
         opt_state = optimizer.init(params)
+
+    # BatchNorm models: running statistics (donated through the jitted
+    # step alongside params); member runs stack them per member
+    has_bn = bool(getattr(model, "has_batch_norm", False))
+    norm_state = {}
+    if has_bn:
+        norm_state = model.init_norm_state()
+        if initial_norm_state is not None:
+            norm_state = jax.tree_util.tree_map(jax.numpy.array,
+                                                initial_norm_state)
+        elif n_members is not None:
+            norm_state = jax.tree_util.tree_map(
+                lambda x: jax.numpy.stack([x] * n_members), norm_state)
 
     train_ds = AutoregressiveDataset(
         training_data_dynamic, indexer, data_bc=training_data_bc,
@@ -266,6 +289,8 @@ def AutoregressiveTraining(
                if n_members is not None else rsh)
         params = jax.device_put(params, psh)
         opt_state = jax.device_put(opt_state, psh)
+        if has_bn:
+            norm_state = jax.device_put(norm_state, psh)
         ctx = jax.device_put(ctx, rsh)
 
     # per-AR-stage compiled steps (cached across growth events)
@@ -286,8 +311,9 @@ def AutoregressiveTraining(
                           else make_validation_fn)
             step_cache[n_iters] = (
                 mk_train(model, indexer, optimizer, n_scan,
-                         ar_training_strategy, remat=remat),
-                mk_val(model, indexer, n_scan),
+                         ar_training_strategy, remat=remat,
+                         with_norm_state=has_bn),
+                mk_val(model, indexer, n_scan, eval_mode=has_bn),
             )
         return step_cache[n_iters]
 
@@ -335,16 +361,26 @@ def AutoregressiveTraining(
             if use_cache:
                 widx = shard_window_indices(
                     train_ds.window_indices(batch), mesh)
-                params, opt_state, total, per_iter = train_step(
-                    params, opt_state, dev_train, widx, w, ctx)
+                if has_bn:
+                    (params, opt_state, norm_state, total,
+                     per_iter) = train_step(params, opt_state, norm_state,
+                                            dev_train, widx, w, ctx)
+                else:
+                    params, opt_state, total, per_iter = train_step(
+                        params, opt_state, dev_train, widx, w, ctx)
             else:
                 # already device-resident (loader transfer); host-side
                 # time arrays are stripped — passing them into jit would
                 # upload them on every call
                 dev_batch = {k: batch[k] for k in TRAIN_BATCH_KEYS
                              if k in batch}
-                params, opt_state, total, per_iter = train_step(
-                    params, opt_state, dev_batch, w, ctx)
+                if has_bn:
+                    (params, opt_state, norm_state, total,
+                     per_iter) = train_step(params, opt_state, norm_state,
+                                            dev_batch, w, ctx)
+                else:
+                    params, opt_state, total, per_iter = train_step(
+                        params, opt_state, dev_batch, w, ctx)
             update += 1
             steps_in_interval += 1
 
@@ -362,6 +398,7 @@ def AutoregressiveTraining(
                 # hours between the per-epoch checkpoints)
                 if ckpt is not None and (update // scoring_interval) % 10 == 0:
                     ckpt.save_model(params)
+                    ckpt.save_norm_state(norm_state)
                     ckpt.save_training_state(opt_state,
                                              ar_scheduler.state_dict(),
                                              early_stopping.state_dict())
@@ -382,15 +419,21 @@ def AutoregressiveTraining(
                     tot, per, nb = None, None, 0
                     vstream = (vloader.iter_index_batches() if use_cache
                                else iter(vloader))
+                    # BatchNorm: score in EVAL mode with the running stats
+                    # accumulated so far (reference validates under
+                    # model.eval()) — merged into ctx, a free dict merge
+                    # of device-resident arrays
+                    vctx = ({**ctx, "norm_state": norm_state} if has_bn
+                            else ctx)
                     for vb in vstream:
                         if use_cache:
                             vwidx = shard_window_indices(
                                 val_ds.window_indices(vb), mesh)
-                            vt, vp = val_fn(params, dev_val, vwidx, w, ctx)
+                            vt, vp = val_fn(params, dev_val, vwidx, w, vctx)
                         else:
                             vb = {k: vb[k] for k in TRAIN_BATCH_KEYS
                                   if k in vb}
-                            vt, vp = val_fn(params, vb, w, ctx)
+                            vt, vp = val_fn(params, vb, w, vctx)
                         # vt: scalar (or [M] per member); vp: [n_scan]
                         # (or [M, n_scan])
                         vt, vp = np.asarray(vt), np.asarray(vp)
@@ -463,12 +506,14 @@ def AutoregressiveTraining(
         # restart from scratch, SURVEY.md §5.3)
         if ckpt is not None:
             ckpt.save_model(params)
+            ckpt.save_norm_state(norm_state)
             ckpt.save_training_state(opt_state, ar_scheduler.state_dict(),
                                      early_stopping.state_dict())
 
     if ckpt is not None:
         ckpt.save_model(params)
+        ckpt.save_norm_state(norm_state)
         ckpt.save_training_state(opt_state, ar_scheduler.state_dict(),
                                  early_stopping.state_dict())
         info.save(Path(ckpt.exp_dir) / "training_info" / "ar_training_info.json")
-    return params, opt_state, info
+    return params, opt_state, norm_state, info

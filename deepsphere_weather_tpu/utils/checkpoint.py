@@ -100,6 +100,18 @@ class Checkpointer:
             (self.exp_dir / "training_info" / "state.json").read_text())
         return opt_state, state
 
+    def save_norm_state(self, norm_state, name: str = "norm_state.npz"):
+        """BatchNorm running statistics (empty dict = nothing saved)."""
+        if norm_state:
+            save_pytree(self.exp_dir / "model_weights" / name, norm_state)
+
+    def load_norm_state(self, template, name: str = "norm_state.npz"):
+        """Running stats saved by save_norm_state; None when absent."""
+        path = self.exp_dir / "model_weights" / name
+        if not path.exists():
+            return None
+        return load_pytree(path, template)
+
     def has_checkpoint(self, name: str = "model.npz") -> bool:
         return (self.exp_dir / "model_weights" / name).exists()
 

@@ -112,7 +112,7 @@ def run_variant(name, data_dir, years, epochs, batch):
     opt = optax.chain(optax.clip_by_global_norm(1.0),
                       optax.adam(lr, eps=1e-7))
     t0 = time.time()
-    params, _, info = AutoregressiveTraining(
+    params, _, _, info = AutoregressiveTraining(
         model, params,
         training_data_dynamic=train_dyn, validation_data_dynamic=val_dyn,
         training_data_bc=train_bc, validation_data_bc=val_bc,

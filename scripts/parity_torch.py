@@ -56,35 +56,50 @@ def conv_cheb_torch(lap: torch.Tensor, x: torch.Tensor, weight: torch.Tensor,
 
 
 class TorchConvBlock(torch.nn.Module):
-    """conv -> activation (reference my_models_graph.py:26-118; the shipped
-    configs run batch_norm=false)."""
+    """conv -> [bn] -> activation -> [bn]
+    (reference my_models_graph.py:26-118; conv bias dropped when
+    batch_norm, BN applied on [batch, channel, node] via permute exactly
+    like the reference's forward :105-118)."""
 
-    def __init__(self, fin: int, fout: int, K: int = 3, act: bool = True):
+    def __init__(self, fin: int, fout: int, K: int = 3, act: bool = True,
+                 batch_norm: bool = False):
         super().__init__()
         self.weight = torch.nn.Parameter(torch.zeros(fin, K, fout))
-        self.bias = torch.nn.Parameter(torch.zeros(fout))
+        self.bias = (None if batch_norm
+                     else torch.nn.Parameter(torch.zeros(fout)))
+        self.bn = torch.nn.BatchNorm1d(fout) if batch_norm else None
         self.act = act
 
     def forward(self, lap, x):
         x = conv_cheb_torch(lap, x, self.weight, self.bias)
-        return torch.relu(x) if self.act else x
+        if self.act:
+            x = torch.relu(x)
+        if self.bn is not None:
+            # reference: batch_norm_before_activation=False default
+            x = self.bn(x.permute(0, 2, 1)).permute(0, 2, 1)
+        return x
 
 
 class TorchResBlock(torch.nn.Module):
     """ConvBlock stack + ReZero residual (reference my_models_graph.py:121-216):
     last ConvBlock unactivated, branch scaled by zero-init rezero weight,
-    identity residual when channels match else Linear projection."""
+    identity residual when channels match else Linear projection. With
+    batch_norm, the LAST ConvBlock's BN weight/bias are zero-initialized
+    (reference :198-201)."""
 
-    def __init__(self, fin: int, fouts, K: int = 3):
+    def __init__(self, fin: int, fouts, K: int = 3, batch_norm: bool = False):
         super().__init__()
         if isinstance(fouts, int):
             fouts = [fouts]
         chans = [fin] + list(fouts)
         self.convs = torch.nn.ModuleList([
             TorchConvBlock(chans[i], chans[i + 1], K=K,
-                           act=(i < len(fouts) - 1))
+                           act=(i < len(fouts) - 1), batch_norm=batch_norm)
             for i in range(len(fouts))
         ])
+        if batch_norm:
+            torch.nn.init.constant_(self.convs[-1].bn.weight, 0)
+            torch.nn.init.constant_(self.convs[-1].bn.bias, 0)
         self.rezero = torch.nn.Parameter(torch.zeros(1))
         self.proj = (torch.nn.Linear(fin, fouts[-1])
                      if fin != fouts[-1] else None)
@@ -122,17 +137,19 @@ class TorchUNetSpherical(torch.nn.Module):
 
     def __init__(self, laps: List[torch.Tensor], in_channels: int,
                  out_channels: int, out_feat: int,
-                 increment_learning: bool = True):
+                 increment_learning: bool = True,
+                 batch_norm: bool = False):
         super().__init__()
         self.laps = laps
         self.out_feat = out_feat
         self.increment = increment_learning
-        self.conv1 = TorchResBlock(in_channels, (64, 128))
-        self.conv2 = TorchResBlock(128, (192, 256))
-        self.conv3 = TorchResBlock(256, (512, 256))
-        self.uconv2 = TorchResBlock(512, (256, 128))
-        self.uconv1 = TorchResBlock(256, (128, 64))
-        self.uconv1_final = TorchResBlock(64, out_channels)
+        bn = batch_norm
+        self.conv1 = TorchResBlock(in_channels, (64, 128), batch_norm=bn)
+        self.conv2 = TorchResBlock(128, (192, 256), batch_norm=bn)
+        self.conv3 = TorchResBlock(256, (512, 256), batch_norm=bn)
+        self.uconv2 = TorchResBlock(512, (256, 128), batch_norm=bn)
+        self.uconv1 = TorchResBlock(256, (128, 64), batch_norm=bn)
+        self.uconv1_final = TorchResBlock(64, out_channels, batch_norm=bn)
         if increment_learning:
             self.res_increment = torch.nn.Parameter(torch.zeros(1))
 
@@ -174,13 +191,53 @@ def _load_resblock(tblk: TorchResBlock, p: Dict) -> None:
         for i, conv in enumerate(tblk.convs):
             cp = p[f"convblock{i + 1}"]
             conv.weight.copy_(torch.from_numpy(np.asarray(cp["weight"])))
-            conv.bias.copy_(torch.from_numpy(np.asarray(cp["bias"])))
+            if conv.bias is not None:
+                conv.bias.copy_(torch.from_numpy(np.asarray(cp["bias"])))
+            if conv.bn is not None:
+                conv.bn.weight.copy_(
+                    torch.from_numpy(np.asarray(cp["norm_scale"])))
+                conv.bn.bias.copy_(
+                    torch.from_numpy(np.asarray(cp["norm_bias"])))
         tblk.rezero.copy_(torch.from_numpy(np.asarray(p["rezero_weight"])))
         if tblk.proj is not None:
             # JAX res_kernel is [in, out]; torch Linear weight is [out, in]
             tblk.proj.weight.copy_(
                 torch.from_numpy(np.asarray(p["res_kernel"])).T)
             tblk.proj.bias.copy_(torch.from_numpy(np.asarray(p["res_bias"])))
+
+
+def torch_running_stats(tmodel: "TorchUNetSpherical") -> Dict:
+    """The torch twin's BN running statistics as a norm_state-shaped
+    pytree (models/unet.py::init_norm_state layout) — golden values for
+    the jitted running update (engine/step.py::fold_running_stats)."""
+    state: Dict = {}
+    for name in ("conv1", "conv2", "conv3", "uconv2", "uconv1",
+                 "uconv1_final"):
+        blk = getattr(tmodel, name)
+        if blk.convs[0].bn is None:
+            continue
+        state[name] = {
+            f"convblock{i + 1}": {
+                "mean": conv.bn.running_mean.detach().numpy().copy(),
+                "var": conv.bn.running_var.detach().numpy().copy(),
+            }
+            for i, conv in enumerate(blk.convs)
+        }
+    return state
+
+
+def load_running_stats_into_torch(tmodel: "TorchUNetSpherical",
+                                  norm_state: Dict) -> None:
+    """Copy a JAX norm_state pytree into the torch twin's BN buffers."""
+    with torch.no_grad():
+        for name, blk_state in norm_state.items():
+            blk = getattr(tmodel, name)
+            for i, conv in enumerate(blk.convs):
+                s = blk_state[f"convblock{i + 1}"]
+                conv.bn.running_mean.copy_(
+                    torch.from_numpy(np.asarray(s["mean"])))
+                conv.bn.running_var.copy_(
+                    torch.from_numpy(np.asarray(s["var"])))
 
 
 def load_params_into_torch(tmodel: TorchUNetSpherical, params: Dict) -> None:
@@ -196,14 +253,21 @@ def load_params_into_torch(tmodel: TorchUNetSpherical, params: Dict) -> None:
 
 def torch_laplacians(sampling_kwargs: Dict, knn: int,
                      depth: int = 3) -> List[torch.Tensor]:
-    """The SAME Laplacians the JAX geometry uses, as torch sparse COO."""
-    from deepsphere_weather_tpu.sphere import build_graph
+    """The SAME Laplacians the JAX geometry uses, as torch sparse COO.
+
+    Reads through the geometry disk cache (models/geometry.py) so the
+    torch twin gets the bit-identical matrix the JAX model operates
+    with — a fresh build_graph would re-run the lmax estimate and any
+    estimator drift would masquerade as model disagreement."""
+    from deepsphere_weather_tpu.models.geometry import (
+        _cached_graph_laplacian)
 
     laps = []
     sub = sampling_kwargs["subdivisions"]
     for _ in range(depth):
-        g = build_graph("healpix", {"subdivisions": sub, "nest": True}, k=knn)
-        coo = g.L.tocoo()
+        _, L = _cached_graph_laplacian(
+            "healpix", {"subdivisions": sub, "nest": True}, knn, "knn")
+        coo = L.tocoo()
         idx = torch.from_numpy(
             np.stack([coo.row, coo.col]).astype(np.int64))
         laps.append(torch.sparse_coo_tensor(

@@ -35,7 +35,8 @@ def rel_diff(a, b) -> float:
     return float(np.abs(a - b).max() / scale)
 
 
-def build_pair(subdiv: int, knn: int, batch: int, ar_iters: int, seed: int = 0):
+def build_pair(subdiv: int, knn: int, batch: int, ar_iters: int, seed: int = 0,
+               batch_norm: bool = False):
     """Identical-weight (JAX model, torch twin) pair + shared fixtures."""
     import jax
 
@@ -63,6 +64,7 @@ def build_pair(subdiv: int, knn: int, batch: int, ar_iters: int, seed: int = 0):
         tensor_info=tensor_info, sampling="healpix",
         sampling_kwargs={"subdivisions": subdiv, "nest": True},
         knn=knn, pool_method="max", increment_learning=True,
+        batch_norm=batch_norm,
         numeric_precision="float32", use_pallas=False,
         dense_threshold=10 ** 9)          # dense everywhere: bit-stable CPU
     params = model.init(jax.random.key(seed))
@@ -70,7 +72,8 @@ def build_pair(subdiv: int, knn: int, batch: int, ar_iters: int, seed: int = 0):
     laps = torch_laplacians({"subdivisions": subdiv, "nest": True}, knn)
     tmodel = TorchUNetSpherical(laps, in_feat * in_time,
                                 out_feat, out_feat,
-                                increment_learning=True)
+                                increment_learning=True,
+                                batch_norm=batch_norm)
     load_params_into_torch(tmodel, params)
 
     indexer = ARIndexer.build([-3, -2, -1], [0], 1, ar_iters)
@@ -274,6 +277,97 @@ def training_trajectories(pair, steps: int, lr: float = 1e-3,
     return np.asarray(jl), np.asarray(tl), params
 
 
+def bn_parity(pair, n_batches: int = 4, n_scan: int = 2, seed: int = 3):
+    """BatchNorm training-loop parity (VERDICT r2 #4).
+
+    Golden-tests the WHOLE BN loop against torch, not just the layer:
+    1. train-mode AR-loss agreement per batch (both sides normalize with
+       batch statistics — reference my_models_graph.py:97-118),
+    2. running-statistic agreement after n_batches of momentum-0.1
+       updates (engine/step.py::fold_running_stats vs torch
+       BatchNorm1d's own buffer updates during forward),
+    3. eval-mode validation-loss agreement using each side's OWN
+       accumulated running stats (reference validates under
+       model.eval()).
+    Requires a pair built with batch_norm=True.
+    """
+    import jax.numpy as jnp
+    import torch
+
+    from deepsphere_weather_tpu.engine.step import (fold_running_stats,
+                                                    make_ar_loss_fn,
+                                                    make_context)
+    from parity_torch import ar_loss_torch, torch_running_stats
+
+    model, params, tmodel = pair["model"], pair["params"], pair["tmodel"]
+    indexer, area_w = pair["indexer"], pair["area_w"]
+    n_node, out_feat = pair["n_node"], pair["out_feat"]
+    W = indexer.window_size
+    B = pair["batch"]["dynamic"].shape[0]
+    static = pair["batch"]["static"]
+
+    ctx = make_context(model, jnp.asarray(area_w))
+    train_loss = make_ar_loss_fn(model, indexer, n_scan, "RNN",
+                                 collect_stats=True)
+    eval_loss = make_ar_loss_fn(model, indexer, n_scan, "RNN",
+                                eval_mode=True)
+    norm_state = model.init_norm_state()
+    w = jnp.ones(n_scan)
+    wt = torch.ones(n_scan)
+    area_t = torch.from_numpy(area_w)
+
+    rng = np.random.default_rng(seed)
+    diffs = {}
+    tmodel.train()
+    loss_d = 0.0
+    for _ in range(n_batches):
+        batch = {
+            "dynamic": rng.standard_normal(
+                (B, W, n_node, out_feat)).astype(np.float32),
+            "bc": rng.standard_normal((B, W, n_node, 1)).astype(np.float32),
+            "static": static,
+        }
+        bj = {k: jnp.asarray(v) for k, v in batch.items()}
+        total_j, (_, stats) = train_loss(params, bj, w, ctx)
+        norm_state = fold_running_stats(norm_state, stats)
+
+        bt = {k: torch.from_numpy(v) for k, v in batch.items()}
+        with torch.no_grad():
+            total_t, _ = ar_loss_torch(tmodel, bt, indexer, n_scan, wt,
+                                       area_t)
+        loss_d = max(loss_d, rel_diff(np.asarray(total_j), total_t.item()))
+        eval_batch = batch
+    diffs["train-mode AR loss (batch statistics)"] = loss_d
+
+    # running statistics after the same update sequence. Means are
+    # compared relative to sqrt(var) — the scale normalization divides
+    # by — because a BN mean is statistically ~0 and a max|mean|
+    # denominator turns fp32 noise (~1e-6 absolute) into a fake 1e-3
+    # "relative" error.
+    t_state = torch_running_stats(tmodel)
+    sd = 0.0
+    for blk, bstate in t_state.items():
+        for cb, s in bstate.items():
+            ours = norm_state[blk][cb]
+            scale = max(float(np.sqrt(np.asarray(ours["var"]).max())), 1e-30)
+            sd = max(sd, float(np.abs(np.asarray(ours["mean"], np.float64)
+                                      - s["mean"]).max()) / scale)
+            sd = max(sd, rel_diff(ours["var"], s["var"]))
+    diffs[f"running stats after {n_batches} momentum-0.1 updates"] = sd
+
+    # eval-mode validation loss with each side's OWN running stats
+    tmodel.eval()
+    bj = {k: jnp.asarray(v) for k, v in eval_batch.items()}
+    total_j, _ = eval_loss(params, bj, w,
+                           {**ctx, "norm_state": norm_state})
+    bt = {k: torch.from_numpy(v) for k, v in eval_batch.items()}
+    with torch.no_grad():
+        total_t, _ = ar_loss_torch(tmodel, bt, indexer, n_scan, wt, area_t)
+    diffs["eval-mode validation loss (running stats)"] = rel_diff(
+        np.asarray(total_j), total_t.item())
+    return diffs
+
+
 def rmse_rollout(pair, params_jax, ar_steps: int = 6):
     """Per-leadtime RMSE from each side's own trained weights on a shared
     held-out batch (autoregressive rollout, prediction feedback)."""
@@ -345,6 +439,15 @@ def main():
     rm_diff = np.abs(r_j - r_t) / r_t
     print(f"rollout RMSE curves: max rel diff {rm_diff.max():.2e}")
 
+    # BatchNorm twin: whole-loop golden test (train-mode loss, running
+    # stats, eval-mode validation) at a smaller resolution — the BN math
+    # is resolution-independent and the torch side dominates wall time
+    bn_pair = build_pair(max(4, args.subdivisions // 2), args.knn,
+                         args.batch, ar_iters=2, batch_norm=True)
+    bn = bn_parity(bn_pair)
+    for k, v in bn.items():
+        print(f"batch_norm {k}: {v:.2e}")
+
     # ---- write the committed report -----------------------------------
     doc = Path(__file__).resolve().parent.parent / "docs" / "PARITY_NUMERIC.md"
     lines = [
@@ -406,6 +509,20 @@ def main():
               for i, (a, b) in enumerate(zip(r_j, r_t))]
     lines += [
         "",
+        "## 5. BatchNorm training loop (batch_norm: true twin)",
+        "",
+        "Running statistics update with momentum 0.1 INSIDE the jitted "
+        "train step (engine/step.py::fold_running_stats); validation "
+        "scores in eval mode with those stats — matching torch "
+        "BatchNorm1d semantics end-to-end "
+        "(reference my_models_graph.py:97-118 + model.eval() validation).",
+        "",
+        "| Quantity | max rel diff |",
+        "|---|---|",
+    ]
+    lines += [f"| {k} | {v:.2e} |" for k, v in bn.items()]
+    lines += [
+        "",
         "## Verdict",
         "",
         "Forward, backward, optimization trajectory and post-training "
@@ -422,7 +539,8 @@ def main():
     ok = (max(fwd.values()) < 5e-5
           and max(grad.values()) < 5e-4
           and tr_diff.max() < 5e-3
-          and rm_diff.max() < 5e-3)
+          and rm_diff.max() < 5e-3
+          and max(bn.values()) < 5e-4)
     print("PARITY:", "OK" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -266,7 +266,7 @@ class TestTrainingLoop:
 
         def train_once(weight_seed, shuffle_seed):
             params = s["model"].init(jax.random.key(weight_seed))
-            p, _, info = AutoregressiveTraining(
+            p, _, _, info = AutoregressiveTraining(
                 s["model"], params,
                 training_data_dynamic=s["dyn"],
                 training_data_bc=s["bc"],
@@ -299,7 +299,7 @@ class TestTrainingLoop:
 
         def train_once(validation_batches):
             params = s["model"].init(jax.random.key(7))
-            _, _, info = AutoregressiveTraining(
+            _, _, _, info = AutoregressiveTraining(
                 s["model"], params,
                 training_data_dynamic=s["dyn"].subset(0, 120),
                 validation_data_dynamic=s["dyn"].subset(120, 240),
@@ -335,7 +335,7 @@ class TestTrainingLoop:
 
         def train_once(device_cache):
             params = s["model"].init(jax.random.key(3))
-            p, _, info = AutoregressiveTraining(
+            p, _, _, info = AutoregressiveTraining(
                 s["model"], params,
                 training_data_dynamic=s["dyn"],
                 validation_data_dynamic=s["dyn"].subset(0, 60),
@@ -371,7 +371,7 @@ class TestTrainingLoop:
         s = toy_setup
         mesh = make_mesh(n_data=4)
         params = s["model"].init(jax.random.key(4))
-        p, _, info = AutoregressiveTraining(
+        p, _, _, info = AutoregressiveTraining(
             s["model"], params,
             training_data_dynamic=s["dyn"],
             training_data_bc=s["bc"],
@@ -396,7 +396,7 @@ class TestTrainingLoop:
                    for m in range(M)]
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
         for cache in (True, False):
-            p, _, info = AutoregressiveTraining(
+            p, _, _, info = AutoregressiveTraining(
                 s["model"],
                 jax.tree_util.tree_map(jnp.array, stacked),
                 training_data_dynamic=s["dyn"],
@@ -426,7 +426,7 @@ class TestTrainingLoop:
                             fixed_ar_weights=[0],
                             initial_ar_absolute_weights=[1, 1])
         es = EarlyStopping(patience=100)
-        params, opt_state, info = AutoregressiveTraining(
+        params, opt_state, _, info = AutoregressiveTraining(
             s["model"], s["params"],
             training_data_dynamic=s["dyn"],
             validation_data_dynamic=s["dyn"],
