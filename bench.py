@@ -1,12 +1,20 @@
-"""Benchmark: AR training throughput on the flagship configuration.
+"""Benchmark: AR training throughput on the flagship configurations.
 
-Measures AR6 training samples/sec for UNetSpherical on HEALPix-16
+Primary metric: AR6 training samples/sec for UNetSpherical on HEALPix-16
 (3072 nodes, knn-20 graph, K=3 Chebyshev, batch 16, 7 input features,
 z500+t850 outputs) — the reference's comparison anchor
 (BASELINE.md: configs/UNetSpherical/Healpix_400km/MaxPool-Graph_knn.json).
 
+Second driver-captured metric (VERDICT r2 #2): HEALPix-64 (100 km,
+49 152 nodes — the Pallas BCSR SpMM regime, reference
+configs/UNetSpherical/Healpix_100km/) AR2 batch-8 bf16 training samples/s
+plus the single [49152, 1024] bf16 matvec latency, behind the same
+compiled-kernel parity gate at subdivision 64 — so kernel-schedule
+regressions fail the round instead of hiding in hand-run docs.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N/base}
+  {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N/base,
+   "healpix64": {...}}
 
 The baseline is a faithful PyTorch implementation of the same model/step
 (reference stack: torch sparse SpMM + dense GEMM) measured on this host's
@@ -37,12 +45,12 @@ KNN = 20
 BASELINE_FILE = Path(__file__).parent / "BENCH_BASELINE.json"
 
 
-def _tensor_info():
+def _tensor_info(n_node: int = N_NODE):
     return {
         "input_n_feature": IN_FEAT, "output_n_feature": OUT_FEAT,
         "input_n_time": IN_TIME, "output_n_time": 1,
-        "input_shape_info": {"dynamic": {"node": N_NODE}},
-        "output_shape_info": {"dynamic": {"node": N_NODE}},
+        "input_shape_info": {"dynamic": {"node": n_node}},
+        "output_shape_info": {"dynamic": {"node": n_node}},
         "dim_order": {"dynamic": ["sample", "time", "node", "feature"]},
     }
 
@@ -116,7 +124,7 @@ def bench_jax(repeats: int = 20) -> float:
     return BATCH * repeats / best
 
 
-def kernel_parity() -> dict:
+def kernel_parity(subdiv: int = SUBDIV, n_cols: int = 256) -> dict:
     """Compiled-kernel regression gate (run BEFORE timing).
 
     The pytest suite exercises the Pallas BCSR kernels only in interpreter
@@ -135,9 +143,9 @@ def kernel_parity() -> dict:
     if backend == "cpu":
         return {"ok": True, "skipped": "cpu backend (interpret-mode kernels "
                                        "are covered by pytest)"}
-    g = build_graph("healpix", {"subdivisions": SUBDIV, "nest": True}, k=KNN)
+    g = build_graph("healpix", {"subdivisions": subdiv, "nest": True}, k=KNN)
     rng = np.random.default_rng(0)
-    x_np = rng.standard_normal((g.n_nodes, 256)).astype(np.float32)
+    x_np = rng.standard_normal((g.n_nodes, n_cols)).astype(np.float32)
     ref = g.L @ x_np
     scale = float(np.abs(ref).max())
     mv = jax.jit(lambda o, v: o.matvec(v))
@@ -158,6 +166,98 @@ def kernel_parity() -> dict:
     out["rel_err_grad_fp32"] = round(gerr, 8)
     out["ok"] = out["ok"] and gerr < 1e-5
     return out
+
+
+HP64_SUBDIV, HP64_BATCH, HP64_AR = 64, 8, 2
+
+
+def bench_healpix64(repeats: int = 8) -> dict:
+    """HEALPix-64 (49 152 nodes) AR2 batch-8 bf16 BCSR metrics.
+
+    The regime all the Pallas super-row SpMM work targets (reference hot
+    path replaced: modules/layers.py:164-167 torch.sparse.mm at the 100 km
+    config, configs/UNetSpherical/Healpix_100km/). Reports:
+    - train samples/s of the full jitted AR2 training step
+    - single [49152, 1024] bf16 matvec milliseconds (the kernel-roofline
+      number tracked in docs/benchmarks/README.md)
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deepsphere_weather_tpu.data.ar import ARIndexer
+    from deepsphere_weather_tpu.engine.loss import AreaWeights
+    from deepsphere_weather_tpu.engine.step import (make_context,
+                                                    make_train_step)
+    from deepsphere_weather_tpu.models import UNetSpherical
+    from deepsphere_weather_tpu.ops.pallas_spmm import BlockSparseOperator
+    from deepsphere_weather_tpu.sphere import build_sampling
+    from deepsphere_weather_tpu.sphere.graph import build_graph
+
+    n_node = 12 * HP64_SUBDIV ** 2
+    kw = {"subdivisions": HP64_SUBDIV, "nest": True}
+
+    # --- single matvec: [49152, 1024] bf16 --------------------------------
+    g = build_graph("healpix", kw, k=KNN)
+    op = BlockSparseOperator.from_scipy(g.L, symmetric=True,
+                                        dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (n_node, 1024)), dtype=jnp.bfloat16)
+    mv = jax.jit(lambda o, v: o.matvec(v))
+    y = mv(op, x)
+    y.block_until_ready()
+    n_mv = 50
+    best_mv = math.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_mv):
+            y = mv(op, y)            # chain: no host round-trip per call
+        y.block_until_ready()
+        best_mv = min(best_mv, (time.perf_counter() - t0) / n_mv)
+
+    # --- full AR2 train step ----------------------------------------------
+    model = UNetSpherical(
+        tensor_info=_tensor_info(n_node), sampling="healpix",
+        sampling_kwargs=dict(kw), knn=KNN, pool_method="max",
+        increment_learning=True, numeric_precision="bfloat16")
+    params = jax.device_put(model.init(jax.random.key(0)))
+    indexer = ARIndexer.build([-3, -2, -1], [0], 1, HP64_AR)
+    area_w = AreaWeights(build_sampling("healpix", kw))
+    optimizer = optax.adam(1e-3, eps=1e-7)
+    opt_state = jax.device_put(optimizer.init(params))
+    ctx = make_context(model, area_w)
+    train_step = make_train_step(model, indexer, optimizer,
+                                 n_scan_iterations=HP64_AR + 1,
+                                 ar_training_strategy="RNN")
+    rng = np.random.default_rng(0)
+    W = indexer.window_size
+    batch = jax.device_put({
+        "dynamic": rng.standard_normal(
+            (HP64_BATCH, W, n_node, OUT_FEAT)).astype(np.float32),
+        "bc": rng.standard_normal(
+            (HP64_BATCH, W, n_node, 1)).astype(np.float32),
+        "static": rng.standard_normal(
+            (n_node, IN_FEAT - OUT_FEAT - 1)).astype(np.float32),
+    })
+    w = jnp.ones(HP64_AR + 1) / (HP64_AR + 1)
+    for _ in range(2):
+        params, opt_state, total, _ = train_step(params, opt_state, batch,
+                                                 w, ctx)
+    _ = float(total)
+    best = math.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            params, opt_state, total, _ = train_step(params, opt_state,
+                                                     batch, w, ctx)
+        _ = float(total)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "metric": "ar2_train_samples_per_sec_healpix64_b8_bf16",
+        "train_samples_per_sec": round(HP64_BATCH * repeats / best, 2),
+        "step_ms": round(best / repeats * 1e3, 2),
+        "matvec_ms_49152x1024_bf16": round(best_mv * 1e3, 3),
+    }
 
 
 # --- GPU projection for the baseline (BASELINE.md north star is vs
@@ -242,6 +342,27 @@ def main():
         }))
         sys.exit(1)
     value = bench_jax()
+
+    # HEALPix-64 BCSR regime: its own parity gate + metrics. A failed
+    # gate zeroes the hp64 block (and exits nonzero after printing) so
+    # the regression is driver-visible; an exception must not erase the
+    # primary metric.
+    hp64 = {"metric": "ar2_train_samples_per_sec_healpix64_b8_bf16"}
+    hp64_ok = True
+    try:
+        hp64["kernel_parity"] = kernel_parity(subdiv=HP64_SUBDIV,
+                                              n_cols=1024)
+        hp64_ok = hp64["kernel_parity"]["ok"]
+        if hp64_ok:
+            hp64.update(bench_healpix64())
+        else:
+            hp64.update({"train_samples_per_sec": 0.0, "step_ms": 0.0,
+                         "matvec_ms_49152x1024_bf16": 0.0})
+    except Exception as e:
+        print(f"healpix64 bench failed: {e}", file=sys.stderr)
+        hp64["error"] = str(e)
+        hp64_ok = False
+
     try:
         base = bench_torch_baseline()
     except Exception as e:  # torch baseline must never break the bench line
@@ -262,7 +383,10 @@ def main():
                     f"({base if base else 'unavailable'} samples/s)",
         "gpu_projection": gpu_projection(value),
         "kernel_parity": parity,
+        "healpix64": hp64,
     }))
+    if not hp64_ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -212,7 +212,7 @@ class TestReproducibility:
 
         def run():
             params = model.init(jax.random.key(42))
-            p, _, info = AutoregressiveTraining(
+            p, _, _, info = AutoregressiveTraining(
                 model, params,
                 training_data_dynamic=dyn, data_static=static,
                 training_data_bc=bc, scaler=scaler,
