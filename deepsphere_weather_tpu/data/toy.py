@@ -7,7 +7,11 @@ plausible fields with the same layout and statistics class:
 
 - dynamic: z500 (geopotential at 500 hPa, ~49000-58000 m^2/s^2) and t850
   (temperature at 850 hPa, ~250-300 K) with zonal structure, an annual
-  cycle, westward/eastward propagating waves and AR(1) weather noise
+  cycle, westward/eastward propagating planetary waves, synoptic-scale
+  anomalies advected by a midlatitude westerly jet (a stochastic
+  advection model — the resolvable local dynamics that make persistence
+  beatable by a local-receptive-field model, like real weather), and a
+  small static-pattern AR(1) noise floor
 - boundary conditions: TOA incident solar radiation from the actual
   declination/hour-angle geometry (reference bc variable 'tisr')
 - static: scaled orography, land-sea mask, soil type, sin(latitude)
@@ -55,6 +59,79 @@ def _smooth_modes(rng, coords: np.ndarray, n_modes: int, length: float) -> np.nd
     return np.exp(-d2 / (2 * length ** 2))        # [V, n_modes]
 
 
+def _advected_synoptic(rng, lat: np.ndarray, lon: np.ndarray,
+                       n_timesteps: int, dt_hours: float, amp: float,
+                       nlat: int = 128, corr_days: float = 5.0,
+                       u_max: float = 25.0, k_center: int = 10,
+                       lat_smooth_deg: float = 6.0) -> np.ndarray:
+    """Synoptic-scale anomalies advected by a westerly jet, [T, V] float32.
+
+    A linear stochastic advection model on a regular lat-lon grid:
+    per-latitude-row zonal spectra c[lat, k] evolve as a complex AR(1)
+    whose deterministic part is a phase rotation exp(-i*k*dlon(lat)) —
+    exact semi-Lagrangian zonal advection by u(lat) = u_max*sin(2*lat)^2
+    (westerlies peaking at +-45 deg, calm at equator/poles) — plus
+    spatially smooth innovations band-passed around zonal wavenumber
+    `k_center` and lat-smoothed over `lat_smooth_deg`.
+
+    Predictability structure (what makes this a fair weather analog):
+    persistence decorrelates in one 6 h step at jet latitudes (the field
+    moves ~k_center * u_max * dt / (R cos lat) ~ 1 rad of phase), while a
+    model that learns the local advection + damping can forecast down to
+    the innovation floor sqrt(1 - rho^2) ~ 0.3 of the field variance
+    (rho = exp(-dt / corr_days)). The displacement per step is several
+    pixels at HEALPix-64 (~0.9 deg) and ~1-2 pixels at HEALPix-16, so the
+    dynamics are resolvable by local graph-conv stencils at both scales.
+    """
+    nlon = 2 * nlat
+    nk = nlon // 2 + 1
+    dlat = 180.0 / nlat
+    grid_lat = np.deg2rad(-90.0 + dlat * (np.arange(nlat) + 0.5))
+    dt_sec = dt_hours * 3600.0
+    r_earth = 6.371e6
+
+    u = u_max * np.sin(2.0 * grid_lat) ** 2                      # [nlat]
+    dlon_step = u * dt_sec / (r_earth * np.cos(grid_lat))        # [rad]
+    k = np.arange(nk, dtype=np.float64)
+    phase = np.exp(-1j * k[None, :] * dlon_step[:, None])        # [nlat, nk]
+
+    rho = float(np.exp(-dt_hours / (24.0 * corr_days)))
+    s = np.sqrt(1.0 - rho ** 2)
+    # band-pass around k_center, zero at k=0 (no zonal-mean drift)
+    kf = (k / k_center) * np.exp(0.5 * (1.0 - (k / k_center) ** 2))
+
+    # innovations for all steps at once; lat-smoothed in one vectorized pass
+    w = (rng.standard_normal((n_timesteps, nlat, nk))
+         + 1j * rng.standard_normal((n_timesteps, nlat, nk)))
+    from scipy.ndimage import gaussian_filter1d
+    sigma_rows = lat_smooth_deg / dlat
+    w = (gaussian_filter1d(w.real, sigma_rows, axis=1)
+         + 1j * gaussian_filter1d(w.imag, sigma_rows, axis=1))
+    w *= kf[None, None, :]
+
+    # AR(1) with phase advection; c[0] = w[0] is already the stationary law
+    for t in range(1, n_timesteps):
+        w[t] = rho * phase * w[t - 1] + s * w[t]
+
+    field = np.fft.irfft(w, n=nlon, axis=2)                      # [T, nlat, nlon]
+    del w
+    field /= max(field.std(), 1e-12)
+
+    # bilinear sample at the node positions (periodic in lon)
+    fl = (np.deg2rad(lat) - grid_lat[0]) / np.deg2rad(dlat)
+    il0 = np.clip(np.floor(fl).astype(np.int64), 0, nlat - 2)
+    wl = np.clip(fl - il0, 0.0, 1.0)
+    fj = np.mod(np.deg2rad(lon), 2 * np.pi) / (2 * np.pi) * nlon
+    jl0 = np.floor(fj).astype(np.int64) % nlon
+    wj = fj - np.floor(fj)
+    jl1 = (jl0 + 1) % nlon
+    out = ((1 - wl) * (1 - wj) * field[:, il0, jl0]
+           + (1 - wl) * wj * field[:, il0, jl1]
+           + wl * (1 - wj) * field[:, il0 + 1, jl0]
+           + wl * wj * field[:, il0 + 1, jl1])
+    return (amp * out).astype(np.float32)
+
+
 def generate_toy_data(
     out_dir,
     sampling: str = "healpix",
@@ -100,7 +177,17 @@ def generate_toy_data(
     wave_z = waves(60.0, (4, 6), (8.0, 5.0))
     wave_t = waves(3.0, (5, 7), (7.0, 4.0))
 
-    # --- AR(1) weather noise on smooth spatial modes ----------------------
+    # --- synoptic anomalies advected by the westerly jet ------------------
+    # The dominant weather component: resolvable local dynamics a graph
+    # CNN can learn (persistence decorrelates in ~1 step at jet latitudes)
+    synop_z = _advected_synoptic(rng, lat, lon, n_timesteps, dt_hours,
+                                 amp=90.0)
+    synop_t = _advected_synoptic(rng, lat, lon, n_timesteps, dt_hours,
+                                 amp=4.5)
+
+    # --- AR(1) weather noise on smooth static spatial modes ---------------
+    # kept small: this component is persistent-but-unpredictable, so it
+    # sets the floor on how much any model can beat persistence
     def ar1_noise(n_modes, length, sigma, rho=0.95):
         modes = _smooth_modes(rng, coords, n_modes, length)       # [V, M]
         a = np.zeros((n_timesteps, n_modes))
@@ -109,13 +196,13 @@ def generate_toy_data(
             a[i] = rho * a[i - 1] + np.sqrt(1 - rho ** 2) * eps[i]
         return sigma * a @ modes.T                                 # [T, V]
 
-    noise_z = ar1_noise(24, 0.45, 45.0)
-    noise_t = ar1_noise(24, 0.40, 2.5)
+    noise_z = ar1_noise(24, 0.45, 20.0)
+    noise_t = ar1_noise(24, 0.40, 1.2)
 
     # geopotential stored as z [m^2/s^2] (g * height), like ERA5
     g0 = 9.80665
-    z500 = (zonal_z[None, :] + seasonal_z + wave_z + noise_z) * g0
-    t850 = zonal_t[None, :] + seasonal_t + wave_t + noise_t
+    z500 = (zonal_z[None, :] + seasonal_z + wave_z + synop_z + noise_z) * g0
+    t850 = zonal_t[None, :] + seasonal_t + wave_t + synop_t + noise_t
 
     ds_dynamic = save_dynamic(
         out_dir / "Data" / "dynamic" / "time_chunked" / "dynamic.zarr",

@@ -60,22 +60,29 @@ def main():
     ap.add_argument("--ar_iterations_prediction", type=int, default=20)
     ap.add_argument("--increment_learning", action="store_true",
                     help="round-2 failure mode, kept for reproduction only")
+    ap.add_argument("--subdivisions", type=int, default=64,
+                    help="16 = the 400 km proof-of-learnability config "
+                         "(same toy recipe/seed, writes healpix16_...json)")
     args = ap.parse_args()
 
     from deepsphere_weather_tpu.config import (get_default_settings,
                                                write_config_file)
     from deepsphere_weather_tpu.data import generate_toy_data
 
+    sub = args.subdivisions
+    n_node = 12 * sub ** 2
     t0 = time.time()
     work = Path(args.work_dir)
+    if sub != 64 and args.work_dir == "/tmp/hp64_protocol":
+        work = Path(f"/tmp/hp{sub}_protocol")
     data_dir = work / "data"
     n_steps = int(args.years * 365.25 * 4)            # 6-hourly
     marker = data_dir / f".toy_{n_steps}"
     if not marker.exists():
-        print(f"generating {n_steps} toy timesteps at HEALPix-64 ...",
+        print(f"generating {n_steps} toy timesteps at HEALPix-{sub} ...",
               flush=True)
         generate_toy_data(data_dir,
-                          sampling_kwargs={"subdivisions": 64, "nest": True},
+                          sampling_kwargs={"subdivisions": sub, "nest": True},
                           n_timesteps=n_steps, seed=11)
         marker.touch()
     t_data = time.time() - t0
@@ -83,9 +90,9 @@ def main():
 
     cfg = get_default_settings()
     cfg["model_settings"].update({
-        "sampling_name": "Healpix_100km",
+        "sampling_name": "Healpix_100km" if sub == 64 else f"Healpix_sub{sub}",
         "sampling": "healpix",
-        "sampling_kwargs": {"subdivisions": 64, "nest": True},
+        "sampling_kwargs": {"subdivisions": sub, "nest": True},
         "knn": 20,
         # reference protocol: increment learning OFF
         # (train_predict_state.py:161)
@@ -138,7 +145,7 @@ def main():
     # (iterations 0..N inclusive); match persistence to every one of them
     leadtimes = np.arange(1, args.ar_iterations_prediction + 2)
     pers = persistence_skills(test_dyn, leadtimes)
-    samp = build_sampling("healpix", {"subdivisions": 64, "nest": True})
+    samp = build_sampling("healpix", {"subdivisions": sub, "nest": True})
     area_w = np.asarray(AreaWeights(samp))
     pers_g = global_summary(pers, area_w)
 
@@ -148,7 +155,7 @@ def main():
             for m, p in zip(gs["RMSE"][:, i], pers_g["RMSE"][:, i])]
         for i, f in enumerate(feats)}
     result = {
-        "config": "UNetSpherical HEALPix-64 (100 km, 49152 nodes) knn-20 "
+        "config": f"UNetSpherical HEALPix-{sub} ({n_node} nodes) knn-20 "
                   f"bf16, AR growth 1->6 RNN lr {args.lr} clip 1.0, "
                   f"batch {args.batch}, {args.years} toy-years, "
                   f"{args.epochs} epochs, patience {args.patience}, "
@@ -166,7 +173,7 @@ def main():
         "model_over_persistence_rmse_ratio": ratios,
         "exp_dir": str(exp_path),
     }
-    out = ROOT / "docs" / "benchmarks" / "healpix64_protocol.json"
+    out = ROOT / "docs" / "benchmarks" / f"healpix{sub}_protocol.json"
     out.write_text(json.dumps(result, indent=1))
     print(f"wrote {out}")
     print(json.dumps({k: v for k, v in result.items()
