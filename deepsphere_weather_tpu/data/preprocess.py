@@ -201,17 +201,13 @@ def remap_to_sampling(field: np.ndarray, dst: Sampling,
     return out[0] if single else out
 
 
-def remap_grib_files(paths: Sequence, dst: Sampling,
-                     variables: Optional[Sequence[str]] = None
-                     ) -> Dict[str, np.ndarray]:
-    """Batch GRIB -> sampling remap (reference my_remap.py:198-337).
+# static variables the reference remaps file-per-file
+# (reference my_remap.py:56-63 get_available_static_variables)
+STATIC_VARIABLES = ("topography", "land_sea_mask", "soil_type")
 
-    Reads each GRIB file (requires `cfgrib`, not bundled in this image —
-    gated with a clear error), remaps every requested variable onto `dst`
-    using its per-variable method (conservative vs largest_area_fraction),
-    and returns {variable: [time..., node]} arrays ready for
-    `zarrify_raw_data`.
-    """
+
+def _default_grib_reader(path):
+    """Read one GRIB file into ({var: [T, nlat, nlon]}, time) via cfgrib."""
     try:
         import cfgrib  # noqa: F401
         import xarray as xr
@@ -219,23 +215,133 @@ def remap_grib_files(paths: Sequence, dst: Sampling,
         raise ImportError(
             "GRIB ingest needs the optional 'cfgrib' (eccodes) stack, "
             "which is not installed in this environment. Convert GRIB to "
-            "netCDF upstream, or install cfgrib — the per-variable remap "
-            "itself (remap_to_sampling + get_variable_interp_method) is "
-            "format-independent.") from e
+            "netCDF upstream, pass your own `reader`, or install cfgrib — "
+            "the remap itself (remap_to_sampling + "
+            "get_variable_interp_method) is format-independent.") from e
+    ds = xr.open_dataset(path, engine="cfgrib")
+    fields = {}
+    for name in ds.data_vars:
+        arr = np.asarray(ds[name].values, dtype=np.float32)
+        fields[name] = arr[None] if arr.ndim == 2 else arr
+    time = np.atleast_1d(np.asarray(ds["time"].values, dtype="datetime64[ns]")
+                         ) if "time" in ds else None
+    return fields, time
 
-    out: Dict[str, List[np.ndarray]] = {}
-    for path in paths:
-        ds = xr.open_dataset(path, engine="cfgrib")
-        names = variables if variables is not None else list(ds.data_vars)
-        for name in names:
-            da = ds[name]
-            field = np.asarray(da.values, dtype=np.float32)
-            if field.ndim == 2:
-                field = field[None]
-            vals = remap_to_sampling(
-                field, dst, method=get_variable_interp_method(name))
-            out.setdefault(name, []).append(vals)
-    return {k: np.concatenate(v, axis=0) for k, v in out.items()}
+
+def _load_or_build_weights(weights_dir, method: str, src_shape, dst: Sampling,
+                           src_name: str, dst_name: str) -> sparse.csr_matrix:
+    """Per-(method, src, dst) weight FILE cache, like the reference's CDO
+    weight files (my_remap.py:320-330 get_cdo_weights_filename +
+    precompute_weights)."""
+    weights_dir = Path(weights_dir)
+    weights_dir.mkdir(parents=True, exist_ok=True)
+    fname = f"weights_{method}_{src_name}_{dst_name}.npz"
+    fpath = weights_dir / fname
+    if fpath.exists():
+        z = np.load(fpath)
+        return sparse.csr_matrix((z["data"], z["indices"], z["indptr"]),
+                                 shape=tuple(z["shape"]))
+    nlat, nlon = src_shape
+    W = remap_weights_for_grid(nlat, nlon, dst, cache=False, method=method)
+    np.savez_compressed(fpath, data=W.data, indices=W.indices,
+                        indptr=W.indptr, shape=np.asarray(W.shape))
+    return W
+
+
+def remap_grib_files(data_dir, dataset: str, sampling_name: str,
+                     variable_type: str, dst: Sampling,
+                     weights_dir=None, force_remapping: bool = False,
+                     reader=None, verbose: bool = True) -> List[Path]:
+    """Batch GRIB -> sampling remap driver (reference my_remap.py:198-337).
+
+    Mirrors the reference's directory contract: inputs under
+    ``<data_dir>/<dataset>/<native_grid>/<variable_type>/<variable>/**/*.grib``
+    are remapped onto `dst` and written to the same tree with
+    ``<native_grid>`` replaced by `sampling_name` and extension ``.npz``
+    (the reference writes netCDF via CDO; this framework's canonical
+    ingest consumes arrays, so outputs are {var: [T, node], time} npz
+    ready for `zarrify_raw_data`). Reproduced behaviors:
+
+    - per-variable interpolation method (conservative for continuous
+      fields, largest_area_fraction for categoricals — my_remap.py:75-88)
+    - per-(method, src-grid, dst-sampling) weight-file caching
+      (my_remap.py:320-330), default ``<data_dir>/weights/``
+    - skip-already-remapped outputs unless `force_remapping`
+      (my_remap.py:303-313)
+    - static vs dynamic variable sets (my_remap.py:281-284)
+
+    `reader(path) -> ({var: [T, nlat, nlon]}, time)` defaults to the
+    cfgrib/xarray stack (optional dependency, gated with a clear error);
+    tests inject a synthetic reader. Returns the written output paths.
+    """
+    if variable_type not in ("static", "dynamic"):
+        raise ValueError("variable_type must be 'static' or 'dynamic'")
+    if dataset not in NATIVE_GRIDS:
+        raise ValueError(f"unknown dataset {dataset!r}; one of "
+                         f"{sorted(NATIVE_GRIDS)}")
+    data_dir = Path(data_dir)
+    native = NATIVE_GRIDS[dataset]
+    if weights_dir is None:
+        weights_dir = data_dir / "weights"
+    if reader is None:
+        reader = _default_grib_reader
+
+    variables = (list(STATIC_VARIABLES) if variable_type == "static"
+                 else ["dynamic_variables"])
+    written: List[Path] = []
+    for variable in variables:
+        src_dir = data_dir / dataset / native / variable_type / variable
+        dst_dir = data_dir / dataset / sampling_name / variable_type / variable
+        src_fpaths = sorted(src_dir.glob("**/*.grib"))
+        if not src_fpaths:
+            if verbose:
+                print(f"{variable} data are not available")
+            continue
+        if verbose:
+            print(f"Remapping {variable} from {native} to {sampling_name}")
+        dst_fpaths = [dst_dir / p.relative_to(src_dir).with_suffix(".npz")
+                      for p in src_fpaths]
+        if not force_remapping:
+            keep = [not d.exists() for d in dst_fpaths]
+            src_fpaths = [s for s, k in zip(src_fpaths, keep) if k]
+            dst_fpaths = [d for d, k in zip(dst_fpaths, keep) if k]
+            if not src_fpaths:
+                if verbose:
+                    print("Data were already remapped. Set "
+                          "force_remapping=True to force remapping.")
+                continue
+        method = get_variable_interp_method(variable)
+        weights = None
+        for src_fp, dst_fp in zip(src_fpaths, dst_fpaths):
+            fields, time = reader(src_fp)
+            out: Dict[str, np.ndarray] = {}
+            for name, field in fields.items():
+                field = np.asarray(field, dtype=np.float32)
+                if field.ndim == 2:
+                    field = field[None]
+                # dynamic_variables folders hold multi-variable files; the
+                # method is still per-VARIABLE inside them (reference
+                # get_variable_interp_method falls through to the name)
+                m = (get_variable_interp_method(name)
+                     if variable == "dynamic_variables" else method)
+                if m == method:
+                    if weights is None:
+                        weights = _load_or_build_weights(
+                            weights_dir, method, field.shape[1:], dst,
+                            native, sampling_name)
+                    W = weights
+                else:
+                    W = _load_or_build_weights(
+                        weights_dir, m, field.shape[1:], dst,
+                        native, sampling_name)
+                out[name] = remap_to_sampling(field, dst, weights=W)
+            dst_fp.parent.mkdir(parents=True, exist_ok=True)
+            payload = dict(out, lat=dst.lat, lon=dst.lon)
+            if time is not None:
+                payload["time"] = np.asarray(time).view(np.int64)
+            np.savez_compressed(dst_fp, **payload)
+            written.append(dst_fp)
+    return written
 
 
 # ---------------------------------------------------------------------------
