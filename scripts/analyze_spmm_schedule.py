@@ -56,7 +56,8 @@ def main() -> int:
     ap.add_argument("--block-size", type=int, default=128)
     args = ap.parse_args()
 
-    from deepsphere_weather_tpu.ops.pallas_spmm import _slot_schedule
+    from deepsphere_weather_tpu.ops.pallas_spmm import (_slot_schedule,
+                                                        _super_m_tile)
     from deepsphere_weather_tpu.sphere.graph import build_graph
 
     bs, R = args.block_size, args.rows_per_super
@@ -79,12 +80,30 @@ def main() -> int:
         n_cp = sum(len(p[1]) for p in plans)
         n_stay = sum(len(p[0]) for p in plans)
         nur = float(np.mean([len(runs(list(c))) for c in sets]))
+        # full HBM traffic model at the bench column count (bf16 x):
+        # the scheduled kernel's grid is (n_mt, n_s) with super-rows
+        # fastest, so the A super-row blocks are re-fetched from HBM
+        # n_mt times per matvec (the plain kernel's m-fast grid order
+        # fetches A once) — when the VMEM budget forces m_tile < M,
+        # the A re-reads can offset the x-traffic savings
+        M = 1024
+        import jax.numpy as jnp
+        mt = _super_m_tile(max_u, R, bs, M, jnp.bfloat16, jnp.bfloat16, M)
+        n_mt = M // mt
+        a_bytes = n_s * R * bs * max_u * bs * 2
+        x_bytes = n_new * bs * mt * 2 * n_mt        # news re-issue per pass
+        o_bytes = n_s * R * bs * M * 2
+        tot = n_mt * a_bytes + x_bytes + o_bytes
         print(f"HEALPix-{subdiv} R={R} knn={args.knn}: "
               f"n_s={n_s} max_u={max_u} | "
               f"union/sr={n_union/n_s:.1f} ({nur:.1f} runs) -> "
               f"new/sr={n_new/n_s:.1f} cp/sr={n_cp/n_s:.1f} "
               f"stay/sr={n_stay/n_s:.1f} | "
-              f"x-mult {n_union/nb:.2f} -> {n_new/nb:.2f}")
+              f"x-mult {n_union/nb:.2f} -> {n_new/nb:.2f} | "
+              f"bf16 M={M}: mt={mt} n_mt={n_mt} "
+              f"A={n_mt*a_bytes/1e6:.0f} x={x_bytes/1e6:.0f} "
+              f"out={o_bytes/1e6:.0f} total={tot/1e6:.0f} MB "
+              f"(roofline ~{tot/819e9*1e3:.2f} ms at 819 GB/s)")
     return 0
 
 
