@@ -162,6 +162,33 @@ class TestToyData:
         assert tisr.min() >= 0 and tisr.max() < 1500
         assert static.read_stacked().shape == (192, 4)
 
+    def test_advected_synoptic_structure(self):
+        """The synoptic component must carry resolvable advective
+        dynamics (round-3 flagship fix): persistence decorrelates at jet
+        latitudes while the innovation floor stays far below it — the
+        property that makes persistence beatable by a local model."""
+        from deepsphere_weather_tpu.data.toy import _advected_synoptic
+        from deepsphere_weather_tpu.sphere import build_sampling
+
+        samp = build_sampling("healpix", {"subdivisions": 8, "nest": True})
+        rng = np.random.default_rng(1)
+        f = _advected_synoptic(rng, samp.lat, samp.lon, 200, 6.0, amp=1.0)
+        assert f.shape == (200, samp.n_nodes)
+        # deterministic under a fixed seed
+        f2 = _advected_synoptic(np.random.default_rng(1), samp.lat,
+                                samp.lon, 200, 6.0, amp=1.0)
+        np.testing.assert_array_equal(f, f2)
+        # one-step persistence error is large at jet latitudes vs calm
+        # equator (advection, not noise, dominates the decorrelation)
+        e1 = f[1:] - f[:-1]
+        mid = (np.abs(samp.lat) > 30) & (np.abs(samp.lat) < 60)
+        eq = np.abs(samp.lat) < 15
+        rms = lambda a: float(np.sqrt((a ** 2).mean()))
+        assert rms(e1[:, mid]) > 2.5 * rms(e1[:, eq])
+        # overall: persistence loses most of a sigma in one step, while
+        # the AR(1) innovation floor (sqrt(1-rho^2) ~ 0.31) stays low
+        assert 0.6 * f.std() < rms(e1) < 1.2 * f.std()
+
 
 class TestScalers:
     def test_standard_roundtrip(self, toy, tmp_path):
