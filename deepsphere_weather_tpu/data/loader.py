@@ -66,12 +66,15 @@ class AutoregressiveDataset:
         # fancy-index. Cuts host batch-assembly from ~20 ms to ~2 ms at
         # HEALPix-16 — the producer-side cost that was pacing training.
         # 'auto' preloads when the scaled mirror fits DSW_PRELOAD_BYTES
-        # (default 2 GB); big stores (HEALPix-64 ERA5 is ~30 GB) fall back
-        # to windowed reads through the decompressed-chunk cache.
+        # (default 6 GB — TPU hosts have large RAM, and a too-small cap
+        # silently demotes HEALPix-64 multi-year runs to the streaming
+        # loader, which paced round-2's flagship protocol at <1 sample/s);
+        # big stores (HEALPix-64 ERA5 is ~30 GB) fall back to windowed
+        # reads through the decompressed-chunk cache.
         self._mirror = None
         if preload is True or preload == "auto":
             import os
-            budget = int(os.environ.get("DSW_PRELOAD_BYTES", 2 << 30))
+            budget = int(os.environ.get("DSW_PRELOAD_BYTES", 6 << 30))
             nbytes = (data_dynamic.n_time * data_dynamic.n_node
                       * data_dynamic.n_feature * 4)
             if data_bc is not None:

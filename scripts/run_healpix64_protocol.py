@@ -111,6 +111,10 @@ def main():
         "early_stopping_patience": args.patience,
         "early_stopping_minimum_improvement": args.min_improvement,
         "numeric_precision": "bfloat16",
+        # batch-16 AR6 activations at 49k nodes + the 3.1 GB device-
+        # resident dataset cache need rematerialization to stay inside
+        # one v5e's HBM (gradients bit-match the plain path)
+        "remat": sub >= 64,
     })
     cfg["ar_settings"].update({
         "input_k": [-3, -2, -1], "output_k": [0], "forecast_cycle": 1,
