@@ -116,8 +116,12 @@ class GlobalStandardScaler(_BaseScaler):
     def fit(self, data: np.ndarray, feature_order=None) -> "GlobalStandardScaler":
         """data: [T, V, F] (fits over time and node). Constant features
         (std 0) scale by 1 so transform stays finite."""
-        self.mean = data.mean(axis=(0, 1)).astype(np.float64)
-        std = data.std(axis=(0, 1)).astype(np.float64)
+        # float64 ACCUMULATORS, not post-hoc casts: naive float32
+        # summation over a [T, V, F] HEALPix-64 block measured 46% mean
+        # error (29165 vs 54262 for z500) — the strided axis-(0,1)
+        # reduction does not get numpy's pairwise protection
+        self.mean = data.mean(axis=(0, 1), dtype=np.float64)
+        std = data.std(axis=(0, 1), dtype=np.float64)
         self.std = np.where(std > 0, std, 1.0)
         self.feature_order = feature_order
         return self
@@ -238,8 +242,8 @@ class AnomalyScaler(_BaseScaler):
             sel = gidx == g
             if sel.any():
                 fitted[g] = True
-                mean[g] = data[sel].mean(axis=0)
-                s = data[sel].std(axis=0)
+                mean[g] = data[sel].mean(axis=0, dtype=np.float64)
+                s = data[sel].std(axis=0, dtype=np.float64)
                 std[g] = np.where(s > 0, s, 1.0)
         self.mean, self.std = mean, std
         self.fitted = fitted

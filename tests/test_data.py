@@ -439,6 +439,24 @@ class TestLoaderBackpressure:
         assert threading.active_count() <= before + 1
 
 
+class TestScalerFitAccumulation:
+    def test_float32_fit_uses_float64_accumulators(self):
+        """Round-3 regression: naive float32 summation over a large
+        [T, V, F] block gave 46% mean error at HEALPix-64 scale (z500
+        mean 29165 vs 54262) — fit must reduce with float64
+        accumulators."""
+        from deepsphere_weather_tpu.data.scalers import GlobalStandardScaler
+
+        rng = np.random.default_rng(0)
+        # big offset + many elements: naive float32 accumulation stalls
+        # once the partial sum exceeds 2^24 * value
+        data = (54000.0 + 1400.0 * rng.standard_normal(
+            (400, 20000, 1))).astype(np.float32)
+        sc = GlobalStandardScaler().fit(data)
+        assert abs(sc.mean[0] - 54000.0) < 5.0
+        assert abs(sc.std[0] - 1400.0) < 5.0
+
+
 class TestScalerGuards:
     def test_constant_feature_std_guard(self):
         from deepsphere_weather_tpu.data.scalers import (
