@@ -462,15 +462,15 @@ def _spmm_kernel_super(ucols_ref, a_ref, x_hbm, o_ref,
             union_dma(cur_buf, cur_sem, u, s, m).wait()
 
         x_all = cur_buf[:]              # [max_u*bs, mt]
+        a_all = a_ref[0].reshape(R * bs, max_u * bs)
         if cast is not None:
             x_all = x_all.astype(cast)
-        for r in range(R):              # one deep matmul per row
-            a_row = a_ref[0, r]         # [bs, max_u*bs]
-            if cast is not None:
-                a_row = a_row.astype(cast)
-            o_ref[pl.ds(r * bs, bs), :] = jnp.dot(
-                a_row, x_all, preferred_element_type=jnp.float32,
-                precision=precision).astype(out_dtype)
+            a_all = a_all.astype(cast)
+        # ONE [R*bs, max_u*bs] @ [max_u*bs, mt] matmul for the whole
+        # super-row (see _spmm_kernel_super_sched)
+        o_ref[...] = jnp.dot(
+            a_all, x_all, preferred_element_type=jnp.float32,
+            precision=precision).astype(out_dtype)
 
     @pl.when(lin % 2 == 0)
     def _():
@@ -519,11 +519,13 @@ def _spmm_kernel_super_sched(sched_ref, a_ref, x_hbm, o_ref,
     s_nxt = (lin + 1) % n_s
     m_nxt = (lin + 1) // n_s
 
-    def start_sched(cur_buf, oth_buf, oth_sem, s_, m_):
-        # new blocks: HBM -> scheduled slot of the destination buffer
+    def start_new(oth_buf, oth_sem, s_, m_):
+        # new blocks: HBM -> scheduled slot of the destination buffer.
+        # These touch only the DESTINATION parity buffer, so they are
+        # issued BEFORE this step's waits: the HBM transfers run under
+        # both the waits and the compute
         w0 = sched_ref[s_, 0]
         n_new = w0 % _SCHED_RADIX
-        n_cp = w0 // _SCHED_RADIX
 
         def new_body(j, carry):
             v = sched_ref[s_, 1 + j]
@@ -537,7 +539,14 @@ def _spmm_kernel_super_sched(sched_ref, a_ref, x_hbm, o_ref,
 
         lax.fori_loop(0, n_new, new_body, 0)
 
-        # overlap blocks: VMEM -> VMEM from the other parity buffer
+    def start_cp(cur_buf, oth_buf, oth_sem, s_):
+        # overlap blocks: VMEM -> VMEM from the other parity buffer.
+        # These READ cur_buf, which is only final after this step's
+        # waits — the ordering invariant applies to copies alone
+        w0 = sched_ref[s_, 0]
+        n_new = w0 % _SCHED_RADIX
+        n_cp = w0 // _SCHED_RADIX
+
         def cp_body(j, carry):
             v = sched_ref[s_, 1 + n_new + j]
             src = v // max_u
@@ -575,24 +584,32 @@ def _spmm_kernel_super_sched(sched_ref, a_ref, x_hbm, o_ref,
     def body(cur_buf, cur_sem, oth_buf, oth_sem):
         @pl.when(lin == 0)
         def _():
-            start_sched(oth_buf, cur_buf, cur_sem, s, m)
+            start_new(cur_buf, cur_sem, s, m)
+            start_cp(oth_buf, cur_buf, cur_sem, s)   # rows 0/1: no copies
+
+        # next step's HBM news don't touch cur_buf: issue them before the
+        # waits so they run under this step's waits AND compute
+        @pl.when(lin + 1 < n_mt * n_s)
+        def _():
+            start_new(oth_buf, oth_sem, s_nxt, m_nxt)
 
         wait_sched(cur_buf, cur_sem)
 
         @pl.when(lin + 1 < n_mt * n_s)
         def _():
-            start_sched(cur_buf, oth_buf, oth_sem, s_nxt, m_nxt)
+            start_cp(cur_buf, oth_buf, oth_sem, s_nxt)
 
         x_all = cur_buf[:]              # [max_u*bs, mt]
+        a_all = a_ref[0].reshape(R * bs, max_u * bs)
         if cast is not None:
             x_all = x_all.astype(cast)
-        for r in range(R):              # one deep matmul per row
-            a_row = a_ref[0, r]         # [bs, max_u*bs]
-            if cast is not None:
-                a_row = a_row.astype(cast)
-            o_ref[pl.ds(r * bs, bs), :] = jnp.dot(
-                a_row, x_all, preferred_element_type=jnp.float32,
-                precision=precision).astype(out_dtype)
+            a_all = a_all.astype(cast)
+        # ONE [R*bs, max_u*bs] @ [max_u*bs, mt] matmul for the whole
+        # super-row: deeper M fills the MXU pipeline better than R
+        # separate per-row matmuls (and loads x_all once)
+        o_ref[...] = jnp.dot(
+            a_all, x_all, preferred_element_type=jnp.float32,
+            precision=precision).astype(out_dtype)
 
     @pl.when(lin % 2 == 0)
     def _():
