@@ -167,12 +167,17 @@ def make_ar_loss_fn(model, indexer: ARIndexer,
             return (dyn_buf, written), ys
 
         # fully unrolled: AR depth is small (<= ~20) and unrolling lets XLA
-        # overlap/fuse across iterations (measured ~7% step-time win)
+        # overlap/fuse across iterations (measured ~7% step-time win).
+        # EXCEPT under remat: unroll x jax.checkpoint multiplies the XLA
+        # graph by the AR depth (each unrolled iteration carries its own
+        # rematerialized backward) — the HEALPix-64 AR6 remat BPTT step
+        # measured a ~45+ min compile unrolled vs minutes rolled, for a
+        # one-time ~7% execution win that remat's recompute swamps anyway
         step_fn = jax.checkpoint(step) if remat else step
         carry0 = (dyn, jnp.zeros((W,), dtype=bool))
         _, ys = jax.lax.scan(step_fn, carry0,
                              jnp.arange(n_scan_iterations),
-                             unroll=True)
+                             unroll=not remat)
         losses, stats = ys if collect_stats else (ys, None)
         w = ar_weights[:n_scan_iterations]
         w = w / jnp.maximum(w.sum(), 1e-12)
