@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--subdivisions", type=int, default=64,
                     help="16 = the 400 km proof-of-learnability config "
                          "(same toy recipe/seed, writes healpix16_...json)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue the existing exp dir from its last "
+                         "per-epoch checkpoint (params + optimizer + "
+                         "AR-scheduler + early-stopping state)")
     args = ap.parse_args()
 
     from deepsphere_weather_tpu.config import (get_default_settings,
@@ -128,7 +132,8 @@ def main():
 
     t1 = time.time()
     exp_path, gs = train_main(
-        cfg_path, data_dir, work / "exp", force=True,
+        cfg_path, data_dir, work / "exp", force=not args.resume,
+        resume=args.resume,
         ar_iterations_prediction=args.ar_iterations_prediction, verbose=True)
     t_train = time.time() - t1
 
