@@ -157,10 +157,13 @@ def kernel_parity(subdiv: int = SUBDIV, n_cols: int = 256) -> dict:
         err = float(np.abs(y - ref).max() / scale)
         out[f"rel_err_{name}"] = round(err, 8)
         out["ok"] = out["ok"] and err < tol
-    # backward through the custom VJP: d/dx sum((Lx)^2) = 2 L^T L x
+    # backward through the custom VJP: d/dx sum((Lx)^2) = 2 L^T L x.
+    # The operator is an ARGUMENT, not a closure: closed over, its BCSR
+    # value arrays (~327 MB fp32 at HEALPix-64) embed as HLO constants
+    # and overflow this runtime's remote-compile request (HTTP 413)
     op = BlockSparseOperator.from_scipy(g.L, symmetric=True, dtype=np.float32)
-    gfn = jax.jit(jax.grad(lambda v: (mv(op, v) ** 2).sum()))
-    gy = np.asarray(gfn(jnp.asarray(x_np)), np.float32)
+    gfn = jax.jit(jax.grad(lambda v, o: (mv(o, v) ** 2).sum()))
+    gy = np.asarray(gfn(jnp.asarray(x_np), op), np.float32)
     gref = 2.0 * (g.L.T @ (g.L @ x_np))
     gerr = float(np.abs(gy - gref).max() / max(float(np.abs(gref).max()), 1e-30))
     out["rel_err_grad_fp32"] = round(gerr, 8)
