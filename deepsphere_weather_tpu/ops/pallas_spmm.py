@@ -521,9 +521,9 @@ def _spmm_kernel_super_sched(sched_ref, a_ref, x_hbm, o_ref,
 
     def start_new(oth_buf, oth_sem, s_, m_):
         # new blocks: HBM -> scheduled slot of the destination buffer.
-        # These touch only the DESTINATION parity buffer, so they are
-        # issued BEFORE this step's waits: the HBM transfers run under
-        # both the waits and the compute
+        # Issued only after this step's waits (see body): an earlier
+        # variant issued them pre-wait and raced the previous step's
+        # in-flight copies reading the destination buffer
         w0 = sched_ref[s_, 0]
         n_new = w0 % _SCHED_RADIX
 
@@ -541,8 +541,7 @@ def _spmm_kernel_super_sched(sched_ref, a_ref, x_hbm, o_ref,
 
     def start_cp(cur_buf, oth_buf, oth_sem, s_):
         # overlap blocks: VMEM -> VMEM from the other parity buffer.
-        # These READ cur_buf, which is only final after this step's
-        # waits — the ordering invariant applies to copies alone
+        # These READ cur_buf, which is only final after this step's waits
         w0 = sched_ref[s_, 0]
         n_new = w0 % _SCHED_RADIX
         n_cp = w0 // _SCHED_RADIX
@@ -587,16 +586,19 @@ def _spmm_kernel_super_sched(sched_ref, a_ref, x_hbm, o_ref,
             start_new(cur_buf, cur_sem, s, m)
             start_cp(oth_buf, cur_buf, cur_sem, s)   # rows 0/1: no copies
 
-        # next step's HBM news don't touch cur_buf: issue them before the
-        # waits so they run under this step's waits AND compute
+        wait_sched(cur_buf, cur_sem)
+
+        # next step's transfers are issued only AFTER this step's waits:
+        # the waits cover the COPY DMAs issued last step, which READ the
+        # other parity buffer — a NEW DMA whose destination slot equals an
+        # in-flight copy's source slot would corrupt that read (a real
+        # write-after-read DMA race: 1 of 12 news collides in the first
+        # HEALPix-16 knn-20 m-pass). Issuing news before the waits
+        # measured perf-neutral anyway (round-3 notes,
+        # docs/benchmarks/README.md), so ordering buys safety for free.
         @pl.when(lin + 1 < n_mt * n_s)
         def _():
             start_new(oth_buf, oth_sem, s_nxt, m_nxt)
-
-        wait_sched(cur_buf, cur_sem)
-
-        @pl.when(lin + 1 < n_mt * n_s)
-        def _():
             start_cp(cur_buf, oth_buf, oth_sem, s_nxt)
 
         x_all = cur_buf[:]              # [max_u*bs, mt]

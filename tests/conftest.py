@@ -22,9 +22,12 @@ os.environ.setdefault("DSW_TPU_CACHE", os.path.join(_cache_root, "dsw_tpu_test_c
 
 # The axon TPU plugin in this image registers itself regardless of
 # JAX_PLATFORMS; jax.config.update before first backend use does win.
+# DSW_TPU_TESTS=1 (the documented `pytest -m tpu` invocation) keeps the
+# real backend so the on-hardware kernel gate actually runs on the chip.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("DSW_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compilation cache: the suite is dominated by CPU compiles
 # of the same jitted programs run-to-run; caching them cuts repeat runs
