@@ -371,20 +371,25 @@ def main():
     except Exception as e:  # torch baseline must never break the bench line
         print(f"torch baseline failed: {e}", file=sys.stderr)
         base = None
-    vs = value / base if base else 1.0
+    vs_cpu = value / base if base else 1.0
+    proj = gpu_projection(value)
     print(json.dumps({
         "metric": "ar6_train_samples_per_sec_healpix16_b16",
         "value": round(value, 2),
         "unit": "samples/s",
-        # vs_baseline compares against the torch REFERENCE STACK measured
-        # on this host's CPU (no NVIDIA GPU exists here) — the duplicate
-        # key below names that honestly; gpu_projection carries the
-        # derived bound vs the reference's own GPU
-        "vs_baseline": round(vs, 2),
-        "vs_baseline_cpu_torch": round(vs, 2),
-        "baseline": "torch reference stack on host CPU "
-                    f"({base if base else 'unavailable'} samples/s)",
-        "gpu_projection": gpu_projection(value),
+        # HEADLINE vs_baseline is the honest comparison the north star
+        # asks for (vs PyTorch on the reference's own GPU): the LOWER
+        # bound of the estimated eager-torch band — i.e. assuming the
+        # reference ran at an optimistic 30% of its GPU's fp32 peak.
+        # The raw CPU multiple (the only baseline measurable in this
+        # GPU-less environment) stays as vs_baseline_cpu_torch.
+        "vs_baseline": proj["vs_estimated_gpu"][0],
+        "baseline": "PyTorch reference on its own GPU (derived band; "
+                    "conservative end — see gpu_projection). Measured "
+                    "torch-on-host-CPU baseline: "
+                    f"{base if base else 'unavailable'} samples/s",
+        "vs_baseline_cpu_torch": round(vs_cpu, 2),
+        "gpu_projection": proj,
         "kernel_parity": parity,
         "healpix64": hp64,
     }))

@@ -33,14 +33,30 @@ def _make_optimizer(training_settings):
     """Adam(lr, eps=1e-7) (reference: train_predict_state.py:334) with
     optional global-norm gradient clipping (training_settings
     .gradient_clipping > 0 — RNN-strategy BPTT stabilizer, off by
-    default for reference parity)."""
+    default for reference parity). When the lr-decay levers
+    (lr_decay_on_growth / lr_plateau_decay) are active, the optimizer is
+    wrapped in optax.inject_hyperparams so the training loop can mutate
+    the learning rate between steps without recompiling the jitted step
+    (engine/training.py::_set_opt_lr). The wrap changes the opt-state
+    pytree (hyperparams leaves), so it is applied only when requested —
+    plain runs keep checkpoint compatibility."""
     import optax
 
-    opt = optax.adam(training_settings["learning_rate"], eps=1e-7)
     clip = float(training_settings.get("gradient_clipping", 0.0) or 0.0)
-    if clip > 0:
-        opt = optax.chain(optax.clip_by_global_norm(clip), opt)
-    return opt
+
+    def build(learning_rate):
+        opt = optax.adam(learning_rate, eps=1e-7)
+        if clip > 0:
+            opt = optax.chain(optax.clip_by_global_norm(clip), opt)
+        return opt
+
+    needs_lr_injection = (
+        float(training_settings.get("lr_decay_on_growth", 1.0)) != 1.0
+        or float(training_settings.get("lr_plateau_decay", 0.0) or 0.0) > 0)
+    if needs_lr_injection:
+        return optax.inject_hyperparams(build)(
+            learning_rate=float(training_settings["learning_rate"]))
+    return build(training_settings["learning_rate"])
 
 
 def main(cfg_path, data_dir, exp_dir, force: bool = False,
@@ -178,6 +194,17 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         params = ck.load_model(params)
         if getattr(model, "has_batch_norm", False):
             initial_norm_state = ck.load_norm_state(model.init_norm_state())
+            if initial_norm_state is None:
+                # mirror predict.py: resuming trained BN params with
+                # freshly initialized running stats (mean 0 / var 1)
+                # silently corrupts eval-mode validation — and with it
+                # early stopping and AR-growth decisions — until the
+                # momentum-0.1 updates re-converge
+                raise FileNotFoundError(
+                    f"--resume: batch_norm model but no running stats at "
+                    f"{exp_path / 'model_weights' / 'norm_state.npz'} "
+                    "(checkpoint predates norm-state saving?). Re-estimate "
+                    "them via prob.bn.bn_update, or retrain.")
         sched_state = ck.load_scheduler_state()
         if sched_state is not None:
             from ..engine import ARScheduler, EarlyStopping
@@ -201,7 +228,10 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     area_w = AreaWeights(samp)
     optimizer = _make_optimizer(training_settings)
     ar_scheduler = resumed_scheduler or ARScheduler(
-        method="LinearStep", factor=0.0005, fixed_ar_weights=[0]
+        method=str(training_settings.get("ar_scheduler_method",
+                                         "LinearStep")),
+        factor=float(training_settings.get("ar_scheduler_factor", 0.0005)),
+        fixed_ar_weights=[0]
         if training_settings["ar_training_strategy"] == "RNN" else [],
         initial_ar_absolute_weights=[1, 1],
         max_ar_iterations=ar_settings["ar_iterations"])
@@ -244,6 +274,15 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         optimizer=optimizer,
         ar_scheduler=ar_scheduler,
         early_stopping=early_stopping,
+        early_stopping_reset_on_growth=str(
+            training_settings.get("early_stopping_reset_on_growth",
+                                  "counter")),
+        lr_decay_on_growth=float(
+            training_settings.get("lr_decay_on_growth", 1.0)),
+        lr_plateau_decay=float(
+            training_settings.get("lr_plateau_decay", 0.0) or 0.0),
+        lr_plateau_max_decays=int(
+            training_settings.get("lr_plateau_max_decays", 2)),
         epochs=training_settings["epochs"],
         training_batch_size=training_settings["training_batch_size"],
         validation_batch_size=training_settings["validation_batch_size"],

@@ -111,6 +111,32 @@ def get_default_training_settings() -> Dict:
         "early_stopping_patience": None,
         "early_stopping_minimum_improvement": 0.0,
         "early_stopping_minimum_iterations": 4,
+        # AR loss-weight growth schedule (reference hard-codes
+        # AR_Scheduler(method="LinearStep", factor=0.0005) in the driver,
+        # train_predict_state.py:345-359). At factor 0.0005 a newly grown
+        # AR iteration needs 2000 scoring intervals to reach weight 1.0 —
+        # far beyond any realistic run, so late leadtimes train with
+        # near-zero weight. Raise the factor (e.g. 0.05) when long-lead
+        # skill matters more than schedule parity.
+        "ar_scheduler_method": "LinearStep",
+        "ar_scheduler_factor": 0.0005,
+        # Per-AR-stage convergence levers (defaults = reference parity).
+        # "counter" keeps reference semantics: the best validation loss
+        # survives an AR growth, so later stages inherit a plateau judged
+        # against an EASIER loss definition and each stage lasts at most
+        # `patience` intervals once the loss scale shifts up. "full" also
+        # resets the best (and minimum_iterations clock) at each growth,
+        # so every AR stage trains until it plateaus on its OWN loss.
+        "early_stopping_reset_on_growth": "counter",
+        # multiply the learning rate by this at each AR growth (1.0 = off)
+        "lr_decay_on_growth": 1.0,
+        # ReduceLROnPlateau at the FINAL AR stage: when patience runs out
+        # at max AR iterations, decay the lr by this factor and fully
+        # reset early stopping instead of stopping, at most
+        # lr_plateau_max_decays times (0.0 = off -> stop immediately,
+        # reference parity). Trains the AR6 stage to actual convergence.
+        "lr_plateau_decay": 0.0,
+        "lr_plateau_max_decays": 2,
         # global-norm gradient clipping (0 = off, reference parity).
         # RNN-strategy BPTT through a full AR6 rollout can blow up in one
         # step at the reference's lr=0.007 (measured: loss 0.03 -> 1e27 at

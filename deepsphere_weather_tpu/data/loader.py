@@ -75,6 +75,12 @@ class AutoregressiveDataset:
         if preload is True or preload == "auto":
             import os
             budget = int(os.environ.get("DSW_PRELOAD_BYTES", 6 << 30))
+            # never claim more than half of what the host actually has
+            # free right now: the 6 GB default would swap/OOM smaller
+            # hosts that previously fell back to windowed streaming
+            avail = self._available_memory_bytes()
+            if avail is not None:
+                budget = min(budget, avail // 2)
             nbytes = (data_dynamic.n_time * data_dynamic.n_node
                       * data_dynamic.n_feature * 4)
             if data_bc is not None:
@@ -82,6 +88,25 @@ class AutoregressiveDataset:
                            * data_bc.n_feature * 4)
             if preload is True or nbytes <= budget:
                 self._build_mirror()
+            elif preload == "auto":
+                import warnings
+                warnings.warn(
+                    f"preload='auto': pre-scaled mirror ({nbytes / 1e9:.1f} "
+                    f"GB) exceeds the budget ({budget / 1e9:.1f} GB = "
+                    "min(DSW_PRELOAD_BYTES, half of free RAM)) — using the "
+                    "windowed streaming reader", stacklevel=2)
+
+    @staticmethod
+    def _available_memory_bytes():
+        """MemAvailable from /proc/meminfo (Linux); None if unreadable."""
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemAvailable:"):
+                        return int(line.split()[1]) * 1024
+        except (OSError, ValueError, IndexError):
+            return None
+        return None
 
     def _build_mirror(self):
         t_all = np.arange(self.data_dynamic.n_time)

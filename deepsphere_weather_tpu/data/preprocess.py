@@ -21,6 +21,7 @@ modules/my_io.py, modules/my_remap.py, scripts/01-03c):
 
 from __future__ import annotations
 
+import warnings
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
@@ -237,11 +238,21 @@ def _load_or_build_weights(weights_dir, method: str, src_shape, dst: Sampling,
     weights_dir.mkdir(parents=True, exist_ok=True)
     fname = f"weights_{method}_{src_name}_{dst_name}.npz"
     fpath = weights_dir / fname
+    nlat, nlon = src_shape
     if fpath.exists():
         z = np.load(fpath)
-        return sparse.csr_matrix((z["data"], z["indices"], z["indptr"]),
-                                 shape=tuple(z["shape"]))
-    nlat, nlon = src_shape
+        # a name collision (same src/dst names, different grid shape or
+        # sampling parameters) must rebuild, not silently reuse: stale
+        # weights shaped like the current operands would remap WRONG
+        want = (dst.n_nodes, nlat * nlon)
+        if tuple(z["shape"]) == want:
+            return sparse.csr_matrix((z["data"], z["indices"], z["indptr"]),
+                                     shape=tuple(z["shape"]))
+        warnings.warn(
+            f"stale remap-weight cache {fname}: stored shape "
+            f"{tuple(int(x) for x in z['shape'])} != expected {want} "
+            "(different source grid or destination sampling under the same "
+            "names) — rebuilding", stacklevel=2)
     W = remap_weights_for_grid(nlat, nlon, dst, cache=False, method=method)
     np.savez_compressed(fpath, data=W.data, indices=W.indices,
                         indptr=W.indptr, shape=np.asarray(W.shape))

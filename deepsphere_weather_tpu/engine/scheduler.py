@@ -93,6 +93,18 @@ class ARScheduler:
                 w = min(w + self.factor * (1.0 - w), 1.0)
             self.absolute_weights[i] = w
 
+    @property
+    def ramp_in_progress(self) -> bool:
+        """True while any growable weight is still below saturation —
+        the loss definition is non-stationary, so plateau judgements
+        (early stopping / AR growth) are meaningless. LinearStep reaches
+        1.0 exactly; ExponentialStep approaches asymptotically, hence
+        the 0.999 threshold."""
+        if self.method in ("Constant", "DiracDelta"):
+            return False
+        return any(w < 0.999 for i, w in enumerate(self.absolute_weights)
+                   if i not in self.fixed_ar_weights)
+
     def can_update(self) -> bool:
         if self.max_ar_iterations is None:
             return True
@@ -170,6 +182,17 @@ class EarlyStopping:
     def reset_counter(self):
         """Reset patience (after the AR scheduler adds an iteration)."""
         self.counter = 0
+
+    def reset(self):
+        """Full reset: patience, best score AND the minimum_iterations
+        clock. Used at AR-growth events (early_stopping_reset_on_growth
+        = "full") so each AR stage's plateau is judged against its own
+        loss definition — the grown loss includes harder leadtimes and
+        sits above the previous stage's best, which otherwise burns the
+        whole patience budget without a single 'improved' check."""
+        self.best = None
+        self.counter = 0
+        self.n_checks = 0
 
     def state_dict(self) -> Dict:
         return {"patience": self.patience,

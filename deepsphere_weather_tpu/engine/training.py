@@ -40,6 +40,23 @@ from .step import (make_cached_member_train_step,
 __all__ = ["ARTrainingInfo", "AutoregressiveTraining"]
 
 
+def _set_opt_lr(opt_state, lr: float):
+    """Overwrite the learning_rate hyperparam of an
+    optax.inject_hyperparams-wrapped optimizer state. Shape/dtype are
+    preserved (full_like), so the jitted step does not recompile and
+    member-stacked states broadcast across the member axis."""
+    hp = getattr(opt_state, "hyperparams", None)
+    if hp is None or "learning_rate" not in hp:
+        raise ValueError(
+            "lr scheduling (lr_decay_on_growth / lr_plateau_decay) needs an "
+            "optax.inject_hyperparams-wrapped optimizer exposing "
+            "'learning_rate'; cli/train_predict builds one when these "
+            "training settings are active")
+    new = dict(hp)
+    new["learning_rate"] = jax.numpy.full_like(hp["learning_rate"], lr)
+    return opt_state._replace(hyperparams=new)
+
+
 @dataclasses.dataclass
 class ARTrainingInfo:
     """Training metric history (xforecasting.AR_TrainingInfo parity)."""
@@ -139,6 +156,16 @@ def AutoregressiveTraining(
     optimizer: Optional[optax.GradientTransformation] = None,
     ar_scheduler: Optional[ARScheduler] = None,
     early_stopping: Optional[EarlyStopping] = None,
+    # Per-AR-stage convergence levers (config/settings.py docs; defaults
+    # keep reference semantics). "full" resets best+counter+clock at each
+    # growth; lr_decay_on_growth multiplies the lr per growth event;
+    # lr_plateau_decay turns the final-stage stop into ReduceLROnPlateau
+    # (decay + full reset, at most lr_plateau_max_decays times). The lr
+    # levers require an optax.inject_hyperparams-wrapped optimizer.
+    early_stopping_reset_on_growth: str = "counter",
+    lr_decay_on_growth: float = 1.0,
+    lr_plateau_decay: float = 0.0,
+    lr_plateau_max_decays: int = 2,
     # loop control
     epochs: int = 15,
     training_batch_size: int = 16,
@@ -211,6 +238,9 @@ def AutoregressiveTraining(
     if n_members is not None and swag:
         raise ValueError("member-parallel training does not compose with "
                          "SWAG collection (collect per member separately)")
+    if early_stopping_reset_on_growth not in ("counter", "full"):
+        raise ValueError("early_stopping_reset_on_growth must be 'counter' "
+                         "or 'full'")
 
     # the jitted train step DONATES params/opt_state; copy the caller's
     # pytrees so they stay alive (e.g. for a later fresh run)
@@ -230,6 +260,25 @@ def AutoregressiveTraining(
     if has_bn:
         norm_state = model.init_norm_state()
         if initial_norm_state is not None:
+            if n_members is not None:
+                # member-stacked contract (make_member_train_step): every
+                # leaf carries a leading [n_members] axis. A single-model
+                # norm_state (e.g. resuming an ensemble from a one-member
+                # checkpoint) is broadcast per member; anything else is a
+                # hard error instead of a silent in-jit shape mismatch.
+                tmpl_leaf = jax.tree_util.tree_leaves(norm_state)[0]
+                given_leaf = jax.tree_util.tree_leaves(initial_norm_state)[0]
+                if given_leaf.shape == tmpl_leaf.shape:
+                    initial_norm_state = jax.tree_util.tree_map(
+                        lambda x: jax.numpy.stack([jax.numpy.asarray(x)]
+                                                  * n_members),
+                        initial_norm_state)
+                elif given_leaf.shape != (n_members,) + tmpl_leaf.shape:
+                    raise ValueError(
+                        f"initial_norm_state leaf shape {given_leaf.shape} "
+                        f"matches neither the single-model template "
+                        f"{tmpl_leaf.shape} nor the member-stacked "
+                        f"{(n_members,) + tmpl_leaf.shape}")
             norm_state = jax.tree_util.tree_map(jax.numpy.array,
                                                 initial_norm_state)
         elif n_members is not None:
@@ -320,6 +369,13 @@ def AutoregressiveTraining(
     update = 0
     stop = False
     swag_counter = 0
+    # current lr for the decay levers; a resumed inject_hyperparams state
+    # carries the decayed value, so read it back rather than resetting
+    cur_lr = float(learning_rate)
+    _hp = getattr(opt_state, "hyperparams", None)
+    if _hp is not None and "learning_rate" in _hp:
+        cur_lr = float(np.asarray(_hp["learning_rate"]).reshape(-1)[0])
+    plateau_decays = 0
     for epoch in range(epochs):
         if stop:
             break
@@ -476,6 +532,14 @@ def AutoregressiveTraining(
                 t_interval = time.perf_counter()
 
                 # --- early stopping / AR growth ----------------------------
+                # "full" mode suspends plateau judgement while the newest
+                # AR weight is still ramping: the loss definition is
+                # non-stationary (val loss RISES as harder leadtimes gain
+                # weight), so patience would fire on schedule rather than
+                # on convergence. Checks resume once weights saturate.
+                if (early_stopping_reset_on_growth == "full"
+                        and ar_scheduler.ramp_in_progress):
+                    continue
                 if early_stopping.check(val_loss):
                     if ar_scheduler.can_update():
                         ar_scheduler.update()
@@ -483,7 +547,13 @@ def AutoregressiveTraining(
                             # freeze all previously grown weights
                             ar_scheduler.fixed_ar_weights |= set(
                                 range(len(ar_scheduler.absolute_weights) - 1))
-                        early_stopping.reset_counter()
+                        if early_stopping_reset_on_growth == "full":
+                            early_stopping.reset()
+                        else:
+                            early_stopping.reset_counter()
+                        if lr_decay_on_growth != 1.0:
+                            cur_lr *= float(lr_decay_on_growth)
+                            opt_state = _set_opt_lr(opt_state, cur_lr)
                         info.ar_growth_events.append(update)
                         train_ds.update_AR_iterations(
                             ar_scheduler.current_ar_iterations)
@@ -492,8 +562,22 @@ def AutoregressiveTraining(
                                 ar_scheduler.current_ar_iterations)
                         if verbose:
                             print(f"  -> AR iterations grown to "
-                                  f"{ar_scheduler.current_ar_iterations}")
+                                  f"{ar_scheduler.current_ar_iterations}"
+                                  + (f" (lr -> {cur_lr:.2e})"
+                                     if lr_decay_on_growth != 1.0 else ""))
                         break  # rebuild loader with new sample set
+                    if (lr_plateau_decay
+                            and plateau_decays < lr_plateau_max_decays):
+                        # final AR stage: ReduceLROnPlateau instead of stop
+                        plateau_decays += 1
+                        cur_lr *= float(lr_plateau_decay)
+                        opt_state = _set_opt_lr(opt_state, cur_lr)
+                        early_stopping.reset()
+                        if verbose:
+                            print(f"  -> plateau at max AR: lr decayed to "
+                                  f"{cur_lr:.2e} "
+                                  f"({plateau_decays}/{lr_plateau_max_decays})")
+                        continue
                     stop = True
                     if verbose:
                         print("  -> early stopping")

@@ -154,6 +154,135 @@ def categorical_metrics(pred: np.ndarray, obs: np.ndarray, threshold,
     }
 
 
+def _metrics_from_moments(n, sp, so, spp, soo, spo, sae, shift):
+    """deterministic_metrics from streaming sums over the sample axis.
+
+    Inputs are sums of SHIFTED values (x - shift, per node/feature —
+    centering keeps the squared sums at anomaly scale, avoiding the
+    catastrophic cancellation raw z500^2 sums would hit in float64);
+    variances/covariances/error moments are shift-invariant, only the
+    means add `shift` back. Replicates deterministic_metrics' EPS-guard
+    NaN semantics exactly.
+    """
+    with np.errstate(invalid="ignore", divide="ignore"):
+        n = np.where(n > 0, n.astype(np.float64), np.nan)
+        mean_pred_c = sp / n
+        mean_obs_c = so / n
+        mean_pred = mean_pred_c + shift
+        mean_obs = mean_obs_c + shift
+        var_pred = np.maximum(spp / n - mean_pred_c ** 2, 0.0)
+        var_obs = np.maximum(soo / n - mean_obs_c ** 2, 0.0)
+        std_pred = np.sqrt(var_pred)
+        std_obs = np.sqrt(var_obs)
+        cov = spo / n - mean_pred_c * mean_obs_c
+        bias = mean_pred - mean_obs
+        mae = sae / n
+        mse = np.maximum((spp - 2 * spo + soo) / n, 0.0)
+        rmse = np.sqrt(mse)
+        diff_sd = np.sqrt(np.maximum(mse - bias ** 2, 0.0))
+
+        obs_ok = np.where(np.abs(mean_obs) > EPS, mean_obs, np.nan)
+        perc_bias = 100 * bias / obs_ok
+        perc_mae = 100 * mae / obs_ok
+        r_sd = std_pred / np.where(std_obs > EPS, std_obs, np.nan)
+        pearson_r = cov / np.where(std_pred * std_obs > EPS,
+                                   std_pred * std_obs, np.nan)
+        error_cov = diff_sd / obs_ok
+        obs_cov = std_obs / obs_ok
+        pred_cov = std_pred / np.where(np.abs(mean_pred) > EPS, mean_pred,
+                                       np.nan)
+        denom = n * var_obs
+        nse = 1 - n * mse / np.where(denom > EPS, denom, np.nan)
+        beta = mean_pred / obs_ok
+        kge = 1 - np.sqrt((pearson_r - 1) ** 2 + (r_sd - 1) ** 2
+                          + (beta - 1) ** 2)
+    return {
+        "BIAS": bias, "MAE": mae, "MSE": mse, "RMSE": rmse,
+        "percBIAS": perc_bias, "percMAE": perc_mae,
+        "rSD": r_sd, "pearson_R": pearson_r, "pearson_R2": pearson_r ** 2,
+        "error_CoV": error_cov, "obs_CoV": obs_cov, "pred_CoV": pred_cov,
+        "diffSD": diff_sd, "NSE": nse, "KGE": kge,
+    }
+
+
+def _deterministic_streaming(forecast, obs_dataset,
+                             tile_bytes: int = 512 << 20) -> SkillDataset:
+    """Single-pass verification of a SPACE-chunked forecast store.
+
+    Reads the forecast exactly once in node tiles aligned to the store's
+    node chunking and accumulates the 7 sufficient moments per
+    (leadtime, node, feature); observations for the aligned valid times
+    load once (they are ~n_leadtime x smaller than the forecast store).
+    Replaces the per-leadtime read path that inflated every node chunk
+    once per leadtime (~L full-store passes: the round-3 HEALPix-64
+    protocol verify read ~190 GB for a ~10 GB store). Reference
+    equivalent: rechunk-then-verify, train_predict_state.py:505-560.
+    """
+    L = forecast.n_leadtime
+    V = len(obs_dataset.lat)
+    n_var = len(forecast.feature_order)
+    obs_time = obs_dataset.time
+
+    # per-leadtime alignment of forecast valid times to observation rows
+    oks, sidxs = [], []
+    for lt in range(L):
+        valid = forecast.valid_time(lt)
+        sidx = np.searchsorted(obs_time, valid)
+        ok = sidx < len(obs_time)
+        ok &= obs_time[np.minimum(sidx, len(obs_time) - 1)] == valid
+        oks.append(ok)
+        sidxs.append(sidx[ok])
+    uniq = np.unique(np.concatenate([s for s in sidxs if s.size]
+                                    or [np.empty(0, np.int64)]))
+    pos = [np.searchsorted(uniq, s) for s in sidxs]
+    obs_all = (obs_dataset.read_stacked(uniq).astype(np.float64)
+               if uniq.size else np.zeros((0, V, n_var)))
+
+    # center on a per-(node, feature) reference so the squared sums stay
+    # at anomaly scale (see _metrics_from_moments)
+    shift = obs_all[0] if uniq.size else np.zeros((V, n_var))
+
+    acc_shape = (L, V, n_var)
+    n_acc = np.zeros((L, 1, 1))
+    sp = np.zeros(acc_shape)
+    so = np.zeros(acc_shape)
+    spp = np.zeros(acc_shape)
+    soo = np.zeros(acc_shape)
+    spo = np.zeros(acc_shape)
+    sae = np.zeros(acc_shape)
+    for lt in range(L):
+        n_acc[lt] = len(sidxs[lt])
+
+    node_chunk = forecast.variables[forecast.feature_order[0]].chunks[2]
+    per_node_bytes = forecast.n_frt * L * n_var * 4
+    tile = max(node_chunk,
+               (max(tile_bytes // per_node_bytes, 1) // node_chunk)
+               * node_chunk)
+    for v0 in range(0, V, tile):
+        v1 = min(v0 + tile, V)
+        tw = v1 - v0
+        pred_tile = np.empty((forecast.n_frt, L, tw, n_var), np.float32)
+        for f, name in enumerate(forecast.feature_order):
+            pred_tile[..., f] = forecast.variables[name][:, :, v0:v1]
+        c = shift[v0:v1]
+        for lt in range(L):
+            if not len(sidxs[lt]):
+                continue
+            p = pred_tile[oks[lt], lt].astype(np.float64) - c
+            o = obs_all[pos[lt]][:, v0:v1] - c
+            sp[lt, v0:v1] += p.sum(axis=0)
+            so[lt, v0:v1] += o.sum(axis=0)
+            spp[lt, v0:v1] += (p * p).sum(axis=0)
+            soo[lt, v0:v1] += (o * o).sum(axis=0)
+            spo[lt, v0:v1] += (p * o).sum(axis=0)
+            sae[lt, v0:v1] += np.abs(p - o).sum(axis=0)
+    stacked = _metrics_from_moments(n_acc, sp, so, spp, soo, spo, sae,
+                                    shift[None])
+    return SkillDataset(stacked, forecast.leadtime_hours,
+                        obs_dataset.feature_order,
+                        lat=obs_dataset.lat, lon=obs_dataset.lon)
+
+
 def deterministic(forecast, obs_dataset, forecast_type: str = "continuous",
                   aggregating_dim: str = "time",
                   thr: float = 0.0) -> SkillDataset:
@@ -200,6 +329,15 @@ def deterministic(forecast, obs_dataset, forecast_type: str = "continuous",
     n_var = len(forecast.feature_order)
     store_bytes = forecast.n_frt * L * len(obs_dataset.lat) * n_var * 4
     cached = None
+    if store_bytes > ram_budget and forecast_type == "continuous":
+        arr0 = forecast.variables[forecast.feature_order[0]]
+        chunks = getattr(arr0, "chunks", None)
+        if chunks is not None and len(chunks) == 3 \
+                and chunks[2] < len(obs_dataset.lat):
+            # space-chunked store too large for RAM: per-leadtime reads
+            # would inflate every node chunk once per leadtime (~L full
+            # passes) — stream node tiles once instead
+            return _deterministic_streaming(forecast, obs_dataset)
     if store_bytes <= ram_budget:
         # preallocate and fill per variable: np.stack over a list of all
         # variables would transiently hold 2x store_bytes, defeating the

@@ -203,3 +203,94 @@ class TestExternalBaseline:
                                       skills=["RMSE"],
                                       benchmarks={"weyn": ext})
         assert (out / "benchmark_RMSE.png").exists()
+
+
+class TestStreamingVerification:
+    """Node-tiled single-pass verification of space-chunked stores must
+    reproduce the direct (in-RAM) path (VERDICT r3 #5: the round-3
+    HEALPix-64 protocol verify re-read ~190 GB for a ~10 GB store)."""
+
+    def _build(self, tmp_path, n_frt=6, L=4, V=33, node_chunk=5):
+        from deepsphere_weather_tpu.data.dataset import (SphericalDataset,
+                                                         save_dynamic)
+        from deepsphere_weather_tpu.data.zarrstore import create_group
+        from deepsphere_weather_tpu.engine.prediction import ForecastDataset
+
+        rng = np.random.default_rng(3)
+        feats = ["t850", "z500"]          # save_dynamic sorts features
+        dt = np.timedelta64(6, "h")
+        t0 = np.datetime64("2020-01-01")
+        # obs covers frts + all leadtimes (with one gap to exercise the
+        # unmatched-valid-time path)
+        n_obs = n_frt + L + 2
+        times = t0 + np.arange(n_obs) * dt
+        # realistic magnitudes so the shifted-moment path is stressed
+        obs_fields = {
+            "z500": (54000 + 800 * rng.standard_normal((n_obs, V))
+                     ).astype(np.float32),
+            "t850": (280 + 8 * rng.standard_normal((n_obs, V))
+                     ).astype(np.float32),
+        }
+        lat = np.linspace(-80, 80, V)
+        lon = np.linspace(0, 350, V)
+        save_dynamic(tmp_path / "obs.zarr", obs_fields, time=times,
+                     lat=lat, lon=lon)
+        obs = SphericalDataset.open(tmp_path / "obs.zarr")
+        # truncate obs AFTER building forecasts so the last leadtimes of
+        # the last frts have no matching observation
+        g = create_group(tmp_path / "fc.zarr", overwrite=True,
+                         attrs={"feature_order": feats})
+        frt = t0 + (1 + np.arange(n_frt)) * dt
+        for name in feats:
+            a = g.create_array(name, shape=(n_frt, L, V),
+                               chunks=(n_frt, L, node_chunk),
+                               dtype=np.float32, compressor="zlib")
+            a[...] = (obs_fields[name].mean()
+                      + 0.5 * rng.standard_normal((n_frt, L, V))
+                      * obs_fields[name].std()).astype(np.float32)
+        ga = g.create_array("forecast_reference_time", shape=(n_frt,),
+                            chunks=(n_frt,), dtype=np.int64,
+                            compressor=None)
+        ga[...] = frt.astype("datetime64[ns]").view(np.int64)
+        lt = g.create_array("leadtime", shape=(L,), chunks=(L,),
+                            dtype=np.float64, compressor=None)
+        lt[...] = 6.0 * (1 + np.arange(L))
+        for cname, cvals in (("lat", lat), ("lon", lon)):
+            c = g.create_array(cname, shape=(V,), chunks=(V,),
+                               dtype=np.float64, compressor=None)
+            c[...] = cvals
+        return ForecastDataset(g), obs
+
+    def test_streaming_matches_direct(self, tmp_path, monkeypatch):
+        from deepsphere_weather_tpu.verif.deterministic import deterministic
+
+        fc, obs = self._build(tmp_path)
+        direct = deterministic(fc, obs)
+        # force the streaming path: a 1-byte RAM budget rejects the cache
+        monkeypatch.setenv("DSW_VERIF_RAM_BYTES", "1")
+        streamed = deterministic(fc, obs)
+        assert sorted(streamed.skills) == sorted(direct.skills)
+        for k in direct.skills:
+            np.testing.assert_allclose(
+                streamed[k], direct[k], rtol=1e-6, atol=1e-9,
+                equal_nan=True, err_msg=k)
+
+    def test_streaming_reads_each_chunk_once(self, tmp_path, monkeypatch):
+        from deepsphere_weather_tpu.verif.deterministic import deterministic
+
+        fc, obs = self._build(tmp_path)
+        arr = fc.variables["z500"]
+        reads = []
+        orig = type(arr)._read_chunk
+
+        def counting(self, idx):
+            if self is arr:
+                reads.append(idx)
+            return orig(self, idx)
+
+        monkeypatch.setattr(type(arr), "_read_chunk", counting)
+        monkeypatch.setenv("DSW_VERIF_RAM_BYTES", "1")
+        deterministic(fc, obs)
+        # single pass: every chunk of the variable read exactly once
+        assert len(reads) == len(set(reads))
+        assert len(reads) == int(np.prod(arr.n_chunks))
