@@ -47,6 +47,19 @@ def create_configs(out_dir="configs", architecture: str = "UNetSpherical",
         "validation_batch_size": 16, "scoring_interval": 30,
         "deterministic_training": True, "seed_model_weights": 10,
         "seed_random_shuffling": 15,
+        # Stability + convergence recipe shipped ON (VERDICT r3 #6: at
+        # lr 0.007 RNN-strategy BPTT diverges in one step at the growth
+        # to full AR6 depth without the clip — measured loss 0.03 ->
+        # 1e27 — and none of the previously shipped configs set it).
+        "gradient_clipping": 1.0,
+        # judge each AR stage's plateau on its own loss definition and
+        # train the final stage to convergence (docs in config/settings.py;
+        # the reference's factor 0.0005 leaves late leads at near-zero
+        # loss weight for any realistic run length)
+        "early_stopping_reset_on_growth": "full",
+        "ar_scheduler_factor": 0.05,
+        "lr_plateau_decay": 0.3,
+        "lr_plateau_max_decays": 3,
     })
     n = 0
     for name, (sampling, kwargs) in (samplings or SAMPLINGS_400KM).items():

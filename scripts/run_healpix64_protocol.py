@@ -70,6 +70,7 @@ def main():
     args = ap.parse_args()
 
     from deepsphere_weather_tpu.config import (get_default_settings,
+                                               read_config_file,
                                                write_config_file)
     from deepsphere_weather_tpu.data import generate_toy_data
 
@@ -92,17 +93,30 @@ def main():
     t_data = time.time() - t0
     print(f"toy data ready ({t_data:.0f}s)", flush=True)
 
-    cfg = get_default_settings()
-    cfg["model_settings"].update({
-        "sampling_name": "Healpix_100km" if sub == 64 else f"Healpix_sub{sub}",
-        "sampling": "healpix",
-        "sampling_kwargs": {"subdivisions": sub, "nest": True},
-        "knn": 20,
-        # reference protocol: increment learning OFF
-        # (train_predict_state.py:161)
-        "increment_learning": bool(args.increment_learning),
-        "pool_method": "Max",
-    })
+    # Start from the SHIPPED flagship config (VERDICT r3 #6: the shipped
+    # config must train to the protocol result through the documented CLI
+    # — it now carries gradient_clipping 1.0 and the convergence levers).
+    # Only data-cadence (toy data is 6-hourly, so input_k counts steps
+    # not hours), scale (precision/remat/batch), and CLI-arg overrides
+    # are applied on top.
+    shipped = (ROOT / "configs" / "UNetSpherical"
+               / ("Healpix_100km" if sub == 64 else "Healpix_400km")
+               / "MaxPool-Graph_knn.json")
+    if sub in (16, 64) and shipped.exists():
+        cfg = read_config_file(shipped)
+    else:
+        cfg = get_default_settings()
+        cfg["model_settings"].update({
+            "sampling_name": f"Healpix_sub{sub}",
+            "sampling": "healpix",
+            "sampling_kwargs": {"subdivisions": sub, "nest": True},
+            "knn": 20,
+            "pool_method": "Max",
+        })
+    # reference protocol: increment learning OFF
+    # (train_predict_state.py:161)
+    cfg["model_settings"]["increment_learning"] = bool(
+        args.increment_learning)
     cfg["training_settings"].update({
         "epochs": args.epochs,
         "learning_rate": args.lr,
