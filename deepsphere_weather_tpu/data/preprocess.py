@@ -148,15 +148,27 @@ def remap_weights_for_grid(nlat: int, nlon: int, dst: Sampling,
     """Remap weights from a regular lat/lon grid to a sampling.
 
     The source grid is modeled as the framework's 'equiangular' sampling
-    (cell-centered). method='conservative' gives fracarea-normalized rows
-    (dst x src); method='largest_area_fraction' gives one-hot rows picking
-    the source cell with the biggest overlap (categorical fields — the
-    reference delegates this to CDO remaplaf, my_remap.py:75-88). Cached
-    on disk like the reference caches CDO weight files (my_remap.py:198-337).
+    (cell-centered); see `remap_weights_for_source` for arbitrary source
+    samplings (reduced Gaussian GRIB grids etc.).
+    """
+    src = build_sampling("equiangular", {"nlat": nlat, "nlon": nlon})
+    return remap_weights_for_source(src, dst, cache=cache, method=method)
+
+
+def remap_weights_for_source(src: Sampling, dst: Sampling,
+                             cache: bool = True,
+                             method: str = "conservative"
+                             ) -> sparse.csr_matrix:
+    """Remap weights from ANY source sampling to a destination sampling.
+
+    method='conservative' gives fracarea-normalized rows (dst x src);
+    method='largest_area_fraction' gives one-hot rows picking the source
+    cell with the biggest overlap (categorical fields — the reference
+    delegates this to CDO remaplaf, my_remap.py:75-88). Cached on disk
+    like the reference caches CDO weight files (my_remap.py:198-337).
     """
     if method not in ("conservative", "largest_area_fraction"):
         raise ValueError(f"unknown remap method {method!r}")
-    src = build_sampling("equiangular", {"nlat": nlat, "nlon": nlon})
 
     def _build():
         W, _, _ = compute_interpolation_weights(src, dst,
@@ -189,17 +201,32 @@ def remap_weights_for_grid(nlat: int, nlon: int, dst: Sampling,
 def remap_to_sampling(field: np.ndarray, dst: Sampling,
                       weights: Optional[sparse.csr_matrix] = None,
                       method: str = "conservative") -> np.ndarray:
-    """Remap [time, nlat, nlon] (or [nlat, nlon]) onto a sampling's nodes."""
+    """Remap onto a sampling's nodes along the trailing spatial axes.
+
+    Accepts [..., nlat, nlon] regular-grid fields (weights built from the
+    equiangular model when not given) or [..., n_points] flat fields
+    (reduced-Gaussian GRIB sources; `weights` then mandatory). Leading
+    axes (time, level, ...) are preserved.
+    """
     field = np.asarray(field)
-    single = field.ndim == 2
-    if single:
-        field = field[None]
-    T, nlat, nlon = field.shape
-    if weights is None:
-        weights = remap_weights_for_grid(nlat, nlon, dst, method=method)
-    flat = field.reshape(T, nlat * nlon)
+    if weights is not None and field.shape[-1] == weights.shape[1]:
+        lead = field.shape[:-1]
+        flat = field.reshape(-1, field.shape[-1])
+    else:
+        if field.ndim < 2:
+            raise ValueError(f"field rank {field.ndim} < 2")
+        nlat, nlon = field.shape[-2:]
+        lead = field.shape[:-2]
+        if weights is None:
+            weights = remap_weights_for_grid(nlat, nlon, dst, method=method)
+        if nlat * nlon != weights.shape[1]:
+            raise ValueError(
+                f"field spatial size {nlat}x{nlon} != weight columns "
+                f"{weights.shape[1]}")
+        flat = field.reshape(-1, nlat * nlon)
     out = np.asarray((weights @ flat.T).T, dtype=np.float32)
-    return out[0] if single else out
+    out = out.reshape(lead + (weights.shape[0],))
+    return out
 
 
 # static variables the reference remaps file-per-file
@@ -208,17 +235,20 @@ STATIC_VARIABLES = ("topography", "land_sea_mask", "soil_type")
 
 
 def _default_grib_reader(path):
-    """Read one GRIB file into ({var: [T, nlat, nlon]}, time) via cfgrib."""
+    """Read one GRIB file.
+
+    Prefers the cfgrib/eccodes stack when installed (full parameter-table
+    coverage); falls back to the framework's self-contained GRIB2 codec
+    (data/grib.py — regular/reduced Gaussian + regular lat/lon, simple
+    packing), which returns the parsed grid geometry as a third element
+    so reduced-Gaussian sources remap with their true cell layout.
+    """
     try:
         import cfgrib  # noqa: F401
         import xarray as xr
-    except ImportError as e:
-        raise ImportError(
-            "GRIB ingest needs the optional 'cfgrib' (eccodes) stack, "
-            "which is not installed in this environment. Convert GRIB to "
-            "netCDF upstream, pass your own `reader`, or install cfgrib — "
-            "the remap itself (remap_to_sampling + "
-            "get_variable_interp_method) is format-independent.") from e
+    except ImportError:
+        from .grib import read_grib2
+        return read_grib2(path)
     ds = xr.open_dataset(path, engine="cfgrib")
     fields = {}
     for name in ds.data_vars:
@@ -229,22 +259,49 @@ def _default_grib_reader(path):
     return fields, time
 
 
-def _load_or_build_weights(weights_dir, method: str, src_shape, dst: Sampling,
+def _source_spec(grid, native_name: str):
+    """Validate a file-carried grid against the dataset registry's declared
+    native grid and return it as a source Sampling. N-grids (classic
+    reduced Gaussian, tabulated pl) validate nlat only — their exact pl
+    comes from the file; O/F grids validate the full geometry."""
+    from .grib import GridSpec
+
+    try:
+        expect = GridSpec.from_name(native_name)
+    except (ValueError, IndexError):
+        expect = None
+    if expect is not None:
+        if grid.nlat != expect.nlat:
+            raise ValueError(
+                f"GRIB grid has {grid.nlat} Gaussian latitudes but the "
+                f"dataset registry declares {native_name} "
+                f"({expect.nlat} latitudes)")
+        if expect.pl is not None and grid.pl is not None \
+                and tuple(grid.pl) != tuple(expect.pl):
+            raise ValueError(
+                f"GRIB pl row lengths do not match the declared "
+                f"{native_name} layout")
+    return grid.to_sampling()
+
+
+def _load_or_build_weights(weights_dir, method: str, src, dst: Sampling,
                            src_name: str, dst_name: str) -> sparse.csr_matrix:
     """Per-(method, src, dst) weight FILE cache, like the reference's CDO
     weight files (my_remap.py:320-330 get_cdo_weights_filename +
-    precompute_weights)."""
+    precompute_weights). `src` is a (nlat, nlon) regular-grid shape or a
+    Sampling (reduced-Gaussian GRIB source geometry)."""
     weights_dir = Path(weights_dir)
     weights_dir.mkdir(parents=True, exist_ok=True)
     fname = f"weights_{method}_{src_name}_{dst_name}.npz"
     fpath = weights_dir / fname
-    nlat, nlon = src_shape
+    n_src = (src.n_nodes if isinstance(src, Sampling)
+             else int(src[0]) * int(src[1]))
     if fpath.exists():
         z = np.load(fpath)
         # a name collision (same src/dst names, different grid shape or
         # sampling parameters) must rebuild, not silently reuse: stale
         # weights shaped like the current operands would remap WRONG
-        want = (dst.n_nodes, nlat * nlon)
+        want = (dst.n_nodes, n_src)
         if tuple(z["shape"]) == want:
             return sparse.csr_matrix((z["data"], z["indices"], z["indptr"]),
                                      shape=tuple(z["shape"]))
@@ -253,7 +310,11 @@ def _load_or_build_weights(weights_dir, method: str, src_shape, dst: Sampling,
             f"{tuple(int(x) for x in z['shape'])} != expected {want} "
             "(different source grid or destination sampling under the same "
             "names) — rebuilding", stacklevel=2)
-    W = remap_weights_for_grid(nlat, nlon, dst, cache=False, method=method)
+    if isinstance(src, Sampling):
+        W = remap_weights_for_source(src, dst, cache=False, method=method)
+    else:
+        W = remap_weights_for_grid(int(src[0]), int(src[1]), dst,
+                                   cache=False, method=method)
     np.savez_compressed(fpath, data=W.data, indices=W.indices,
                         indptr=W.indptr, shape=np.asarray(W.shape))
     return W
@@ -324,12 +385,23 @@ def remap_grib_files(data_dir, dataset: str, sampling_name: str,
         method = get_variable_interp_method(variable)
         weights = None
         for src_fp, dst_fp in zip(src_fpaths, dst_fpaths):
-            fields, time = reader(src_fp)
+            res = reader(src_fp)
+            fields, time = res[0], res[1]
+            # 3-element readers (the native GRIB2 codec) return the parsed
+            # grid geometry: reduced-Gaussian sources then remap with
+            # their true cell layout instead of a regular-grid model
+            src_spec = (_source_spec(res[2], native)
+                        if len(res) > 2 and res[2] is not None else None)
             out: Dict[str, np.ndarray] = {}
             for name, field in fields.items():
+                if name == "level":          # level coordinate: passthrough
+                    out[name] = np.asarray(field)
+                    continue
                 field = np.asarray(field, dtype=np.float32)
-                if field.ndim == 2:
+                if src_spec is None and field.ndim == 2:
                     field = field[None]
+                src = (src_spec if src_spec is not None
+                       else field.shape[-2:])
                 # dynamic_variables folders hold multi-variable files; the
                 # method is still per-VARIABLE inside them (reference
                 # get_variable_interp_method falls through to the name)
@@ -338,12 +410,12 @@ def remap_grib_files(data_dir, dataset: str, sampling_name: str,
                 if m == method:
                     if weights is None:
                         weights = _load_or_build_weights(
-                            weights_dir, method, field.shape[1:], dst,
+                            weights_dir, method, src, dst,
                             native, sampling_name)
                     W = weights
                 else:
                     W = _load_or_build_weights(
-                        weights_dir, m, field.shape[1:], dst,
+                        weights_dir, m, src, dst,
                         native, sampling_name)
                 out[name] = remap_to_sampling(field, dst, weights=W)
             dst_fp.parent.mkdir(parents=True, exist_ok=True)

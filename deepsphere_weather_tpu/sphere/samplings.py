@@ -67,12 +67,26 @@ class Sampling:
         return dict(self.kwargs)
 
     def cache_key(self) -> str:
-        items = "_".join(f"{k}-{v}" for k, v in sorted(self.kwargs))
+        def short(v):
+            # long sequence values (explicit pl lists) hash into the key
+            # instead of exploding the cache filename
+            if isinstance(v, tuple) and len(v) > 8:
+                import hashlib
+                h = hashlib.sha1(repr(v).encode()).hexdigest()[:12]
+                return f"seq{len(v)}-{h}"
+            return v
+        items = "_".join(f"{k}-{short(v)}" for k, v in sorted(self.kwargs))
         return f"{self.name}_{items}"
 
 
 def _canon_kwargs(kwargs: Dict) -> tuple:
-    return tuple(sorted((str(k), kwargs[k]) for k in kwargs))
+    def canon(v):
+        # sequence values (e.g. an explicit reduced-Gaussian pl list) must
+        # stay hashable for the frozen dataclass / cache keys
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return tuple(int(x) for x in np.asarray(v).ravel())
+        return v
+    return tuple(sorted((str(k), canon(kwargs[k])) for k in kwargs))
 
 
 # ---------------------------------------------------------------------------
@@ -169,20 +183,30 @@ def _cubed(subdivisions: int) -> tuple:
 
 
 def _gauss(nlat: int, nlon="ecmwf-octahedral") -> tuple:
-    """Gauss-Legendre grid: Gaussian latitudes x (regular | octahedral-reduced) lon.
+    """Gauss-Legendre grid: Gaussian latitudes x (regular | reduced) lon.
 
     nlat is the total number of Gaussian latitudes (both hemispheres); the
     ECMWF octahedral reduced grid O{nlat/2} puts 20 + 4*i points on the i-th
     ring from each pole (reference scalability grids O24..O320,
-    scripts_figs/scalability_plot.py:68-216).
+    scripts_figs/scalability_plot.py:68-216). nlon may also be an explicit
+    per-row point-count sequence (len nlat) — the `pl` list carried by
+    reduced-Gaussian GRIB files (e.g. ERA5's N320), see data/grib.py.
     """
     nlat = int(nlat)
     nodes, _ = np.polynomial.legendre.leggauss(nlat)
     # leggauss returns ascending nodes = sin(lat); order north->south like ECMWF
     lat_1d = np.rad2deg(np.arcsin(nodes))[::-1]
+    pl = None
+    if isinstance(nlon, (list, tuple, np.ndarray)):
+        pl = [int(x) for x in nlon]
+        if len(pl) != nlat:
+            raise ValueError(f"explicit pl list has {len(pl)} rows for "
+                             f"nlat={nlat}")
     lons, lats = [], []
     for i, lat in enumerate(lat_1d):
-        if isinstance(nlon, str):
+        if pl is not None:
+            n_i = pl[i]
+        elif isinstance(nlon, str):
             if nlon != "ecmwf-octahedral":
                 raise ValueError(f"unknown reduced grid spec {nlon!r}")
             ring = min(i, nlat - 1 - i)

@@ -1,0 +1,266 @@
+"""Real-data ingest rehearsal (VERDICT r3 #3).
+
+Round-3 verdict: the GRIB path mirrored the reference
+(modules/my_remap.py:198-337, my_io.py:11-128) but no on-disk raw file had
+ever gone through it — tests injected synthetic readers. These tests run
+the FULL chain from real GRIB2 bytes on disk with no injected reader:
+
+  write_grib2 (reduced-Gaussian fixture) -> remap_grib_files (native
+  codec + conservative weights from the TRUE reduced grid) ->
+  reformat_pl / reformat_toa -> zarrify_raw_data ->
+  rechunk_to_space_chunked -> compute_scalers -> train+predict smoke
+
+with the reference's conservativity invariants asserted on the way
+(reference modules/layers.py:540-571 asserts; here: global-integral
+preservation of the conservative remap).
+"""
+
+import numpy as np
+import pytest
+
+from deepsphere_weather_tpu.data.grib import (
+    GribRecord,
+    GridSpec,
+    octahedral_pl,
+    read_grib2,
+    write_grib2,
+)
+
+
+class TestGrib2Codec:
+    def test_reduced_gaussian_roundtrip(self, tmp_path):
+        grid = GridSpec("reduced_gg", 16, pl=octahedral_pl(8))
+        assert grid.n_points == sum(octahedral_pl(8))
+        rng = np.random.default_rng(0)
+        times = [np.datetime64("2010-01-01T00"), np.datetime64("2010-01-01T06")]
+        recs, vals = [], {}
+        for t in times:
+            for var, lev in [("z", 500), ("z", 850), ("t", 500), ("t", 850)]:
+                v = (54000 + 3000 * rng.standard_normal(grid.n_points)
+                     ).astype(np.float32)
+                vals[(str(t), var, lev)] = v
+                recs.append(GribRecord(var, v, t, grid, level_hPa=lev))
+        write_grib2(tmp_path / "pl.grib", recs)
+        fields, tt, g2 = read_grib2(tmp_path / "pl.grib")
+        assert g2 == grid
+        assert list(tt) == [np.datetime64(t, "ns") for t in times]
+        assert fields["z"].shape == (2, 2, grid.n_points)
+        assert list(fields["level"]) == [500, 850]
+        for ti, t in enumerate(times):
+            for var in ("z", "t"):
+                for li, lev in enumerate((500, 850)):
+                    got, want = fields[var][ti, li], vals[(str(t), var, lev)]
+                    rel = (np.abs(got - want).max()
+                           / (want.max() - want.min()))
+                    assert rel < 2e-5          # 16-bit simple packing
+
+    def test_regular_and_constant_fields(self, tmp_path):
+        grid = GridSpec("regular_ll", 24, nlon=48)
+        rng = np.random.default_rng(1)
+        t0 = np.datetime64("2010-01-01T00")
+        lsm = (rng.random(grid.n_points) > 0.5).astype(np.float32)
+        write_grib2(tmp_path / "sfc.grib",
+                    [GribRecord("land_sea_mask", lsm, t0, grid),
+                     GribRecord("soil_type",
+                                np.full(grid.n_points, 3.0, np.float32),
+                                t0, grid)])
+        fields, _, g = read_grib2(tmp_path / "sfc.grib")
+        assert g == grid
+        np.testing.assert_allclose(fields["land_sea_mask"][0], lsm,
+                                   atol=1e-6)
+        # constant field exercises the nbits=0 packing path
+        np.testing.assert_allclose(fields["soil_type"][0], 3.0)
+
+    def test_grid_registry_names(self):
+        o = GridSpec.from_name("O320")
+        assert o.nlat == 640 and o.pl[0] == 20 and o.pl[319] == 20 + 4 * 319
+        n = GridSpec.from_name("N320")
+        assert n.nlat == 640 and n.pl is None        # pl comes from the file
+        f = GridSpec.from_name("F80")
+        assert f.nlat == 160 and f.nlon == 320
+
+
+@pytest.fixture(scope="module")
+def grib_tree(tmp_path_factory):
+    """On-disk raw GRIB tree in the reference's directory layout
+    (reference my_remap.py:281-313): <dataset>/<native>/<type>/<var>/*.grib."""
+    root = tmp_path_factory.mktemp("grib_ingest")
+    grid = GridSpec("reduced_gg", 16, pl=octahedral_pl(8))
+    lat, lon = grid.latlon()
+    rng = np.random.default_rng(7)
+    n_t = 60
+    times = (np.datetime64("2010-01-01T00")
+             + np.arange(n_t) * np.timedelta64(6, "h"))
+
+    # smooth lat/lon structure + weather noise (so conservation is a real
+    # check, not 0 == 0)
+    def field(base, amp_lat, amp_noise, t_i):
+        return (base + amp_lat * np.sin(np.deg2rad(lat)) ** 2
+                + 0.1 * amp_lat * np.cos(3 * np.deg2rad(lon))
+                + amp_noise * rng.standard_normal(grid.n_points)
+                + 0.02 * base * np.sin(2 * np.pi * t_i / n_t)
+                ).astype(np.float32)
+
+    src_fields = {}
+    dyn_dir = root / "TOY_GRIB" / "O8" / "dynamic" / "dynamic_variables"
+    for half, tsel in enumerate((range(0, n_t // 2), range(n_t // 2, n_t))):
+        recs = []
+        for ti in tsel:
+            for var, lev, base, a_lat, a_n in [
+                    ("z", 500, 54000.0, -3500.0, 300.0),
+                    ("z", 850, 14000.0, -1500.0, 150.0),
+                    ("t", 500, 253.0, -25.0, 3.0),
+                    ("t", 850, 281.0, -30.0, 4.0)]:
+                v = field(base, a_lat, a_n, ti)
+                src_fields[(ti, var, lev)] = v
+                recs.append(GribRecord(var, v, times[ti], grid,
+                                       level_hPa=lev))
+            # accumulated TOA solar (J/m^2 over the 6 h step, like ERA5
+            # tisr) — de-accumulated by reformat_toa
+            frac = np.maximum(np.sin(np.deg2rad(lat))
+                              * np.sin(2 * np.pi * ti / 4 / n_t) + 0.3, 0.0)
+            tisr = (1361.0 * frac * 6 * 3600.0).astype(np.float32)
+            src_fields[(ti, "tisr", None)] = tisr
+            recs.append(GribRecord("tisr", tisr, times[ti], grid,
+                                   surface_type=8))
+        write_grib2(dyn_dir / f"era5_part{half}.grib", recs)
+
+    static_dir = root / "TOY_GRIB" / "O8" / "static"
+    t0 = times[0]
+    orog = np.maximum(800.0 * np.sin(3 * np.deg2rad(lat))
+                      * np.cos(2 * np.deg2rad(lon)), 0.0).astype(np.float32)
+    lsm = (orog > 100).astype(np.float32)
+    slt = (lsm * ((np.arange(grid.n_points) % 6) + 1)).astype(np.float32)
+    write_grib2(static_dir / "topography" / "topo.grib",
+                [GribRecord("topography", orog, t0, grid)])
+    write_grib2(static_dir / "land_sea_mask" / "lsm.grib",
+                [GribRecord("land_sea_mask", lsm, t0, grid)])
+    write_grib2(static_dir / "soil_type" / "slt.grib",
+                [GribRecord("soil_type", slt, t0, grid)])
+    return {"root": root, "grid": grid, "times": times,
+            "src_fields": src_fields, "n_t": n_t}
+
+
+class TestGribIngestChain:
+    SAMPLING = ("healpix", {"subdivisions": 4, "nest": True})
+
+    def _remap(self, grib_tree, monkeypatch):
+        from deepsphere_weather_tpu.data import preprocess
+        from deepsphere_weather_tpu.sphere import build_sampling
+
+        dst = build_sampling(*self.SAMPLING)
+        monkeypatch.setitem(preprocess.NATIVE_GRIDS, "TOY_GRIB", "O8")
+        written_dyn = preprocess.remap_grib_files(
+            grib_tree["root"], "TOY_GRIB", "Healpix_toy",
+            variable_type="dynamic", dst=dst, verbose=False)
+        written_static = preprocess.remap_grib_files(
+            grib_tree["root"], "TOY_GRIB", "Healpix_toy",
+            variable_type="static", dst=dst, verbose=False)
+        return written_dyn, written_static
+
+    def test_full_chain_to_training(self, grib_tree, monkeypatch, tmp_path):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from deepsphere_weather_tpu.cli import compute_scalers
+        from deepsphere_weather_tpu.data import preprocess
+        from deepsphere_weather_tpu.data.dataset import save_static
+        from deepsphere_weather_tpu.engine.loss import AreaWeights
+        from deepsphere_weather_tpu.sphere import build_sampling
+
+        dst = build_sampling(*self.SAMPLING)
+        written_dyn, written_static = self._remap(grib_tree, monkeypatch)
+        assert len(written_dyn) == 2 and len(written_static) == 3
+
+        # --- conservativity: the conservative remap preserves the global
+        # area-weighted integral (reference layers.py:540-571 invariants)
+        src_samp = grib_tree["grid"].to_sampling()
+        w_src = np.asarray(AreaWeights(src_samp), dtype=np.float64)
+        w_src /= w_src.sum()
+        w_dst = np.asarray(AreaWeights(dst), dtype=np.float64)
+        w_dst /= w_dst.sum()
+        z0 = np.load(written_dyn[0])
+        src_z500 = grib_tree["src_fields"][(0, "z", 500)]
+        dst_z500 = z0["z"][0, 0]          # [T, L, node] -> t=0, 500 hPa
+        src_mean = float(w_src @ src_z500.astype(np.float64))
+        dst_mean = float(w_dst @ dst_z500.astype(np.float64))
+        assert abs(dst_mean - src_mean) / abs(src_mean) < 2e-3
+
+        # --- reformat + zarrify (time-append across the two GRIB files)
+        data_dir = tmp_path / "ingested"
+        batches, bc_batches = [], []
+        for fp in written_dyn:
+            z = np.load(fp)
+            data = {k: z[k] for k in z.files
+                    if k not in ("lat", "lon", "time")}
+            flat = preprocess.reformat_pl(data)
+            time = z["time"].view("datetime64[ns]")
+            batches.append(({"z500": flat["z500"], "t850": flat["t850"]},
+                            time))
+            bc_batches.append(
+                ({"tisr": preprocess.reformat_toa(
+                    flat["tisr"], accumulation_hours=6).astype(np.float32)},
+                 time))
+        ds = preprocess.zarrify_raw_data(
+            data_dir / "Data" / "dynamic" / "time_chunked" / "dynamic.zarr",
+            batches, time_chunk=24, lat=dst.lat, lon=dst.lon)
+        assert ds.n_time == grib_tree["n_t"]
+        assert ds.feature_order == ["t850", "z500"]
+        preprocess.zarrify_raw_data(
+            data_dir / "Data" / "bc" / "time_chunked" / "bc.zarr",
+            bc_batches, time_chunk=24, lat=dst.lat, lon=dst.lon)
+        sp = preprocess.rechunk_to_space_chunked(
+            data_dir / "Data" / "dynamic" / "time_chunked" / "dynamic.zarr",
+            data_dir / "Data" / "dynamic" / "space_chunked" / "dynamic.zarr",
+            node_chunk=16)
+        np.testing.assert_allclose(sp.read_stacked(np.arange(5)),
+                                   ds.read_stacked(np.arange(5)))
+
+        # --- static feature engineering (reference scripts/03c:166-205)
+        st = {}
+        for fp in written_static:
+            z = np.load(fp)
+            for k in z.files:
+                if k not in ("lat", "lon", "time"):
+                    # single-time GRIB statics remap to [1, node]
+                    st[k] = np.squeeze(z[k])
+        orog = st["topography"]
+        save_static(data_dir / "Data" / "static.zarr", {
+            "orog": (orog / orog.max()).astype(np.float32),
+            "lsm": st["land_sea_mask"].astype(np.float32),
+            "slt": (st["soil_type"] / 7.0).astype(np.float32),
+            "sin_latitude": np.sin(np.deg2rad(dst.lat)).astype(np.float32),
+        }, lat=dst.lat, lon=dst.lon)
+
+        # --- scalers over the ingested store
+        compute_scalers.main(data_dir, verbose=False)
+        assert (data_dir / "Scalers"
+                / "GlobalStandardScaler_dynamic.npz").exists()
+
+        # --- training smoke through the documented CLI on the ingested
+        # tree (config -> train -> AR predictions -> verification)
+        import json
+
+        from deepsphere_weather_tpu.cli.train_predict import main as tp_main
+
+        cfg = {
+            "model_settings": {
+                "sampling_name": "Healpix_toy", "sampling": "healpix",
+                "sampling_kwargs": {"subdivisions": 4, "nest": True},
+                "knn": 8, "architecture_name": "UNetSpherical",
+                "pool_method": "Max"},
+            "training_settings": {
+                "epochs": 1, "learning_rate": 0.002,
+                "training_batch_size": 4, "validation_batch_size": 4,
+                "scoring_interval": 4},
+            "ar_settings": {"input_k": [-3, -2, -1], "output_k": [0],
+                            "forecast_cycle": 1, "ar_iterations": 1},
+            "dataloader_settings": {"num_workers": 0},
+        }
+        cfg_path = tmp_path / "config.json"
+        cfg_path.write_text(json.dumps(cfg))
+        exp_path, gs = tp_main(cfg_path, data_dir, tmp_path / "exp",
+                               force=True, ar_iterations_prediction=2,
+                               verbose=False)
+        assert np.isfinite(gs["RMSE"]).all()
+        assert (exp_path / "model_weights" / "model.npz").exists()
