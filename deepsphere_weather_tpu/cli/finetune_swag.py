@@ -124,7 +124,15 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
         ar_iterations=ar_settings["ar_iterations"],
         ar_training_strategy=training_settings["ar_training_strategy"],
         area_weights=area_w,
-        optimizer=optax.adam(target_learning_rate, eps=1e-7),
+        # respect the pretrained config's clipping: SWAG fine-tunes at a
+        # deliberately HIGH constant lr (posterior exploration), which is
+        # exactly the regime where unclipped AR6 BPTT diverges
+        optimizer=(optax.chain(
+            optax.clip_by_global_norm(
+                float(training_settings.get("gradient_clipping", 0.0))),
+            optax.adam(target_learning_rate, eps=1e-7))
+            if float(training_settings.get("gradient_clipping", 0.0) or 0.0)
+            > 0 else optax.adam(target_learning_rate, eps=1e-7)),
         epochs=epochs,
         training_batch_size=training_settings["training_batch_size"],
         validation_batch_size=training_settings["validation_batch_size"],
