@@ -63,12 +63,14 @@ def main() -> int:
     failures = 0
 
     mv = jax.jit(lambda o, v: o.matvec(v))
+    results = {}
 
     def check(tag, y, tol):
         nonlocal failures
         err = np.abs(np.asarray(y, np.float32) - ref).max() / scale
         ok = err < tol
         failures += not ok
+        results[tag] = {"rel_err": float(err), "ok": bool(ok)}
         print(f"{tag}: rel_err {err:.2e} {'OK' if ok else 'FAIL'}",
               flush=True)
 
@@ -108,6 +110,33 @@ def main() -> int:
             a, t, v, mtile, jax.lax.Precision.DEFAULT,
             scheduled=True))(svals, sched, xp)
         check("scheduled-kernel (explicit) bf16", y_s[:n], 2e-2)
+
+    # 2a3. the custom_partitioning SPMD path under a REAL device mesh
+    # (VERDICT r3 #7: previously validated only in interpret mode on the
+    # virtual CPU mesh). Sharded operands route the matvec through
+    # _partitioned_spmm's partition rule, so the COMPILED partitioned
+    # lowering executes on silicon. With one chip the rule resolves
+    # row=None (no >1-way shard exists) and picks the slot-scheduled
+    # lowering — a real multi-chip run would additionally exercise the
+    # row-sharded union lowering + the x all-gather over ICI (that kernel
+    # is compiled-checked standalone in 2a2 above, and the collective
+    # algebra on the 8-way virtual mesh by tests/test_parallel.py).
+    if not interpret:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs.reshape(-1), ("node",))
+        op = BlockSparseOperator.from_scipy(g.L, symmetric=True,
+                                            dtype=jnp.bfloat16)
+        xsh = NamedSharding(mesh, PartitionSpec("node", None))
+        x_sharded = jax.device_put(jnp.asarray(x_np, dtype=jnp.bfloat16),
+                                   xsh)
+        op_rep = jax.device_put(
+            op, NamedSharding(mesh, PartitionSpec()))
+        y_mesh = jax.jit(lambda o, v: o.matvec(v),
+                         out_shardings=xsh)(op_rep, x_sharded)
+        check(f"partitioned matvec on {devs.size}-chip mesh bf16",
+              y_mesh, 2e-2)
 
     # 2b. mixed dtypes: bf16-stored A with fp32 activations exercises the
     # kernel's A-row casts and the branch-doubled VMEM copy model
@@ -188,6 +217,21 @@ def main() -> int:
               f"ms/matvec (incl. one sync RTT over 80 matvecs)",
               flush=True)
 
+    # committed artifact: what ran compiled on this hardware, with errors
+    if not interpret:
+        import json
+
+        art = Path(__file__).resolve().parent.parent / "docs" / \
+            "benchmarks" / "tpu_kernel_validation.json"
+        art.write_text(json.dumps({
+            "backend": jax.default_backend(),
+            "n_devices": len(jax.devices()),
+            "subdivisions": args.subdivisions,
+            "knn": args.knn,
+            "checks": results,
+            "failures": failures,
+        }, indent=1))
+        print(f"wrote {art}")
     print("ALL OK" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
 
