@@ -81,6 +81,84 @@ class TestEarlyStopping:
         es.reset_counter()
         assert not es.check(0.95)
 
+    def test_full_reset_forgets_best(self):
+        # AR growth raises the loss definition: the per-stage "full"
+        # reset must judge the new stage against its OWN scores, not the
+        # easier previous stage's best (round-4 convergence lever)
+        es = EarlyStopping(patience=2, minimum_iterations=0)
+        assert not es.check(0.1)
+        es.reset()
+        # scores above the old best must still register as improvements
+        assert not es.check(0.5)
+        assert not es.check(0.4)
+        assert not es.check(0.35)
+        assert es.best == 0.35
+
+    def test_reset_restarts_minimum_iterations_clock(self):
+        es = EarlyStopping(patience=1, minimum_iterations=3)
+        for s in (1.0, 1.0, 1.0):
+            es.check(s)
+        es.reset()
+        # patience exhausted but the per-stage clock holds stopping off
+        assert not es.check(1.0)
+        assert not es.check(1.0)
+        assert es.check(1.0)
+
+
+class TestSchedulerRamp:
+    def test_ramp_in_progress(self):
+        s = ARScheduler(method="LinearStep", factor=0.5,
+                        fixed_ar_weights=[0],
+                        initial_ar_absolute_weights=[1, 1],
+                        max_ar_iterations=2)
+        assert not s.ramp_in_progress          # all weights saturated
+        s.update()                             # appends weight 0
+        assert s.ramp_in_progress
+        s.step()                               # 0 -> 0.5
+        assert s.ramp_in_progress
+        s.step()                               # 0.5 -> 1.0
+        assert not s.ramp_in_progress
+
+    def test_constant_method_never_ramps(self):
+        s = ARScheduler(method="Constant",
+                        initial_ar_absolute_weights=[1.0, 1.0],
+                        max_ar_iterations=3)
+        s.update()                             # Constant appends weight 1
+        assert not s.ramp_in_progress
+
+
+class TestLrInjection:
+    def test_set_opt_lr_single_and_member_stacked(self):
+        import optax
+
+        from deepsphere_weather_tpu.engine.training import _set_opt_lr
+
+        opt = optax.inject_hyperparams(optax.adam)(learning_rate=0.007)
+        params = {"w": jnp.ones(3)}
+        state = opt.init(params)
+        state2 = _set_opt_lr(state, 0.0021)
+        assert float(state2.hyperparams["learning_rate"]) == pytest.approx(
+            0.0021)
+        # updates actually shrink with the injected lr
+        g = {"w": jnp.ones(3)}
+        up1, _ = opt.update(g, state, params)
+        up2, _ = opt.update(g, state2, params)
+        assert (abs(np.asarray(up2["w"])) < abs(np.asarray(up1["w"]))).all()
+        # member-stacked state: full_like broadcasts over the member axis
+        mstate = jax.vmap(opt.init)({"w": jnp.ones((4, 3))})
+        mstate2 = _set_opt_lr(mstate, 0.001)
+        lr = np.asarray(mstate2.hyperparams["learning_rate"])
+        assert lr.shape == (4,) and np.allclose(lr, 0.001)
+
+    def test_set_opt_lr_requires_injection(self):
+        import optax
+
+        from deepsphere_weather_tpu.engine.training import _set_opt_lr
+
+        state = optax.adam(0.007).init({"w": jnp.ones(2)})
+        with pytest.raises(ValueError, match="inject_hyperparams"):
+            _set_opt_lr(state, 0.001)
+
 
 @pytest.fixture(scope="module")
 def toy_setup(tmp_path_factory):
