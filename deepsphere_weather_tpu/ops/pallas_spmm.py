@@ -601,17 +601,23 @@ def _spmm_kernel_super_sched(sched_ref, a_ref, x_hbm, o_ref,
             start_new(oth_buf, oth_sem, s_nxt, m_nxt)
             start_cp(cur_buf, oth_buf, oth_sem, s_nxt)
 
-        x_all = cur_buf[:]              # [max_u*bs, mt]
         a_all = a_ref[0].reshape(R * bs, max_u * bs)
         if cast is not None:
-            x_all = x_all.astype(cast)
             a_all = a_all.astype(cast)
         # ONE [R*bs, max_u*bs] @ [max_u*bs, mt] matmul for the whole
         # super-row: deeper M fills the MXU pipeline better than R
-        # separate per-row matmuls (and loads x_all once)
-        o_ref[...] = jnp.dot(
-            a_all, x_all, preferred_element_type=jnp.float32,
-            precision=precision).astype(out_dtype)
+        # separate per-row matmuls (and loads x_all once).
+        # DSW_SPMM_MM_CHUNK splits it along mt so the operand staging of
+        # chunk k+1 can overlap the MXU of chunk k (experiment knob; 0 =
+        # single matmul)
+        chunk = mt if not _MM_CHUNK or mt % _MM_CHUNK else _MM_CHUNK
+        for c0 in range(0, mt, chunk):
+            x_c = cur_buf[:, c0:c0 + chunk]
+            if cast is not None:
+                x_c = x_c.astype(cast)
+            o_ref[:, c0:c0 + chunk] = jnp.dot(
+                a_all, x_c, preferred_element_type=jnp.float32,
+                precision=precision).astype(out_dtype)
 
     @pl.when(lin % 2 == 0)
     def _():
@@ -620,6 +626,11 @@ def _spmm_kernel_super_sched(sched_ref, a_ref, x_hbm, o_ref,
     @pl.when(lin % 2 == 1)
     def _():
         body(xbuf1, sem1, xbuf0, sem0)
+
+
+import os as _os
+
+_MM_CHUNK = int(_os.environ.get("DSW_SPMM_MM_CHUNK", "0"))
 
 
 def _super_m_tile(max_u: int, R: int, bs: int, m_pad: int,

@@ -293,9 +293,15 @@ def deterministic(forecast, obs_dataset, forecast_type: str = "continuous",
     feature] skill arrays (xverif.deterministic parity).
     forecast_type='categorical_binary' verifies the exceedance of `thr`
     (POD/FAR/CSI/ACC/FB/HSS/ETS).
+
+    aggregating_dim='node' aggregates over SPACE instead: skills per
+    (leadtime, valid sample, feature) — the xverif mode the reference
+    drivers never call but its API exposes; lat/lon are dropped (the
+    node axis is consumed).
     """
-    if aggregating_dim != "time":
-        raise NotImplementedError("only aggregating_dim='time' implemented")
+    if aggregating_dim not in ("time", "node"):
+        raise NotImplementedError(
+            "aggregating_dim must be 'time' or 'node'")
     if list(forecast.feature_order) != list(obs_dataset.feature_order):
         raise ValueError(
             f"feature order mismatch: forecast {forecast.feature_order} vs "
@@ -329,7 +335,8 @@ def deterministic(forecast, obs_dataset, forecast_type: str = "continuous",
     n_var = len(forecast.feature_order)
     store_bytes = forecast.n_frt * L * len(obs_dataset.lat) * n_var * 4
     cached = None
-    if store_bytes > ram_budget and forecast_type == "continuous":
+    if store_bytes > ram_budget and forecast_type == "continuous" \
+            and aggregating_dim == "time":
         arr0 = forecast.variables[forecast.feature_order[0]]
         chunks = getattr(arr0, "chunks", None)
         if chunks is not None and len(chunks) == 3 \
@@ -353,6 +360,8 @@ def deterministic(forecast, obs_dataset, forecast_type: str = "continuous",
             return cached[:, lt]
         return forecast.read_leadtime(lt)
 
+    axis = 0 if aggregating_dim == "time" else 1
+    n_kept = None
     for lt in range(L):
         valid = forecast.valid_time(lt)
         sidx = np.searchsorted(obs_time, valid)
@@ -360,10 +369,24 @@ def deterministic(forecast, obs_dataset, forecast_type: str = "continuous",
         ok &= obs_time[np.minimum(sidx, len(obs_time) - 1)] == valid
         pred = read_lt(lt)[ok]                             # [T, V, F]
         obs = obs_dataset.read_stacked(sidx[ok])            # [T, V, F]
-        m = metric_fn(pred, obs, axis=0)                    # [V, F] each
+        m = metric_fn(pred, obs, axis=axis)   # [V, F] ('time') | [T, F]
+        if axis == 1:
+            # sample counts differ per leadtime (trailing forecasts run
+            # past the observation record): pad to the lead-0 count so
+            # the per-leadtime arrays stack
+            if n_kept is None:
+                n_kept = pred.shape[0]
+            m = {k: np.pad(v, ((0, n_kept - v.shape[0]), (0, 0)),
+                           constant_values=np.nan)
+                 if v.shape[0] < n_kept else v[:n_kept]
+                 for k, v in m.items()}
         for k, v in m.items():
             skills[k].append(v)
-    stacked = {k: np.stack(v, axis=0) for k, v in skills.items()}  # [L, V, F]
+    # [L, V, F] for 'time'; [L, T, F] for 'node' (no spatial coords left)
+    stacked = {k: np.stack(v, axis=0) for k, v in skills.items()}
+    if aggregating_dim == "node":
+        return SkillDataset(stacked, forecast.leadtime_hours,
+                            obs_dataset.feature_order)
     return SkillDataset(stacked, forecast.leadtime_hours,
                         obs_dataset.feature_order,
                         lat=obs_dataset.lat, lon=obs_dataset.lon)

@@ -294,3 +294,31 @@ class TestStreamingVerification:
         # single pass: every chunk of the variable read exactly once
         assert len(reads) == len(set(reads))
         assert len(reads) == int(np.prod(arr.n_chunks))
+
+    def test_aggregating_dim_node(self, tmp_path):
+        """xverif API parity: spatial aggregation — skills per
+        (leadtime, sample, feature), node axis consumed."""
+        from deepsphere_weather_tpu.verif.deterministic import deterministic
+
+        fc, obs = self._build(tmp_path)
+        sd = deterministic(fc, obs, aggregating_dim="node")
+        L = fc.n_leadtime
+        assert sd["RMSE"].shape[0] == L
+        assert sd["RMSE"].shape[2] == 2
+        assert sd.lat is None
+        # cross-check one (leadtime, sample) cell against a direct
+        # node-axis computation
+        t_sd = deterministic(fc, obs)                  # time aggregation
+        pred0 = np.stack([fc.variables[n][:, 0, :]
+                          for n in fc.feature_order], axis=-1)
+        valid = fc.valid_time(0)
+        sidx = np.searchsorted(obs.time, valid)
+        ok = sidx < len(obs.time)
+        ok &= obs.time[np.minimum(sidx, len(obs.time) - 1)] == valid
+        o0 = obs.read_stacked(sidx[ok])
+        want = np.sqrt(((pred0[ok][0] - o0[0]) ** 2).mean(axis=0))
+        np.testing.assert_allclose(sd["RMSE"][0, 0], want, rtol=1e-6)
+        # sample axis sized by the lead-0 match count; the time-aggregated
+        # dataset keeps the node axis
+        assert sd["RMSE"].shape[1] == int(ok.sum())
+        assert t_sd["RMSE"].shape[1] == len(obs.lat)
