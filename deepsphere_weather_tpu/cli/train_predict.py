@@ -332,16 +332,29 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     # reference (train_predict_state.py:505-525), and it exercises the
     # rechunked store's per-node access pattern instead of leaving it
     # write-only.
+    from ..data.zarrstore import read_bytes_counter
+    t_re = time.time()
+    b_re = read_bytes_counter()
     forecast_rechunked = rechunk_forecasts_for_verification(
         forecast,
         exp_path / "model_predictions" / "space_chunked"
         / "test_forecasts.zarr")
 
     # --- verification -----------------------------------------------------
+    t_ve = time.time()
+    b_ve = read_bytes_counter()
     skill = deterministic(forecast_rechunked, test_dyn)
     skill.save(exp_path / "model_skills" / "deterministic_spatial_skill.npz")
     gs = global_summary(skill, np.asarray(area_w))
     gs.save(exp_path / "model_skills" / "deterministic_global_skill.npz")
+    # verify-pass I/O accounting (round-3's HEALPix-64 protocol re-read
+    # ~18x the store before the streaming verifier; keep the receipts)
+    (exp_path / "model_skills" / "verify_stats.json").write_text(json.dumps({
+        "rechunk_wall_s": round(t_ve - t_re, 1),
+        "rechunk_read_gb": round((b_ve - b_re) / 1e9, 3),
+        "verify_wall_s": round(time.time() - t_ve, 1),
+        "verify_read_gb": round((read_bytes_counter() - b_ve) / 1e9, 3),
+    }, indent=1))
 
     # --- plots ------------------------------------------------------------
     plot_global_skills(gs, exp_path / "figs" / "skills")

@@ -118,6 +118,16 @@ def chunk_cache_stats() -> Dict:
             "max_bytes": _chunk_cache.max_bytes}
 
 
+# process-wide decompressed-bytes counter (chunk-cache hits excluded):
+# measures what actually hit storage + the decompressor, so I/O-heavy
+# passes (verification, rechunk) can report their true read volume
+_READ_BYTES = [0]
+
+
+def read_bytes_counter() -> int:
+    return _READ_BYTES[0]
+
+
 def _dtype_to_str(dt: np.dtype) -> str:
     dt = np.dtype(dt)
     if dt.byteorder == "=":
@@ -316,7 +326,9 @@ class ZarrArray:
             from ..native import bloscio
             raw = bloscio.decompress(
                 raw, int(np.prod(cshape)) * self.dtype.itemsize)
-        return np.frombuffer(raw, dtype=self.dtype).reshape(cshape).copy()
+        out = np.frombuffer(raw, dtype=self.dtype).reshape(cshape).copy()
+        _READ_BYTES[0] += out.nbytes
+        return out
 
     def _cache_key(self, idx: Tuple[int, ...]):
         """Local chunks key on (file, mtime, size): rewriting or

@@ -210,6 +210,9 @@ def main():
         "model_over_persistence_rmse_ratio": ratios,
         "exp_dir": str(exp_path),
     }
+    vstats = exp_path / "model_skills" / "verify_stats.json"
+    if vstats.exists():
+        result["verify_stats"] = json.loads(vstats.read_text())
     out = ROOT / "docs" / "benchmarks" / f"healpix{sub}_protocol.json"
     out.write_text(json.dumps(result, indent=1))
     print(f"wrote {out}")
