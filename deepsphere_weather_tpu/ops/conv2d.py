@@ -48,13 +48,16 @@ def equiangular_conv2d(x: jnp.ndarray, kernel: jnp.ndarray,
             axis=2,
         )
         pad_w = (0, 0)
+    # output in the compute dtype: preferred_element_type=f32 on bf16
+    # operands broke the conv VJP (fp32 cotangent vs bf16 activation in
+    # the transpose conv); the MXU accumulates fp32 internally for bf16
+    # inputs either way
     out = lax.conv_general_dilated(
         g, kernel.astype(x.dtype),
         window_strides=(1, 1),
         padding=(pad_h, pad_w),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if bias is not None:
         out = out + bias.astype(x.dtype)
     return equiangular_2d_to_1d(out)
