@@ -111,6 +111,31 @@ class TestUNetSpherical:
         y = m.apply(params, jnp.ones((1, 2, 2048, 4)))
         assert y.shape == (1, 1, 2048, 2)
 
+    def test_equiangular_image_conv_bf16_gradient(self):
+        # regression: preferred_element_type=f32 inside the image conv
+        # broke its VJP under bf16 (fp32 cotangent vs bf16 activations in
+        # the transpose conv) — every bf16 conv_type=image TRAINING run
+        # failed at step 1 while fp32 forward sweeps stayed green
+        m = UNetSpherical(
+            tensor_info=make_tensor_info(16 * 32),
+            sampling="equiangular",
+            sampling_kwargs={"nlat": 16, "nlon": 32},
+            conv_type="image",
+            pool_method="avg",
+            knn=8,
+            numeric_precision="bfloat16",
+        )
+        params = m.init(jax.random.key(5))
+        x = jnp.ones((1, 2, 512, 4))
+
+        def loss(p):
+            return (m.apply(p, x) ** 2).sum()
+
+        g = jax.grad(loss)(params)
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.isfinite(v).all()) for v in flat)
+        assert any(float(jnp.abs(v).max()) > 0 for v in flat)
+
     def test_maxval_pooling_variant(self):
         m = UNetSpherical(
             tensor_info=make_tensor_info(192),
