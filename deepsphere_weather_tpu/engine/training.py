@@ -376,6 +376,7 @@ def AutoregressiveTraining(
     if _hp is not None and "learning_rate" in _hp:
         cur_lr = float(np.asarray(_hp["learning_rate"]).reshape(-1)[0])
     plateau_decays = 0
+    rescues = 0
     for epoch in range(epochs):
         if stop:
             break
@@ -530,6 +531,46 @@ def AutoregressiveTraining(
                 # checkpointing so their wall time is not charged to the
                 # next interval's samples/s
                 t_interval = time.perf_counter()
+
+                # --- divergence detection / rescue -------------------------
+                # RNN-strategy BPTT at reference lr can blow up in ONE
+                # step at an AR-growth transition (documented in
+                # config/settings.py: loss 0.03 -> 1e27 unclipped). A
+                # non-finite loss poisons params and every later metric;
+                # restore the last checkpoint and halve the lr (when the
+                # optimizer is lr-injectable), at most 3 times.
+                if not (np.isfinite(val_loss) and np.isfinite(total)):
+                    can_rescue = (
+                        ckpt is not None and ckpt.has_checkpoint()
+                        and rescues < 3
+                        and getattr(opt_state, "hyperparams", None)
+                        is not None)
+                    if can_rescue:
+                        rescues += 1
+                        cur_lr *= 0.5
+                        params = jax.tree_util.tree_map(
+                            jax.numpy.array, ckpt.load_model(params))
+                        opt_state, _ = ckpt.load_training_state(opt_state)
+                        opt_state = _set_opt_lr(opt_state, cur_lr)
+                        if has_bn:
+                            restored = ckpt.load_norm_state(norm_state)
+                            if restored is not None:
+                                norm_state = jax.tree_util.tree_map(
+                                    jax.numpy.array, restored)
+                        early_stopping.reset()
+                        print(f"  !! non-finite loss at update {update}: "
+                              f"restored last checkpoint, lr -> "
+                              f"{cur_lr:.2e} (rescue {rescues}/3)",
+                              flush=True)
+                        break     # rebuild loader; continue training
+                    raise FloatingPointError(
+                        f"training diverged (non-finite loss at update "
+                        f"{update}) and no rescue is possible "
+                        f"(checkpoint={ckpt is not None}, lr-injectable="
+                        f"{getattr(opt_state, 'hyperparams', None) is not None}"
+                        f", rescues={rescues}/3). Set training_settings."
+                        "gradient_clipping (e.g. 1.0) — RNN-strategy AR "
+                        "growth at reference lr diverges without it.")
 
                 # --- early stopping / AR growth ----------------------------
                 # "full" mode suspends plateau judgement while the newest

@@ -368,6 +368,56 @@ class TestTrainingLoop:
                                    jax.tree_util.tree_leaves(p3)))
         assert diff > 0
 
+    def test_divergence_raises_without_rescue(self, toy_setup):
+        # VERDICT r3 #6: a non-finite loss must fail LOUDLY with the
+        # clipping hint instead of training on poisoned params
+        s = toy_setup
+        params = s["model"].init(jax.random.key(0))
+        with pytest.raises(FloatingPointError, match="gradient_clipping"):
+            AutoregressiveTraining(
+                s["model"], params,
+                training_data_dynamic=s["dyn"],
+                training_data_bc=s["bc"],
+                data_static=s["static"],
+                scaler=s["scaler"],
+                area_weights=s["area_w"],
+                **s["ar_settings"],
+                learning_rate=1e9,          # guaranteed blow-up
+                epochs=1, training_batch_size=8, scoring_interval=2,
+                num_workers=1, verbose=False)
+
+    def test_divergence_rescue_restores_checkpoint(self, toy_setup,
+                                                   tmp_path):
+        # with a checkpoint + lr-injectable optimizer the loop restores
+        # and halves the lr instead of dying
+        import optax
+
+        from deepsphere_weather_tpu.utils.checkpoint import Checkpointer
+
+        s = toy_setup
+        params = s["model"].init(jax.random.key(0))
+        opt = optax.inject_hyperparams(optax.adam)(learning_rate=1e9)
+        ck = Checkpointer(tmp_path)
+        ck.save_model(params)
+        ck.save_training_state(opt.init(params), {}, {})
+        p, opt_state, _, info = AutoregressiveTraining(
+            s["model"], params,
+            training_data_dynamic=s["dyn"],
+            training_data_bc=s["bc"],
+            data_static=s["static"],
+            scaler=s["scaler"],
+            area_weights=s["area_w"],
+            **s["ar_settings"],
+            optimizer=opt,
+            epochs=2, training_batch_size=8, scoring_interval=2,
+            exp_dir=tmp_path, num_workers=1, verbose=False)
+        # rescued: params finite, lr decayed below the absurd setting
+        assert all(bool(jnp.isfinite(v).all())
+                   for v in jax.tree_util.tree_leaves(p))
+        lr = float(np.asarray(
+            opt_state.hyperparams["learning_rate"]).reshape(-1)[0])
+        assert lr < 1e9
+
     def test_validation_batches_full_pass_vs_capped(self, toy_setup):
         # VERDICT r1 weak#1: a fixed unshuffled validation prefix biases
         # the val loss that drives early stopping and AR growth. Default
