@@ -88,10 +88,16 @@ def probabilistic(ensemble, obs_dataset) -> SkillDataset:
     V = len(obs_dataset.lat)
     F = len(ensemble.feature_order)
     # member chunks span (1, n_frt, L, V): slicing one leadtime inside the
-    # lt loop would decompress every member chunk L*F times. Preload each
-    # (member, feature) array ONCE when the ensemble fits a host-memory
-    # budget; fall back to per-slice reads beyond it.
-    preload = M * F * n_frt * L * V * 4 <= (4 << 30)
+    # lt loop would decompress every member chunk L*F times (and a member
+    # chunk larger than the LRU chunk cache defeats caching entirely —
+    # measured pathological on the 5-member HEALPix-16 protocol ensemble).
+    # Preload each (member, feature) array ONCE when the ensemble fits
+    # the verification RAM budget (DSW_VERIF_RAM_BYTES, like
+    # deterministic()); fall back to per-slice reads beyond it.
+    import os
+
+    ram_budget = int(float(os.environ.get("DSW_VERIF_RAM_BYTES", 8e9)))
+    preload = M * F * n_frt * L * V * 4 <= ram_budget
     cache = ({(m, n): np.asarray(ensemble.variables[n][m])
               for m in range(M) for n in ensemble.feature_order}
              if preload else None)
