@@ -14,7 +14,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
-__all__ = ["resolve_scalers", "split_datasets"]
+__all__ = ["resolve_scalers", "split_datasets", "build_schedulers"]
 
 
 def resolve_scalers(dl_settings: Dict, data_dir, data_dynamic=None,
@@ -95,3 +95,47 @@ def split_datasets(training_settings: Dict, data_dynamic,
            for lo, hi in bounds]
     return {"train": tr, "val": va, "test": te, "bounds": bounds,
             "train_bc": bcs[0], "val_bc": bcs[1], "test_bc": bcs[2]}
+
+
+def build_schedulers(training_settings: Dict, ar_settings: Dict):
+    """AR scheduler + early stopping + convergence-lever kwargs from the
+    config (one place: the train CLI and the member-parallel ensemble
+    trainer must grow AR depth and converge identically).
+
+    Returns (ar_scheduler, early_stopping, lever_kwargs) where
+    lever_kwargs feed AutoregressiveTraining directly.
+    """
+    from ..engine import ARScheduler, EarlyStopping
+
+    ar_scheduler = ARScheduler(
+        method=str(training_settings.get("ar_scheduler_method",
+                                         "LinearStep")),
+        factor=float(training_settings.get("ar_scheduler_factor", 0.0005)),
+        fixed_ar_weights=[0]
+        if training_settings["ar_training_strategy"] == "RNN" else [],
+        initial_ar_absolute_weights=[1, 1],
+        max_ar_iterations=ar_settings["ar_iterations"])
+    # patience floor of 1: an interval > 500 made patience 0, which trips
+    # 'counter >= patience' on EVERY check
+    patience = training_settings.get("early_stopping_patience")
+    if patience is None:
+        patience = 500 // max(training_settings["scoring_interval"], 1)
+    early_stopping = EarlyStopping(
+        patience=max(1, int(patience)),
+        minimum_improvement=float(
+            training_settings.get("early_stopping_minimum_improvement",
+                                  0.0)),
+        minimum_iterations=int(
+            training_settings.get("early_stopping_minimum_iterations", 4)))
+    lever_kwargs = dict(
+        early_stopping_reset_on_growth=str(
+            training_settings.get("early_stopping_reset_on_growth",
+                                  "counter")),
+        lr_decay_on_growth=float(
+            training_settings.get("lr_decay_on_growth", 1.0)),
+        lr_plateau_decay=float(
+            training_settings.get("lr_plateau_decay", 0.0) or 0.0),
+        lr_plateau_max_decays=int(
+            training_settings.get("lr_plateau_max_decays", 2)),
+    )
+    return ar_scheduler, early_stopping, lever_kwargs

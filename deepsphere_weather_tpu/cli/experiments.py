@@ -169,7 +169,13 @@ def _train_members_parallel(cfg, data_dir, exp_dir, n_members: int,
     samp = build_sampling(model_settings["sampling"],
                           dict(model_settings["sampling_kwargs"]))
     area_w = AreaWeights(samp)
+    from .common import build_schedulers
     from .train_predict import _make_optimizer
+    # the same AR-growth scheduler + convergence levers as the train CLI
+    # (members previously trained at FULL AR depth from step 1 with the
+    # Constant fallback — no growth protocol, no plateau handling)
+    ar_scheduler, early_stopping, lever_kwargs = build_schedulers(
+        training_settings, ar_settings)
     params, _, _, info = AutoregressiveTraining(
         model, params,
         training_data_dynamic=train_dyn,
@@ -187,6 +193,10 @@ def _train_members_parallel(cfg, data_dir, exp_dir, n_members: int,
         ar_training_strategy=training_settings["ar_training_strategy"],
         area_weights=area_w,
         optimizer=_make_optimizer(training_settings),
+        ar_scheduler=ar_scheduler,
+        early_stopping=early_stopping,
+        **lever_kwargs,
+        exp_dir=Path(exp_dir) / "_member_parallel_ckpt",
         epochs=training_settings["epochs"],
         training_batch_size=training_settings["training_batch_size"],
         validation_batch_size=training_settings["validation_batch_size"],

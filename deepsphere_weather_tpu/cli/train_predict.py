@@ -130,7 +130,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     # (null) keeps the auto GlobalStandardScaler behavior. Shared with
     # predict/finetune_swag/experiments (cli/common.py) so every driver
     # scales data exactly as training did.
-    from .common import resolve_scalers, split_datasets
+    from .common import build_schedulers, resolve_scalers, split_datasets
     scaler, scaler_bc = resolve_scalers(dl_settings, data_dir,
                                         data_dynamic=data_dynamic,
                                         fit_default=True, save_fitted=True)
@@ -227,26 +227,10 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
                           dict(model_settings["sampling_kwargs"]))
     area_w = AreaWeights(samp)
     optimizer = _make_optimizer(training_settings)
-    ar_scheduler = resumed_scheduler or ARScheduler(
-        method=str(training_settings.get("ar_scheduler_method",
-                                         "LinearStep")),
-        factor=float(training_settings.get("ar_scheduler_factor", 0.0005)),
-        fixed_ar_weights=[0]
-        if training_settings["ar_training_strategy"] == "RNN" else [],
-        initial_ar_absolute_weights=[1, 1],
-        max_ar_iterations=ar_settings["ar_iterations"])
-    # patience floor of 1: an interval > 500 made patience 0, which
-    # trips 'counter >= patience' on EVERY check and silently truncates
-    # training right after minimum_iterations
-    patience = training_settings.get("early_stopping_patience")
-    if patience is None:
-        patience = 500 // max(training_settings["scoring_interval"], 1)
-    early_stopping = resumed_early_stopping or EarlyStopping(
-        patience=max(1, int(patience)),
-        minimum_improvement=float(
-            training_settings.get("early_stopping_minimum_improvement", 0.0)),
-        minimum_iterations=int(
-            training_settings.get("early_stopping_minimum_iterations", 4)))
+    ar_scheduler0, early_stopping0, lever_kwargs = build_schedulers(
+        training_settings, ar_settings)
+    ar_scheduler = resumed_scheduler or ar_scheduler0
+    early_stopping = resumed_early_stopping or early_stopping0
 
     # --- training ---------------------------------------------------------
     # dp x sp mesh from the config's mesh settings (None on 1x1: plain jit)
@@ -274,15 +258,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         optimizer=optimizer,
         ar_scheduler=ar_scheduler,
         early_stopping=early_stopping,
-        early_stopping_reset_on_growth=str(
-            training_settings.get("early_stopping_reset_on_growth",
-                                  "counter")),
-        lr_decay_on_growth=float(
-            training_settings.get("lr_decay_on_growth", 1.0)),
-        lr_plateau_decay=float(
-            training_settings.get("lr_plateau_decay", 0.0) or 0.0),
-        lr_plateau_max_decays=int(
-            training_settings.get("lr_plateau_max_decays", 2)),
+        **lever_kwargs,
         epochs=training_settings["epochs"],
         training_batch_size=training_settings["training_batch_size"],
         validation_batch_size=training_settings["validation_batch_size"],

@@ -453,7 +453,15 @@ def AutoregressiveTraining(
                 # mid-epoch durability: full checkpoint every 10 scoring
                 # intervals (long epochs on big datasets otherwise leave
                 # hours between the per-epoch checkpoints)
-                if ckpt is not None and (update // scoring_interval) % 10 == 0:
+                healthy = np.isfinite(total) and (
+                    early_stopping.best is None
+                    or not np.isfinite(early_stopping.best)
+                    or total <= 100 * max(early_stopping.best, 1e-8))
+                if (ckpt is not None and healthy
+                        and (update // scoring_interval) % 10 == 0):
+                    # `healthy` keeps a deteriorating run from overwriting
+                    # the last good checkpoint with half-exploded params —
+                    # the divergence rescue below restores from here
                     ckpt.save_model(params)
                     ckpt.save_norm_state(norm_state)
                     ckpt.save_training_state(opt_state,
@@ -539,7 +547,12 @@ def AutoregressiveTraining(
                 # non-finite loss poisons params and every later metric;
                 # restore the last checkpoint and halve the lr (when the
                 # optimizer is lr-injectable), at most 3 times.
-                if not (np.isfinite(val_loss) and np.isfinite(total)):
+                exploded = (
+                    early_stopping.best is not None
+                    and np.isfinite(early_stopping.best)
+                    and val_loss > 1e4 * max(early_stopping.best, 1e-8))
+                if exploded or not (np.isfinite(val_loss)
+                                    and np.isfinite(total)):
                     can_rescue = (
                         ckpt is not None and ckpt.has_checkpoint()
                         and rescues < 3
@@ -558,14 +571,16 @@ def AutoregressiveTraining(
                                 norm_state = jax.tree_util.tree_map(
                                     jax.numpy.array, restored)
                         early_stopping.reset()
-                        print(f"  !! non-finite loss at update {update}: "
+                        kind = "exploding" if exploded else "non-finite"
+                        print(f"  !! {kind} loss at update {update}: "
                               f"restored last checkpoint, lr -> "
                               f"{cur_lr:.2e} (rescue {rescues}/3)",
                               flush=True)
                         break     # rebuild loader; continue training
                     raise FloatingPointError(
-                        f"training diverged (non-finite loss at update "
-                        f"{update}) and no rescue is possible "
+                        f"training diverged "
+                        f"({'exploding' if exploded else 'non-finite'} "
+                        f"loss at update {update}) and no rescue is possible "
                         f"(checkpoint={ckpt is not None}, lr-injectable="
                         f"{getattr(opt_state, 'hyperparams', None) is not None}"
                         f", rescues={rescues}/3). Set training_settings."
