@@ -23,6 +23,7 @@ can be supplied for non-symmetric operators like the cotan Laplacian).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,10 @@ __all__ = ["BlockSparseOperator", "bcsr_from_scipy",
            "bcsr_super_from_scipy"]
 
 _BS = 128  # MXU-native block size
+# DSW_SPMM_MM_CHUNK splits the super-row deep matmul along mt (probe
+# knob; 0 = single matmul — measured best, see docs/benchmarks/README.md)
+_MM_CHUNK = int(os.environ.get("DSW_SPMM_MM_CHUNK", "0"))
+
 # word0 packing radix of the slot schedule: word0 = n_new + RADIX*n_cp.
 # Shared by _pack_schedule (encode), _spmm_kernel_super_sched (decode) and
 # tests/test_ops.py's schedule replay. Bounds the per-super-row transfer
@@ -626,11 +631,6 @@ def _spmm_kernel_super_sched(sched_ref, a_ref, x_hbm, o_ref,
     @pl.when(lin % 2 == 1)
     def _():
         body(xbuf1, sem1, xbuf0, sem0)
-
-
-import os as _os
-
-_MM_CHUNK = int(_os.environ.get("DSW_SPMM_MM_CHUNK", "0"))
 
 
 def _super_m_tile(max_u: int, R: int, bs: int, m_pad: int,
