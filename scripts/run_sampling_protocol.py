@@ -11,6 +11,9 @@ validation, AR20 (+120 h) predictions, verification vs persistence) on:
 - icosahedral 400 km with graph conv and INTERP (general remap-matrix)
   pooling — the pooling family that works for any sampling pair
   (reference layers.py:948-987)
+- cubed-sphere 400 km (subdivisions 24) and O24 Gauss-Legendre
+  octahedral, both graph conv + Interp pooling — completing
+  training-grade evidence on all five reference samplings
 
 Reference sweep equivalent: scripts_training/03_exp_samplings.py:39-57 +
 03_exp_poolings.py. Results append into
@@ -45,6 +48,23 @@ TARGETS = {
         "sampling_name": "Icosahedral_400km",
         "sampling": "icosahedral",
         "sampling_kwargs": {"subdivisions": 16},
+        "conv_type": "graph",
+        "pool_method": "Interp",
+    },
+    # Remaining two reference samplings (03_exp_samplings.py:39-57):
+    # graph conv + Interp pooling — the general pooling family, since
+    # neither grid is hierarchical in our pooling registry.
+    "cubed": {
+        "sampling_name": "Cubed_400km",
+        "sampling": "cubed",
+        "sampling_kwargs": {"subdivisions": 24},
+        "conv_type": "graph",
+        "pool_method": "Interp",
+    },
+    "gauss": {
+        "sampling_name": "O24",
+        "sampling": "gauss",
+        "sampling_kwargs": {"nlat": 48, "nlon": "ecmwf-octahedral"},
         "conv_type": "graph",
         "pool_method": "Interp",
     },
