@@ -334,7 +334,7 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
 
     # --- plots ------------------------------------------------------------
     plot_global_skills(gs, exp_path / "figs" / "skills")
-    plot_skill_maps(skill, exp_path / "figs" / "skills")
+    plot_skill_maps(skill, exp_path / "figs" / "skills", sampling=samp)
 
     if verbose:
         rmse_last = gs["RMSE"][-1]

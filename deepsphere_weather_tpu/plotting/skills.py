@@ -3,10 +3,10 @@
 Parity with the reference's plotting layer
 (reference: modules/my_plotting.py:215-756): per-leadtime skill maps,
 skill-vs-leadtime curves, distribution plots and multi-model benchmark
-comparisons. cartopy is unavailable in this environment, so maps render
-as lat/lon scatter fields in a PlateCarree-like frame (each node colored
-by value — for HEALPix-class samplings this is visually equivalent at
-figure resolution).
+comparisons. cartopy is unavailable in this environment; when a sampling
+is supplied, maps render as filled spherical-Voronoi polygons in a
+PlateCarree-like frame (plotting.mesh — the reference's polygon-mesh
+look), otherwise as per-node scatter fields.
 """
 
 from __future__ import annotations
@@ -78,15 +78,24 @@ def _style_for(skill_name: str, vals: np.ndarray) -> Dict:
 
 
 def plot_skill_maps(skill_ds, fig_dir, skills: Optional[List[str]] = None,
-                    leadtime_indices: Optional[List[int]] = None):
+                    leadtime_indices: Optional[List[int]] = None,
+                    sampling=None):
     """Per-leadtime per-variable skill maps
-    (reference plot_skill_maps, my_plotting.py:271-360)."""
+    (reference plot_skill_maps, my_plotting.py:271-360).
+
+    With `sampling` given, fields render as filled Voronoi polygons
+    (the reference's cartopy polygon-mesh look, via plotting.mesh);
+    otherwise as per-node scatter."""
     fig_dir = Path(fig_dir)
     fig_dir.mkdir(parents=True, exist_ok=True)
     skills = skills or ["BIAS", "RMSE", "rSD", "pearson_R2", "error_CoV"]
     L = len(skill_ds.leadtime_hours)
     if leadtime_indices is None:
         leadtime_indices = sorted(set([0, L // 2, L - 1]))
+    mesh = None
+    if sampling is not None:
+        from .mesh import voronoi_patches
+        mesh = voronoi_patches(sampling)  # tessellate once for all panels
     for f, var in enumerate(skill_ds.feature_order):
         # squeeze=False keeps axes 2-D (atleast_2d gave (1, n) for a
         # single-leadtime column, crashing axes[i, 0] for i > 0)
@@ -98,10 +107,16 @@ def plot_skill_maps(skill_ds, fig_dir, skills: Optional[List[str]] = None,
             vals_all = skill_ds[sk][:, :, f]
             style = _style_for(sk, vals_all)
             for j, lt in enumerate(leadtime_indices):
-                plot_map(vals_all[lt], skill_ds.lat, skill_ds.lon,
-                         ax=axes[i, j],
-                         title=f"{var} {sk} +{skill_ds.leadtime_hours[lt]:.0f}h",
-                         **style)
+                title = f"{var} {sk} +{skill_ds.leadtime_hours[lt]:.0f}h"
+                if mesh is not None:
+                    from .mesh import plot_polygons
+                    plot_polygons(vals_all[lt], sampling, ax=axes[i, j],
+                                  title=title, mesh=mesh, **style)
+                    axes[i, j].set_xticks([])
+                    axes[i, j].set_yticks([])
+                else:
+                    plot_map(vals_all[lt], skill_ds.lat, skill_ds.lon,
+                             ax=axes[i, j], title=title, **style)
         fig.tight_layout()
         fig.savefig(fig_dir / f"skill_maps_{var}.png", dpi=110)
         plt.close(fig)

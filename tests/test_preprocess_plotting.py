@@ -187,6 +187,26 @@ class TestPlottingReviewRegressions:
                         leadtime_indices=[0])
         assert any(tmp_path.glob("**/*.png"))
 
+    def test_skill_maps_polygon_mesh(self, tmp_path):
+        # with sampling= given, maps render as filled Voronoi polygons
+        # (reference cartopy polygon-mesh look, my_plotting.py:215-267)
+        from deepsphere_weather_tpu.plotting.skills import plot_skill_maps
+        from deepsphere_weather_tpu.sphere import build_sampling
+        from deepsphere_weather_tpu.verif.deterministic import SkillDataset
+
+        samp = build_sampling("healpix", {"subdivisions": 2, "nest": True})
+        n = samp.n_nodes
+        rng = np.random.default_rng(1)
+        xyz = samp.coords_3d
+        sd = SkillDataset(
+            {"RMSE": np.abs(rng.standard_normal((2, n, 1)))},
+            np.asarray([6.0, 12.0]), ["z500"],
+            lat=np.degrees(np.arcsin(xyz[:, 2])),
+            lon=np.degrees(np.arctan2(xyz[:, 1], xyz[:, 0])))
+        plot_skill_maps(sd, tmp_path, skills=["RMSE"], sampling=samp)
+        out = tmp_path / "skill_maps_z500.png"
+        assert out.exists() and out.stat().st_size > 10_000
+
     def test_hovmoller_keeps_max_edge_and_subdaily_axis(self):
         from deepsphere_weather_tpu.plotting.hovmoller import hovmoller_data
 
