@@ -26,6 +26,35 @@ __all__ = ["create_gif_forecast_error", "create_gif_forecast_anom_error",
            "create_gif_forecast_evolution"]
 
 
+def _field_panel(ax, vals, lat, lon, cmap, vmin, vmax, mesh_ctx):
+    """One map panel: Voronoi polygons when a (sampling, mesh) context is
+    given (reference cartopy polygon look), per-node scatter otherwise.
+    Returns the mappable for the colorbar."""
+    if mesh_ctx is not None:
+        sampling, mesh = mesh_ctx
+        from .mesh import plot_polygons
+
+        plot_polygons(vals, sampling, ax=ax, cmap=cmap, vmin=vmin,
+                      vmax=vmax, add_colorbar=False, mesh=mesh)
+        mappable = ax.collections[-1]
+    else:
+        mappable = ax.scatter(lon, lat, c=vals, s=4, marker="s", cmap=cmap,
+                              vmin=vmin, vmax=vmax, linewidths=0)
+    ax.set_xlim(-180, 180)
+    ax.set_ylim(-90, 90)
+    ax.set_xticks([])
+    ax.set_yticks([])
+    return mappable
+
+
+def _mesh_ctx(sampling):
+    if sampling is None:
+        return None
+    from .mesh import voronoi_patches
+
+    return (sampling, voronoi_patches(sampling))  # tessellate once per GIF
+
+
 def _render_frames(frame_fn, n_frames, out_path, fps: int = 4):
     """Render frames with frame_fn(i, fig) and encode GIF (or mp4 if ffmpeg)."""
     out_path = Path(out_path)
@@ -64,9 +93,10 @@ def _render_frames(frame_fn, n_frames, out_path, fps: int = 4):
 
 def create_gif_forecast_error(forecast, obs_dataset, out_path,
                               frt_index: int = 0, variable: Optional[str] = None,
-                              fps: int = 4):
+                              fps: int = 4, sampling=None):
     """Animated (prediction, observation, error) triptych over leadtime
     for one forecast reference time (reference my_plotting.py:887-1074)."""
+    mesh_ctx = _mesh_ctx(sampling)
     var = variable or forecast.feature_order[0]
     f = forecast.feature_order.index(var)
     lat, lon = forecast.lat, _lon180(forecast.lon)
@@ -105,12 +135,7 @@ def create_gif_forecast_error(forecast, obs_dataset, out_path,
             (axes[1], obs[i], f"{var} observed", "viridis", vmin, vmax),
             (axes[2], err[i], "error", "RdBu_r", -emax, emax),
         ):
-            sc = ax.scatter(lon, lat, c=vals, s=4, marker="s", cmap=cm,
-                            vmin=v0, vmax=v1, linewidths=0)
-            ax.set_xlim(-180, 180)
-            ax.set_ylim(-90, 90)
-            ax.set_xticks([])
-            ax.set_yticks([])
+            sc = _field_panel(ax, vals, lat, lon, cm, v0, v1, mesh_ctx)
             ax.set_title(
                 f"{title} +{forecast.leadtime_hours[kept[i]]:.0f}h",
                 fontsize=9)
@@ -125,13 +150,14 @@ def create_gif_forecast_anom_error(forecast, obs_dataset, scaler, out_path,
                                    frt_index: int = 0,
                                    variable: Optional[str] = None,
                                    anom_title: str = "Anomaly",
-                                   fps: int = 4):
+                                   fps: int = 4, sampling=None):
     """Animated (observed, predicted, error) triptych in ANOMALY space:
     both forecast and observations are transformed by `scaler` (typically a
     standardized AnomalyScaler) at each frame's valid time before
     differencing (reference create_gif_forecast_anom_error,
     my_plotting.py:1077-1270). Standardized-anomaly color limits follow the
     reference: field ±4, error ±6."""
+    mesh_ctx = _mesh_ctx(sampling)
     var = variable or forecast.feature_order[0]
     f = forecast.feature_order.index(var)
     lat, lon = forecast.lat, _lon180(forecast.lon)
@@ -164,12 +190,7 @@ def create_gif_forecast_anom_error(forecast, obs_dataset, scaler, out_path,
              "Spectral_r", -4, 4),
             (axes[2], err[i], f"{anom_title} error", "RdBu_r", -6, 6),
         ):
-            sc = ax.scatter(lon, lat, c=vals, s=4, marker="s", cmap=cm,
-                            vmin=v0, vmax=v1, linewidths=0)
-            ax.set_xlim(-180, 180)
-            ax.set_ylim(-90, 90)
-            ax.set_xticks([])
-            ax.set_yticks([])
+            sc = _field_panel(ax, vals, lat, lon, cm, v0, v1, mesh_ctx)
             ax.set_title(
                 f"{title} +{forecast.leadtime_hours[kept[i]]:.0f}h",
                 fontsize=9)
@@ -182,8 +203,9 @@ def create_gif_forecast_anom_error(forecast, obs_dataset, scaler, out_path,
 
 def create_gif_forecast_evolution(forecast, out_path, frt_index: int = 0,
                                   variable: Optional[str] = None,
-                                  fps: int = 4):
+                                  fps: int = 4, sampling=None):
     """Animated forecast field evolution (reference my_plotting.py:1271)."""
+    mesh_ctx = _mesh_ctx(sampling)
     var = variable or forecast.feature_order[0]
     f = forecast.feature_order.index(var)
     lat, lon = forecast.lat, _lon180(forecast.lon)
@@ -194,12 +216,8 @@ def create_gif_forecast_evolution(forecast, out_path, frt_index: int = 0,
 
     def frame(i):
         fig, ax = plt.subplots(figsize=(7, 3.6))
-        sc = ax.scatter(lon, lat, c=fields[i], s=5, marker="s",
-                        cmap="viridis", vmin=vmin, vmax=vmax, linewidths=0)
-        ax.set_xlim(-180, 180)
-        ax.set_ylim(-90, 90)
-        ax.set_xticks([])
-        ax.set_yticks([])
+        sc = _field_panel(ax, fields[i], lat, lon, "viridis", vmin, vmax,
+                          mesh_ctx)
         ax.set_title(f"{var} +{forecast.leadtime_hours[i]:.0f}h", fontsize=10)
         plt.colorbar(sc, ax=ax, shrink=0.8)
         fig.tight_layout()

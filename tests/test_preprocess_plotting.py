@@ -152,8 +152,11 @@ class TestHovmollerAndAnimation:
             input_k=[-2, -1], output_k=[0], forecast_cycle=1, ar_iterations=3,
             forecast_reference_times=dyn.time[[10]], batch_size=1,
             zarr_fpath=tmp_path / "f.zarr")
+        # sampling= renders frames as filled Voronoi polygons
+        from deepsphere_weather_tpu.sphere import build_sampling
+        samp = build_sampling("healpix", {"subdivisions": 4, "nest": True})
         gif = create_gif_forecast_error(fc, dyn, tmp_path / "err.gif",
-                                        variable="z500")
+                                        variable="z500", sampling=samp)
         assert gif.exists() and gif.stat().st_size > 1000
 
         # anomaly-space variant (reference my_plotting.py:1077-1270):
