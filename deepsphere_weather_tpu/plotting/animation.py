@@ -34,9 +34,8 @@ def _field_panel(ax, vals, lat, lon, cmap, vmin, vmax, mesh_ctx):
         sampling, mesh = mesh_ctx
         from .mesh import plot_polygons
 
-        plot_polygons(vals, sampling, ax=ax, cmap=cmap, vmin=vmin,
-                      vmax=vmax, add_colorbar=False, mesh=mesh)
-        mappable = ax.collections[-1]
+        mappable = plot_polygons(vals, sampling, ax=ax, cmap=cmap, vmin=vmin,
+                                 vmax=vmax, add_colorbar=False, mesh=mesh)
     else:
         mappable = ax.scatter(lon, lat, c=vals, s=4, marker="s", cmap=cmap,
                               vmin=vmin, vmax=vmax, linewidths=0)

@@ -60,12 +60,18 @@ def plot_polygons(values: np.ndarray, sampling, ax=None, cmap="viridis",
 
     `mesh` optionally supplies precomputed `voronoi_patches(sampling)`
     output (SphereField caches it — recomputing the tessellation costs
-    seconds at HEALPix-64)."""
+    seconds at HEALPix-64). Returns the PolyCollection (its `.axes` /
+    `.figure` reach the containing axes; pass it to `plt.colorbar`)."""
+    values = np.asarray(values)
+    if values.shape[-1] != sampling.n_nodes:
+        raise ValueError(
+            f"values last dim {values.shape[-1]} != sampling.n_nodes "
+            f"{sampling.n_nodes} ({sampling.name}) — wrong sampling passed?")
     if ax is None:
         _, ax = plt.subplots(figsize=(9, 4.5))
     patches, node_index = mesh if mesh is not None else voronoi_patches(
         sampling)
-    pc = PolyCollection(patches, array=np.asarray(values)[node_index],
+    pc = PolyCollection(patches, array=values[node_index],
                         cmap=cmap, edgecolors=edgecolors,
                         linewidths=linewidths)
     if vmin is not None or vmax is not None:
@@ -76,7 +82,7 @@ def plot_polygons(values: np.ndarray, sampling, ax=None, cmap="viridis",
     ax.set_title(title, fontsize=10)
     if add_colorbar:
         plt.colorbar(pc, ax=ax, shrink=0.8)
-    return ax
+    return pc
 
 
 def plot_mesh(sampling, ax=None, edgecolors="k", linewidths: float = 0.2,
@@ -120,7 +126,8 @@ class SphereField:
         return self._mesh is not None
 
     def plot(self, **kwargs):
-        """Filled-polygon field plot (xsphere .sphere.plot parity)."""
+        """Filled-polygon field plot (xsphere .sphere.plot parity).
+        Returns the PolyCollection; `.figure` reaches the figure."""
         self.add_SphericalVoronoiMesh()
         return plot_polygons(self.values, self.sampling, mesh=self._mesh,
                              **kwargs)

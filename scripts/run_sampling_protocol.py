@@ -12,8 +12,9 @@ validation, AR20 (+120 h) predictions, verification vs persistence) on:
   pooling — the pooling family that works for any sampling pair
   (reference layers.py:948-987)
 - cubed-sphere 400 km (subdivisions 24) and O24 Gauss-Legendre
-  octahedral, both graph conv + Interp pooling — completing
-  training-grade evidence on all five reference samplings
+  octahedral, both graph conv + Interp pooling — training-grade
+  evidence on all five reference samplings (all committed in
+  docs/benchmarks/sampling_protocols.json + healpix*_protocol.json)
 
 Reference sweep equivalent: scripts_training/03_exp_samplings.py:39-57 +
 03_exp_poolings.py. Results append into
@@ -191,7 +192,7 @@ def main():
     out = ROOT / "docs" / "benchmarks" / "sampling_protocols.json"
     existing = json.loads(out.read_text()) if out.exists() else {}
     existing[args.target] = entry
-    out.write_text(json.dumps(existing, indent=1))
+    out.write_text(json.dumps(existing, indent=1) + "\n")
     print(f"wrote {out} [{args.target}]")
     print(json.dumps({k: v for k, v in entry.items()
                       if "rmse_by" not in k}, indent=1))

@@ -261,13 +261,31 @@ class TestPerVariableRemap:
         assert get_variable_interp_method("slt") == "largest_area_fraction"
         assert get_variable_interp_method("geopotential") == "conservative"
 
-    def test_grib_reader_gated(self):
-        """The cfgrib dependency gate lives in the default reader only."""
+    def test_grib_reader_falls_back_to_builtin_codec(self, tmp_path):
+        """Without cfgrib the default reader uses the self-contained codec
+        (data/grib.py), so ingest works with zero optional deps; a file the
+        codec cannot parse surfaces the codec's error, not an ImportError."""
+        from deepsphere_weather_tpu.data.grib import (
+            GribRecord, GridSpec, write_grib2)
         from deepsphere_weather_tpu.data.preprocess import \
             _default_grib_reader
 
-        with pytest.raises(ImportError, match="cfgrib"):
-            _default_grib_reader("x.grib")
+        grid = GridSpec("regular_ll", 10, nlon=20)
+        path = tmp_path / "z500.grib"
+        field = np.random.default_rng(0).normal(size=200).astype(np.float32)
+        write_grib2(path, [GribRecord(
+            "z", field, np.datetime64("2020-01-01T00"), grid,
+            level_hPa=500)])
+        fields, time, parsed = _default_grib_reader(str(path))
+        assert fields["z"].shape == (1, 1, 200)
+        np.testing.assert_allclose(fields["z"][0, 0], field,
+                                   rtol=1e-4, atol=1e-4)
+        assert parsed == grid
+
+        bad = tmp_path / "bad.grib"
+        bad.write_bytes(b"not a grib message")
+        with pytest.raises(ValueError):
+            _default_grib_reader(str(bad))
 
 
 class TestGribRemapDriver:
