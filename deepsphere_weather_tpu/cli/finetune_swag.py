@@ -19,10 +19,26 @@ from pathlib import Path
 import numpy as np
 
 
+def _swag_optimizer(optax, base_lr: float, target_lr: float, swa_start: int,
+                    clip: float):
+    """Adam with the SWA learning-rate schedule: linear decay base->target
+    over the `swa_start` pre-collection updates, constant target after."""
+    if swa_start > 0:
+        schedule = optax.linear_schedule(
+            init_value=base_lr, end_value=target_lr,
+            transition_steps=swa_start)
+    else:
+        schedule = target_lr
+    opt = optax.adam(schedule, eps=1e-7)
+    if clip > 0:
+        opt = optax.chain(optax.clip_by_global_norm(clip), opt)
+    return opt
+
+
 def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
          sampling_scale: float = 0.1, swag_freq: int = 2, swa_start: int = 0,
          max_num_models: int = 20, ar_iterations_prediction: int = 10,
-         target_learning_rate: float = 0.007, verbose: bool = True):
+         target_learning_rate: float = 0.001, verbose: bool = True):
     import jax
     import optax
 
@@ -124,15 +140,21 @@ def main(model_dir, data_dir, epochs: int = 1, nb_samples: int = 5,
         ar_iterations=ar_settings["ar_iterations"],
         ar_training_strategy=training_settings["ar_training_strategy"],
         area_weights=area_w,
-        # respect the pretrained config's clipping: SWAG fine-tunes at a
-        # deliberately HIGH constant lr (posterior exploration), which is
-        # exactly the regime where unclipped AR6 BPTT diverges
-        optimizer=(optax.chain(
-            optax.clip_by_global_norm(
-                float(training_settings.get("gradient_clipping", 0.0))),
-            optax.adam(target_learning_rate, eps=1e-7))
-            if float(training_settings.get("gradient_clipping", 0.0) or 0.0)
-            > 0 else optax.adam(target_learning_rate, eps=1e-7)),
+        # SWA lr recipe (reference SWAG_settings.target_learning_rate=0.001,
+        # finetune_swag.py:110; Maddox et al. 2019): decay from the
+        # pretrained run's lr down to the SWA lr over the pre-collection
+        # updates (swa_start), then HOLD at the SWA lr while moments are
+        # collected. Collecting at the full training lr (round-4 recipe)
+        # bounces members around the loss basin and produced an ensemble
+        # 1.34x WORSE than its base model. Clipping still respects the
+        # pretrained config — unclipped AR6 BPTT diverges at these lrs.
+        optimizer=_swag_optimizer(
+            optax,
+            base_lr=float(training_settings.get("learning_rate", 0.007)),
+            target_lr=float(target_learning_rate),
+            swa_start=int(swa_start),
+            clip=float(training_settings.get("gradient_clipping", 0.0)
+                       or 0.0)),
         epochs=epochs,
         training_batch_size=training_settings["training_batch_size"],
         validation_batch_size=training_settings["validation_batch_size"],
@@ -210,11 +232,17 @@ def cli():
     p.add_argument("--swag_freq", type=int, default=2)
     p.add_argument("--swa_start", type=int, default=0)
     p.add_argument("--max_num_models", type=int, default=20)
+    p.add_argument("--target_learning_rate", type=float, default=0.001,
+                   help="SWA collection-phase lr (reference "
+                        "SWAG_settings.target_learning_rate)")
+    p.add_argument("--ar_iterations_prediction", type=int, default=10)
     args = p.parse_args()
     main(args.model_dir, args.data_dir, epochs=args.epochs,
          nb_samples=args.nb_samples, sampling_scale=args.sampling_scale,
          swag_freq=args.swag_freq, swa_start=args.swa_start,
-         max_num_models=args.max_num_models)
+         max_num_models=args.max_num_models,
+         target_learning_rate=args.target_learning_rate,
+         ar_iterations_prediction=args.ar_iterations_prediction)
 
 
 if __name__ == "__main__":

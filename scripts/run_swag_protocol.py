@@ -71,7 +71,8 @@ def main():
     ap.add_argument("--swag_freq", type=int, default=2)
     ap.add_argument("--max_num_models", type=int, default=20)
     ap.add_argument("--ar_iterations_prediction", type=int, default=20)
-    ap.add_argument("--target_learning_rate", type=float, default=0.007)
+    ap.add_argument("--target_learning_rate", type=float, default=0.001)
+    ap.add_argument("--swa_start", type=int, default=0)
     ap.add_argument("--work_dir", default=None)
     args = ap.parse_args()
 
@@ -96,7 +97,8 @@ def main():
     out, gs_median = swag_main(
         model_dir, data_dir, epochs=args.epochs,
         nb_samples=args.nb_samples, sampling_scale=args.sampling_scale,
-        swag_freq=args.swag_freq, max_num_models=args.max_num_models,
+        swag_freq=args.swag_freq, swa_start=args.swa_start,
+        max_num_models=args.max_num_models,
         ar_iterations_prediction=args.ar_iterations_prediction,
         target_learning_rate=args.target_learning_rate, verbose=True)
 
@@ -130,8 +132,9 @@ def main():
         "config": f"SWAG({args.nb_samples} members, scale "
                   f"{args.sampling_scale}, swag_freq {args.swag_freq}, "
                   f"max {args.max_num_models} cov cols) on "
-                  f"{model_dir.name}; {args.epochs} fine-tune epoch(s) at "
-                  f"lr {args.target_learning_rate}, AR"
+                  f"{model_dir.name}; {args.epochs} fine-tune epoch(s), SWA "
+                  f"lr schedule decaying to {args.target_learning_rate} "
+                  f"(reference SWAG_settings.target_learning_rate), AR"
                   f"{args.ar_iterations_prediction} (+"
                   f"{args.ar_iterations_prediction * 6} h) member rollouts",
         "wall_s": round(time.time() - t0, 1),
