@@ -302,12 +302,14 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
         batch_size=training_settings["training_batch_size"],
         zarr_fpath=exp_path / "model_predictions" / "forecast_chunked"
         / "test_forecasts.zarr",
+        keep_in_memory=True,
         verbose=verbose,
     )
-    # Verification reads the space-chunked copy — same flow as the
-    # reference (train_predict_state.py:505-525), and it exercises the
-    # rechunked store's per-node access pattern instead of leaving it
-    # write-only.
+    # The space-chunked copy is still written (exp-dir contract, reference
+    # train_predict_state.py:505-510) but straight from the rollout's RAM
+    # buffer when it fit — a write-only pass. Verification also reads the
+    # RAM buffer directly; at HEALPix-64 the old decompress-read rechunk +
+    # store-read verify was 36% of protocol wall (VERDICT r4 #7).
     from ..data.zarrstore import read_bytes_counter
     t_re = time.time()
     b_re = read_bytes_counter()
@@ -319,13 +321,15 @@ def main(cfg_path, data_dir, exp_dir, force: bool = False,
     # --- verification -----------------------------------------------------
     t_ve = time.time()
     b_ve = read_bytes_counter()
-    skill = deterministic(forecast_rechunked, test_dyn)
+    skill = deterministic(
+        forecast if forecast.in_memory else forecast_rechunked, test_dyn)
     skill.save(exp_path / "model_skills" / "deterministic_spatial_skill.npz")
     gs = global_summary(skill, np.asarray(area_w))
     gs.save(exp_path / "model_skills" / "deterministic_global_skill.npz")
     # verify-pass I/O accounting (round-3's HEALPix-64 protocol re-read
     # ~18x the store before the streaming verifier; keep the receipts)
     (exp_path / "model_skills" / "verify_stats.json").write_text(json.dumps({
+        "forecast_in_memory": bool(forecast.in_memory),
         "rechunk_wall_s": round(t_ve - t_re, 1),
         "rechunk_read_gb": round((b_ve - b_re) / 1e9, 3),
         "verify_wall_s": round(time.time() - t_ve, 1),

@@ -29,10 +29,31 @@ __all__ = ["AutoregressivePredictions", "ForecastDataset",
            "make_bc_reader", "rechunk_forecasts_for_verification"]
 
 
+class _InMemoryArray:
+    """ndarray with a zarr-array face (`.chunks`, `[...]` reads).
+
+    Backs ForecastDataset.variables when the rollout kept its output in
+    host RAM: verification then tiles straight out of memory instead of
+    decompressing the forecast store a second time (VERDICT r4 #7 — the
+    HEALPix-64 protocol spent 36% of its wall on the rechunk+verify
+    read path). The advertised node chunk mirrors the ~4 MB heuristic of
+    `rechunk_forecasts_for_verification` so the verifier's tile sizing
+    behaves identically either way."""
+
+    def __init__(self, arr: np.ndarray, chunks):
+        self._arr = arr
+        self.chunks = tuple(chunks)
+        self.shape = arr.shape
+        self.dtype = arr.dtype
+
+    def __getitem__(self, idx):
+        return self._arr[idx]
+
+
 class ForecastDataset:
     """Forecast store: per-variable [frt, leadtime, node] + coords."""
 
-    def __init__(self, group: ZarrGroup):
+    def __init__(self, group: ZarrGroup, memory: Optional[Dict] = None):
         self.group = group
         self.feature_order = group.attrs["feature_order"]
         self.variables = {n: group[n] for n in self.feature_order}
@@ -41,6 +62,14 @@ class ForecastDataset:
         self.leadtime_hours = np.asarray(group["leadtime"][...])
         self.lat = np.asarray(group["lat"][...])
         self.lon = np.asarray(group["lon"][...])
+        self.in_memory = memory is not None
+        if memory is not None:
+            n_frt, L = len(self.forecast_reference_time), len(
+                self.leadtime_hours)
+            node_chunk = max(1, int(4e6 // max(n_frt * L * 4, 1)))
+            self.variables = {
+                n: _InMemoryArray(memory[n], (n_frt, L, node_chunk))
+                for n in self.feature_order}
 
     @classmethod
     def open(cls, path) -> "ForecastDataset":
@@ -162,6 +191,12 @@ def AutoregressivePredictions(
     # normalization; required when the model has 'batch' normalization
     # (reference runs model.eval() during predictions)
     norm_state: Optional[Dict] = None,
+    # also keep the (inverse-scaled) forecasts in host RAM and serve the
+    # returned dataset from there: downstream rechunk/verify then run
+    # without re-reading the store (VERDICT r4 #7). Falls back to
+    # store-backed when the raw buffer would exceed DSW_VERIF_RAM_BYTES
+    # (default 8 GB) or half of free RAM.
+    keep_in_memory: bool = False,
     verbose: bool = False,
 ) -> ForecastDataset:
     """Roll out forecasts; returns the (streamed) ForecastDataset.
@@ -287,6 +322,24 @@ def AutoregressivePredictions(
     out_arrays = {name: g[name] for name in data_dynamic.feature_order}
     _read_bc = make_bc_reader(data_dynamic, data_bc, bc_generator, scaler_bc)
 
+    mem: Optional[Dict[str, np.ndarray]] = None
+    if keep_in_memory:
+        import os
+
+        from ..data.loader import AutoregressiveDataset
+
+        need = len(frts) * L * V * F * 4
+        budget = int(float(os.environ.get("DSW_VERIF_RAM_BYTES", 8e9)))
+        free = AutoregressiveDataset._available_memory_bytes()
+        if free is not None:
+            budget = min(budget, free // 2)
+        if need <= budget:
+            mem = {name: np.empty((len(frts), L, V), np.float32)
+                   for name in data_dynamic.feature_order}
+        elif verbose:
+            print(f"keep_in_memory: forecast buffer {need / 1e9:.1f} GB "
+                  f"exceeds budget {budget / 1e9:.1f} GB — store-backed")
+
     # --- async writer: device->host fetch, inverse scaling and zlib zarr
     # writes run on a background thread so they overlap the NEXT block's
     # device compute instead of sitting on the rollout's critical path
@@ -316,6 +369,8 @@ def AutoregressivePredictions(
                     # int index normalizes to a size-1 slice in the store
                     out_arrays[name][lo: lo + B, lt_index, :] = (
                         block[:, None, :, f])
+                    if mem is not None:
+                        mem[name][lo: lo + B, lt_index, :] = block[:, :, f]
 
     wq = queue.Queue(maxsize=2)
     werr = []
@@ -387,11 +442,12 @@ def AutoregressivePredictions(
     if werr:
         raise werr[0]
 
-    return ForecastDataset(g)
+    return ForecastDataset(g, memory=mem)
 
 
 def rechunk_forecasts_for_verification(forecast: ForecastDataset, target_store,
-                                       node_chunk: Optional[int] = None
+                                       node_chunk: Optional[int] = None,
+                                       compressor: Optional[str] = None
                                        ) -> ForecastDataset:
     """Space-chunked copy for verification access patterns
     (xforecasting.rechunk_forecasts_for_verification parity,
@@ -403,7 +459,16 @@ def rechunk_forecasts_for_verification(forecast: ForecastDataset, target_store,
     node block keeps both per-node reads (one chunk) and per-leadtime
     reads (V/block chunks) cheap. Pass node_chunk=1 for the literal
     reference layout.
+
+    compressor=None picks blosc-lz4 when libblosc is loadable (5-6x the
+    single-core write throughput of zlib on this data), zlib otherwise.
+    With an in-memory source forecast (keep_in_memory rollout) this pass
+    is WRITE-only — no store read-back — which together with the faster
+    codec removes most of the round-4 rechunk tax (VERDICT r4 #7).
     """
+    if compressor is None:
+        from ..native import bloscio
+        compressor = "blosc:lz4" if bloscio.available() else "zlib"
     g = create_group(target_store, overwrite=True,
                      attrs={"feature_order": forecast.feature_order})
     n_frt, L = forecast.n_frt, forecast.n_leadtime
@@ -413,7 +478,7 @@ def rechunk_forecasts_for_verification(forecast: ForecastDataset, target_store,
     for name in forecast.feature_order:
         arr = g.create_array(name, shape=(n_frt, L, V),
                              chunks=(n_frt, L, max(node_chunk, 1)),
-                             dtype=np.float32, compressor="zlib")
+                             dtype=np.float32, compressor=compressor)
         arr[...] = forecast.variables[name][...]
     for cname in ("forecast_reference_time", "leadtime", "lat", "lon"):
         src = forecast.group[cname]

@@ -625,6 +625,62 @@ class TestPrediction:
         ps = persistence_skills(s["dyn"], np.arange(1, 5))
         assert np.all(np.isfinite(ps["RMSE"][:, :, 0]))
 
+    def test_keep_in_memory_matches_store(self, toy_setup, tmp_path):
+        """keep_in_memory serves the SAME values as the on-disk store and
+        rechunk writes from RAM without reading it back (VERDICT r4 #7)."""
+        from deepsphere_weather_tpu.data.zarrstore import read_bytes_counter
+        from deepsphere_weather_tpu.engine.prediction import (
+            ForecastDataset, rechunk_forecasts_for_verification)
+
+        s = toy_setup
+        frts = s["dyn"].time[[50, 60, 70]]
+        kw = dict(
+            data_dynamic=s["dyn"], data_bc=s["bc"], data_static=s["static"],
+            scaler=s["scaler"], input_k=[-3, -2, -1], output_k=[0],
+            forecast_cycle=1, ar_iterations=5,
+            forecast_reference_times=frts, batch_size=2)
+        f_mem = AutoregressivePredictions(
+            s["model"], s["params"], keep_in_memory=True,
+            zarr_fpath=tmp_path / "mem.zarr", **kw)
+        assert f_mem.in_memory
+        f_disk = ForecastDataset.open(tmp_path / "mem.zarr")
+        assert not f_disk.in_memory
+        for name in f_mem.feature_order:
+            np.testing.assert_array_equal(f_mem.variables[name][...],
+                                          f_disk.variables[name][...])
+        # advertised chunks keep the verifier's tile sizing finite
+        assert f_mem.variables["t850"].chunks[2] >= 1
+        # rechunk from the RAM buffer: only the tiny coord arrays are read
+        # back from the store, never the variable data — compare against
+        # the same rechunk from the store-backed dataset
+        b0 = read_bytes_counter()
+        rc = rechunk_forecasts_for_verification(f_mem, tmp_path / "rc.zarr")
+        mem_reads = read_bytes_counter() - b0
+        # drop the freshly-written chunks from the process chunk cache so
+        # the store-backed rechunk actually hits the decompressor
+        from deepsphere_weather_tpu.data import zarrstore
+        zarrstore._chunk_cache.clear()
+        b1 = read_bytes_counter()
+        rechunk_forecasts_for_verification(f_disk, tmp_path / "rc2.zarr")
+        disk_reads = read_bytes_counter() - b1
+        assert mem_reads < disk_reads / 3
+        np.testing.assert_array_equal(rc.variables["z500"][...],
+                                      f_mem.variables["z500"][...])
+        # verification from RAM == verification from the rechunked store
+        sk_mem = deterministic(f_mem, s["dyn"])
+        sk_dsk = deterministic(rc, s["dyn"])
+        np.testing.assert_allclose(sk_mem["RMSE"], sk_dsk["RMSE"], rtol=1e-6)
+        # oversized buffer falls back to store-backed
+        import os
+        os.environ["DSW_VERIF_RAM_BYTES"] = "1"
+        try:
+            f_fb = AutoregressivePredictions(
+                s["model"], s["params"], keep_in_memory=True,
+                zarr_fpath=tmp_path / "fb.zarr", **kw)
+        finally:
+            del os.environ["DSW_VERIF_RAM_BYTES"]
+        assert not f_fb.in_memory
+
 
 class TestPredictionReviewRegressions:
     """Regressions from the engine code review."""
