@@ -41,16 +41,42 @@ __all__ = ["GridSpec", "GribRecord", "read_grib2", "write_grib2",
 
 # shortname -> (discipline, parameterCategory, parameterNumber)
 # WMO table 4.2 entries for the variables the framework ingests
-# (tisr uses the nearest WMO entry for ECMWF's local parameter 212)
+# (tisr uses the nearest WMO entry for ECMWF's local parameter 212).
+# Covers the reference pipeline's full pressure-level + surface set
+# (reference my_plotting.py:35-38 plots q500; my_remap.py remaps any
+# pl/toa/static variable) — an unknown triple no longer fails ingest,
+# it decodes as 'param_<d>_<c>_<n>' (see _shortname_for).
 PARAM_TABLE = {
     "z": (0, 3, 4),        # geopotential [m2 s-2]
     "t": (0, 0, 0),        # temperature [K]
+    "q": (0, 1, 0),        # specific humidity [kg kg-1]
+    "r": (0, 1, 1),        # relative humidity [%]
+    "u": (0, 2, 2),        # u wind [m s-1]
+    "v": (0, 2, 3),        # v wind [m s-1]
+    "w": (0, 2, 8),        # vertical velocity (pressure) [Pa s-1]
+    "vo": (0, 2, 12),      # relative vorticity [s-1]
+    "d": (0, 2, 13),       # divergence [s-1]
+    "msl": (0, 3, 1),      # pressure reduced to MSL [Pa]
     "tisr": (0, 4, 1),     # short-wave radiation flux, TOA
+    "tp": (0, 1, 8),       # total precipitation [kg m-2]
     "land_sea_mask": (2, 0, 0),
     "soil_type": (2, 3, 0),
     "topography": (2, 0, 7),   # model terrain height
 }
 _PARAM_LOOKUP = {v: k for k, v in PARAM_TABLE.items()}
+
+# fixed-surface types (WMO code table 4.5) that decorate the shortname
+# the way ECMWF does: t @ 2 m above ground -> '2t', u @ 10 m -> '10u'
+_HEIGHT_ABOVE_GROUND = 103
+
+
+def _shortname_for(disc: int, cat: int, num: int, sfc_type: int,
+                   sfc_val: int) -> str:
+    """ECMWF-style shortname: table lookup + height-above-ground prefix."""
+    base = _PARAM_LOOKUP.get((disc, cat, num), f"param_{disc}_{cat}_{num}")
+    if sfc_type == _HEIGHT_ABOVE_GROUND and sfc_val in (2, 10):
+        return f"{sfc_val}{base}"
+    return base
 
 _MISS1, _MISS2, _MISS4 = 0xFF, 0xFFFF, 0xFFFFFFFF
 
@@ -133,7 +159,9 @@ class GribRecord:
     time: np.datetime64
     grid: GridSpec
     level_hPa: Optional[int] = None       # isobaric level; None = surface
-    surface_type: Optional[int] = None    # override (8 = nominal TOA)
+    surface_type: Optional[int] = None    # override (8 = nominal TOA,
+    #                                       103 = height above ground)
+    surface_value: int = 0                # e.g. 2 / 10 m for type 103
 
 
 # ---------------------------------------------------------------------------
@@ -166,6 +194,8 @@ def _read_s(b: bytes, off: int, width: int) -> int:
 def _pack_simple(values: np.ndarray, nbits: int = 16):
     """Simple packing: Y = (R + X * 2^E) / 10^D with D=0."""
     v = np.asarray(values, dtype=np.float64)
+    if v.size == 0:                      # fully-bitmapped (all-NaN) field
+        return np.zeros(0, np.uint32), np.float32(0), 0, 0, 0
     vmin, vmax = float(v.min()), float(v.max())
     if vmax == vmin or nbits == 0:
         return np.zeros(v.shape, np.uint32), np.float32(vmin), 0, 0, 0
@@ -244,10 +274,18 @@ def write_grib2(path, records: Sequence[GribRecord]) -> Path:
     path.parent.mkdir(parents=True, exist_ok=True)
     out = []
     for rec in records:
-        if rec.shortname not in PARAM_TABLE:
+        # '2t' / '10u' style names encode height-above-ground surfaces
+        name, sfc_auto = rec.shortname, None
+        if name not in PARAM_TABLE:
+            for pre, h in (("10", 10), ("2", 2)):
+                if name.startswith(pre) and name[len(pre):] in PARAM_TABLE:
+                    name, sfc_auto = name[len(pre):], (
+                        _HEIGHT_ABOVE_GROUND, h)
+                    break
+        if name not in PARAM_TABLE:
             raise ValueError(f"unknown shortname {rec.shortname!r}; one of "
                              f"{sorted(PARAM_TABLE)}")
-        disc, cat, num = PARAM_TABLE[rec.shortname]
+        disc, cat, num = PARAM_TABLE[name]
         vals = np.asarray(rec.values, dtype=np.float64).ravel()
         if vals.size != rec.grid.n_points:
             raise ValueError(f"{rec.shortname}: {vals.size} values for a "
@@ -264,8 +302,11 @@ def write_grib2(path, records: Sequence[GribRecord]) -> Path:
         s3 = _grid_section(rec.grid)
         if rec.level_hPa is not None:
             sfc_type, sfc_val = 100, int(rec.level_hPa) * 100   # Pa
+        elif rec.surface_type is None and sfc_auto is not None:
+            sfc_type, sfc_val = sfc_auto
         else:
-            sfc_type, sfc_val = (rec.surface_type or 1), 0
+            sfc_type = rec.surface_type or 1
+            sfc_val = int(rec.surface_value)
         s4 = _section(4, b"".join([
             _u(0, 2), _u(0, 2),        # NV, template 4.0
             _u(cat, 1), _u(num, 1),
@@ -275,13 +316,22 @@ def write_grib2(path, records: Sequence[GribRecord]) -> Path:
             _u(sfc_type, 1), _u(0, 1), _u(sfc_val, 4),
             _u(_MISS1, 1), _u(_MISS1, 1), _u(_MISS4, 4),  # 2nd surface
         ]))
-        X, R, E, D, nbits = _pack_simple(vals)
+        # NaN values are stored via a section-6 bitmap (1 bit per grid
+        # point, 1 = present); only the finite values are bit-packed
+        finite = np.isfinite(vals)
+        if finite.all():
+            pack_vals = vals
+            s6 = _section(6, _u(255, 1))              # no bitmap
+        else:
+            pack_vals = vals[finite]
+            s6 = _section(6, _u(0, 1)
+                          + np.packbits(finite.astype(np.uint8)).tobytes())
+        X, R, E, D, nbits = _pack_simple(pack_vals)
         s5 = _section(5, b"".join([
-            _u(vals.size, 4), _u(0, 2),               # template 5.0
+            _u(pack_vals.size, 4), _u(0, 2),          # template 5.0
             struct.pack(">f", R), _s(E, 2), _s(D, 2),
             _u(nbits, 1), _u(0, 1),
         ]))
-        s6 = _section(6, _u(255, 1))                  # no bitmap
         s7 = _section(7, _bits_to_bytes(X, nbits))
         body = s1 + s3 + s4 + s5 + s6 + s7
         total = 16 + len(body) + 4
@@ -349,10 +399,14 @@ def _parse_message(buf: bytes, off: int):
         raise NotImplementedError(f"product definition template 4.{tmpl4}")
     cat, num = _read_u(s4, 4, 1), _read_u(s4, 5, 1)
     sfc_type = _read_u(s4, 17, 1)
+    sfc_scale_raw = _read_u(s4, 18, 1)
     sfc_val = _read_u(s4, 19, 4)
-    level = sfc_val // 100 if sfc_type == 100 else None
-    shortname = _PARAM_LOOKUP.get((disc, cat, num),
-                                  f"param_{disc}_{cat}_{num}")
+    # octet 24 scale factor of first fixed surface (sign-magnitude;
+    # 0xFF = missing -> treat as 0)
+    sfc_scale = 0 if sfc_scale_raw == _MISS1 else _read_s(s4, 18, 1)
+    sfc_level = sfc_val / 10.0 ** sfc_scale if sfc_scale else sfc_val
+    level = int(sfc_level) // 100 if sfc_type == 100 else None
+    shortname = _shortname_for(disc, cat, num, sfc_type, int(sfc_level))
 
     s5 = sections[5]
     n_pts = _read_u(s5, 0, 4)
@@ -364,9 +418,27 @@ def _parse_message(buf: bytes, off: int):
     E = _read_s(s5, 10, 2)
     D = _read_s(s5, 12, 2)
     nbits = _read_u(s5, 14, 1)
-    if _read_u(sections[6], 0, 1) != 255:
-        raise NotImplementedError("bitmapped GRIB2 fields")
-    values = _bytes_to_values(sections[7], n_pts, nbits, R, E, D)
+    bmp_ind = _read_u(sections[6], 0, 1)
+    packed = _bytes_to_values(sections[7], n_pts, nbits, R, E, D)
+    if bmp_ind == 255:                       # no bitmap: all points present
+        values = packed
+    elif bmp_ind == 0:                       # bitmap in THIS message
+        # section 6 octets 7+: one bit per grid point, MSB-first; 1 =
+        # value present in section 7, 0 = missing (decoded as NaN)
+        n_grid = grid.n_points
+        bmp = np.unpackbits(
+            np.frombuffer(sections[6][1:], dtype=np.uint8))[:n_grid]
+        n_present = int(bmp.sum())
+        if n_present != n_pts:
+            raise ValueError(
+                f"bitmap marks {n_present} points present but section 5 "
+                f"declares {n_pts} packed values")
+        values = np.full(n_grid, np.nan, dtype=np.float32)
+        values[bmp.astype(bool)] = packed
+    else:
+        raise NotImplementedError(
+            f"bitmap indicator {bmp_ind} (only 255 = none, 0 = "
+            "bitmap present in this message)")
     return GribRecord(shortname, values, time, grid, level_hPa=level,
                       surface_type=None if level is not None else sfc_type
                       ), end
