@@ -104,7 +104,7 @@ def run_sweep(cfg_path, data_dir, exp_dir, sweep: Dict[str, List],
 
 def _train_members_parallel(cfg, data_dir, exp_dir, n_members: int,
                             ar_iterations_prediction: int,
-                            verbose: bool) -> List:
+                            verbose: bool, perturbation=None) -> List:
     """Train every DeepEnsemble member in ONE vmapped loop
     (AutoregressiveTraining(n_members=...)): shared batch stream, one
     jitted step advancing all members — measured 32x the reference's
@@ -236,6 +236,8 @@ def _train_members_parallel(cfg, data_dir, exp_dir, n_members: int,
             batch_size=training_settings["training_batch_size"],
             zarr_fpath=exp_path / "model_predictions" / "forecast_chunked"
             / "test_forecasts.zarr",
+            perturbation=(dict(perturbation, seed=5000 + m)
+                          if perturbation is not None else None),
             verbose=verbose,
         )
         member_forecasts.append(forecast)
@@ -245,6 +247,7 @@ def _train_members_parallel(cfg, data_dir, exp_dir, n_members: int,
 def run_deep_ensemble(cfg_path, data_dir, exp_dir, n_members: int = 5,
                       ar_iterations_prediction: int = 4,
                       member_parallel: bool = False,
+                      perturbation=None,
                       verbose: bool = False) -> Dict:
     """DeepEnsemble: train n members with different weight seeds, run
     member predictions, verify the ensemble median
@@ -252,7 +255,16 @@ def run_deep_ensemble(cfg_path, data_dir, exp_dir, n_members: int = 5,
 
     member_parallel=True trains all members in one vmapped jitted loop
     (TPU ensemble parallelism, SURVEY.md §2.14) instead of the
-    reference's sequential per-member runs."""
+    reference's sequential per-member runs.
+
+    `perturbation` ({basis, ic_sigma, step_sigma} — see
+    engine.AutoregressivePredictions) turns member rollouts into a
+    perturbed-analysis + stochastic-model-error ensemble; each member
+    gets its own noise seed (5000+m). Weight-only ensembles on the toy
+    are structurally underdispersive (members converge to the same
+    conditional mean while the toy's long-lead error is dominated by
+    unpredictable AR(1) innovations — round-4 artifact); calibrated
+    perturbations let the SAME framework demonstrate spread/skill ~ 1."""
     from ..engine import ForecastDataset
     from ..prob import build_ensemble_store, ensemble_median
     from ..verif import deterministic, global_summary
@@ -265,7 +277,7 @@ def run_deep_ensemble(cfg_path, data_dir, exp_dir, n_members: int = 5,
     if member_parallel:
         member_forecasts = _train_members_parallel(
             cfg, data_dir, exp_dir, n_members, ar_iterations_prediction,
-            verbose)
+            verbose, perturbation=perturbation)
     else:
         tmp_dir = Path(exp_dir) / "_tmp_configs"
         tmp_dir.mkdir(parents=True, exist_ok=True)

@@ -132,6 +132,24 @@ def _advected_synoptic(rng, lat: np.ndarray, lon: np.ndarray,
     return (amp * out).astype(np.float32)
 
 
+def perturbation_basis(sampling, n_modes: int = 32, length: float = 0.4,
+                       seed: int = 0) -> np.ndarray:
+    """Smooth spatial basis [V, n_modes] with unit pointwise variance
+    under N(0,1) mode coefficients.
+
+    Ensemble initial-condition / stochastic-model-error perturbations
+    (VERDICT r4 #8): drawing coeff ~ N(0, 1) per mode and forming
+    basis @ coeff yields a spatially-correlated field whose per-node
+    standard deviation is exactly 1 — scale by the desired sigma. The
+    correlation length matches the toy generator's AR(1) noise modes, so
+    perturbations project onto the directions the toy's unpredictable
+    component actually lives in."""
+    rng = np.random.default_rng(seed)
+    modes = _smooth_modes(rng, sampling.coords_3d, n_modes, length)  # [V, M]
+    norm = np.sqrt((modes ** 2).sum(axis=1, keepdims=True)) + 1e-12
+    return (modes / norm).astype(np.float32)
+
+
 def generate_toy_data(
     out_dir,
     sampling: str = "healpix",

@@ -197,6 +197,17 @@ def AutoregressivePredictions(
     # store-backed when the raw buffer would exceed DSW_VERIF_RAM_BYTES
     # (default 8 GB) or half of free RAM.
     keep_in_memory: bool = False,
+    # ensemble-calibration perturbations (VERDICT r4 #8): dict with
+    #   basis      [V, n_modes] unit-pointwise-variance spatial basis
+    #              (data.toy.perturbation_basis)
+    #   ic_sigma   [F] per-variable analysis-error std (SCALED space):
+    #              one smooth field per reference time added to the whole
+    #              input history (perturbed-analysis member)
+    #   step_sigma [F] per-variable stochastic model-error std (SCALED
+    #              space): an independent smooth field added to every AR
+    #              step's prediction before feedback (y = f(x) + eps)
+    #   seed       int (vary per member)
+    perturbation: Optional[Dict] = None,
     verbose: bool = False,
 ) -> ForecastDataset:
     """Roll out forecasts; returns the (streamed) ForecastDataset.
@@ -322,6 +333,16 @@ def AutoregressivePredictions(
     out_arrays = {name: g[name] for name in data_dynamic.feature_order}
     _read_bc = make_bc_reader(data_dynamic, data_bc, bc_generator, scaler_bc)
 
+    basis = ic_sigma = step_sigma = perturb_rng = None
+    if perturbation is not None:
+        perturb_rng = np.random.default_rng(int(perturbation.get("seed", 0)))
+        basis = np.asarray(perturbation["basis"], np.float32)     # [V, M]
+        if perturbation.get("ic_sigma") is not None:
+            ic_sigma = np.asarray(perturbation["ic_sigma"], np.float32)
+        if perturbation.get("step_sigma") is not None:
+            step_sigma = np.asarray(perturbation["step_sigma"], np.float32)
+    n_hist_filled = min(indexer.output_k) - min_k
+
     mem: Optional[Dict[str, np.ndarray]] = None
     if keep_in_memory:
         import os
@@ -406,6 +427,13 @@ def AutoregressivePredictions(
                         vals,
                         time=data_dynamic.time[t_hist]).astype(np.float32)
                 hist[b, : len(t_hist)] = vals
+            if ic_sigma is not None:
+                # ONE smooth analysis-error field per reference time,
+                # added to every input history step (scaled space)
+                coeff = perturb_rng.standard_normal(
+                    (B, basis.shape[1], F)).astype(np.float32)
+                field = np.einsum("vm,bmf->bvf", basis, coeff) * ic_sigma
+                hist[:, :n_hist_filled] += field[:, None]
             hist = jnp.asarray(hist)
             wmask = jnp.zeros((H,), dtype=bool) if keep_first else None
 
@@ -428,8 +456,18 @@ def AutoregressivePredictions(
                     bc_np = np.asarray(bc_rows, dtype=np.float32).reshape(
                         B, steps, len(indexer.input_k), V, n_fb)
                     bc_block = jnp.asarray(bc_np)
+                noise_block = None
+                if step_sigma is not None:
+                    # independent stochastic model-error field per step
+                    # (y = f(x) + eps before feedback, engine/step.py)
+                    coeff = perturb_rng.standard_normal(
+                        (B, steps, n_out, basis.shape[1], F)
+                    ).astype(np.float32)
+                    noise_block = jnp.asarray(
+                        np.einsum("vm,bsomf->bsovf", basis, coeff)
+                        * step_sigma)
                 hist, wmask, preds = fn(params, hist, wmask, bc_block,
-                                        static, geom)
+                                        static, geom, noise_block)
                 wq.put((preds, lo, B, step0, steps))
                 if werr:
                     raise werr[0]

@@ -542,8 +542,16 @@ def make_rollout_block(model, indexer: ARIndexer, block_size: int,
     BC features for the whole block are supplied as [B, block, n_in, V, Fb]
     (host-gathered: BC is known for all future times). Returns
     (rollout_fn, history_size).
-    rollout_fn(params, hist, wmask, bc_block, static, geom) ->
+    rollout_fn(params, hist, wmask, bc_block, static, geom,
+               noise_block=None) ->
     (new_hist, new_wmask, preds [B, block, n_out, V, F]).
+
+    `noise_block` ([B, block, n_out, V, F], scaled space) adds stochastic
+    model-error perturbations to each step's prediction BEFORE feedback
+    and emission (y = f(x) + eps) — the ensemble-calibration path
+    (perturbed-analysis + stochastic-physics-style ensembles; the
+    reference's verify_DeepEnsemble.py leaves ensembles underdispersive
+    with no perturbation machinery at all).
 
     `wmask` is the keep-first written-mask: pass None unless the indexer
     needs keep-first feedback (keep_first_feedback(indexer)); then start a
@@ -561,7 +569,8 @@ def make_rollout_block(model, indexer: ARIndexer, block_size: int,
     out_pos = jnp.asarray([k - min_k for k in indexer.output_k], dtype=jnp.int32)
     keep_first = keep_first_feedback(indexer)
 
-    def rollout(params, hist, wmask, bc_block, static, geom):
+    def rollout(params, hist, wmask, bc_block, static, geom,
+                noise_block=None):
         if keep_first and wmask is None:
             raise ValueError(
                 "this indexer keeps FIRST predictions "
@@ -571,8 +580,9 @@ def make_rollout_block(model, indexer: ARIndexer, block_size: int,
         if not keep_first:
             wmask = None                       # nothing to carry
 
-        def step(carry, bc_i):
+        def step(carry, xs):
             h, wmask = carry
+            bc_i = xs.get("bc")
             x_dyn = jnp.take(h, in_pos, axis=1)          # [B, n_in, V, Fd]
             B, T, V, _ = x_dyn.shape
             parts = []
@@ -590,6 +600,8 @@ def make_rollout_block(model, indexer: ARIndexer, block_size: int,
                                 norm_state=norm_state, train=False)
             else:
                 y = model.apply(params, x, geom=geom)     # [B, n_out, V, Fd]
+            if "noise" in xs:
+                y = y + xs["noise"]
             y_write = y
             if keep_first:
                 prev = jnp.take(h, out_pos, axis=1)
@@ -605,14 +617,18 @@ def make_rollout_block(model, indexer: ARIndexer, block_size: int,
             return (h, wmask), y
 
         carry0 = (hist, wmask)
-        if bc_block is None:
-            def step_nobc(c, _):
-                return step(c, None)
-            (hist, wmask), preds = jax.lax.scan(step_nobc, carry0,
-                                                jnp.arange(block_size))
+        xs = {}
+        if bc_block is not None:
+            xs["bc"] = jnp.swapaxes(bc_block, 0, 1)
+        if noise_block is not None:
+            xs["noise"] = jnp.swapaxes(noise_block, 0, 1)
+        if xs:
+            (hist, wmask), preds = jax.lax.scan(step, carry0, xs)
         else:
-            (hist, wmask), preds = jax.lax.scan(step, carry0,
-                                                jnp.swapaxes(bc_block, 0, 1))
+            def step_noxs(c, _):
+                return step(c, {})
+            (hist, wmask), preds = jax.lax.scan(step_noxs, carry0,
+                                                jnp.arange(block_size))
         # [block, B, n_out, V, F] -> [B, block, n_out, V, F]
         return hist, wmask, jnp.swapaxes(preds, 0, 1)
 

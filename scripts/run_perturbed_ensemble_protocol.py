@@ -1,0 +1,236 @@
+"""Calibrated perturbed-analysis ensemble protocol (VERDICT r4 #8).
+
+Round-4's weight-diversity ensembles (DeepEnsemble, SWAG) were honestly
+underdispersive on the toy (spread/skill 0.16-0.26, U-shaped rank
+histograms): the toy's long-lead error is dominated by unpredictable
+AR(1) innovations that no initial-weight ensemble can represent —
+members converge toward the same conditional mean. This protocol
+demonstrates the framework's CALIBRATED-ensemble path instead, the way
+operational EPS systems are built from a single deterministic model:
+
+  trained HEALPix-16 flagship (scripts/run_healpix64_protocol.py
+  --subdivisions 16) ->
+  per-member perturbed analyses (smooth IC fields,
+  data.toy.perturbation_basis) + stochastic model-error perturbations at
+  every AR step (engine/step.py: y = f(x) + eps) ->
+  sigmas CALIBRATED from the model's own deterministic error growth
+  (random-walk fit: var(L) ~ var_ic + L * var_step, using the committed
+  deterministic skill curve + the training scaler — "known error
+  growth", nothing tuned on the verification result) ->
+  member AR20 rollouts -> CRPS / spread-skill / rank-histogram verify.
+
+Writes docs/benchmarks/healpix{sub}_perturbed_ensemble_protocol.json.
+Done criterion: spread/skill ~ 1 at most leads with a near-flat rank
+histogram — the probabilistic METRICS validated on an ensemble that is
+actually calibrated (ref TODO: verify_DeepEnsemble.py:29-172).
+
+    python scripts/run_perturbed_ensemble_protocol.py [--subdivisions 16]
+        [--n_members 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "scripts"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--subdivisions", type=int, default=16)
+    ap.add_argument("--n_members", type=int, default=10)
+    ap.add_argument("--ar_iterations_prediction", type=int, default=20)
+    ap.add_argument("--n_modes", type=int, default=48)
+    ap.add_argument("--mode_length", type=float, default=0.4)
+    ap.add_argument("--work_dir", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke runs while the TPU "
+                         "is busy; the axon plugin ignores JAX_PLATFORMS)")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    sub = args.subdivisions
+    work = Path(args.work_dir or f"/tmp/hp{sub}_protocol")
+    data_dir = work / "data"
+    exp_root = work / "exp"
+    model_dirs = [p for p in exp_root.iterdir()
+                  if (p / "model_weights" / "model.npz").exists()] \
+        if exp_root.exists() else []
+    if not model_dirs:
+        sys.exit(f"no trained model under {exp_root} — run "
+                 f"scripts/run_healpix64_protocol.py --subdivisions {sub} "
+                 "first")
+    model_dir = sorted(model_dirs)[0]
+    print(f"perturbed ensemble on {model_dir.name}", flush=True)
+    t0 = time.time()
+
+    import jax
+
+    from deepsphere_weather_tpu.config import (get_ar_settings,
+                                               get_dataloader_settings,
+                                               get_model_settings,
+                                               get_training_settings,
+                                               read_config_file)
+    from deepsphere_weather_tpu.data import (SphericalDataset, StaticDataset,
+                                             get_ar_model_tensor_info)
+    from deepsphere_weather_tpu.data.toy import perturbation_basis
+    from deepsphere_weather_tpu.cli.common import (resolve_scalers,
+                                                   split_datasets)
+    from deepsphere_weather_tpu.engine import AutoregressivePredictions
+    from deepsphere_weather_tpu.engine.loss import AreaWeights
+    from deepsphere_weather_tpu.models import get_model
+    from deepsphere_weather_tpu.prob import build_ensemble_store
+    from deepsphere_weather_tpu.sphere import build_sampling
+    from deepsphere_weather_tpu.utils import Checkpointer
+    from deepsphere_weather_tpu.verif import (deterministic, global_summary,
+                                              probabilistic)
+    from deepsphere_weather_tpu.verif.deterministic import SkillDataset
+    from run_swag_protocol import _rank_histograms
+
+    cfg = read_config_file(model_dir / "config.json")
+    model_settings = get_model_settings(cfg)
+    training_settings = get_training_settings(cfg)
+    ar_settings = get_ar_settings(cfg)
+    dl_settings = get_dataloader_settings(cfg)
+
+    data_dynamic = SphericalDataset.open(
+        data_dir / "Data" / "dynamic" / "time_chunked" / "dynamic.zarr")
+    bc_path = data_dir / "Data" / "bc" / "time_chunked" / "bc.zarr"
+    data_bc = SphericalDataset.open(bc_path) if bc_path.exists() else None
+    static_path = data_dir / "Data" / "static.zarr"
+    data_static = (StaticDataset.open(static_path)
+                   if static_path.exists() else None)
+    scaler, scaler_bc = resolve_scalers(dl_settings, data_dir)
+    split = split_datasets(training_settings, data_dynamic, data_bc)
+    test_dyn, test_bc = split["test"], split["test_bc"]
+
+    tensor_info = get_ar_model_tensor_info(ar_settings, data_dynamic,
+                                           data_static=data_static,
+                                           data_bc=data_bc)
+    model_kwargs = {k: v for k, v in model_settings.items()
+                    if k != "architecture_name"}
+    model_kwargs["pool_method"] = str(model_kwargs["pool_method"]).lower()
+    model_kwargs["numeric_precision"] = training_settings.get(
+        "numeric_precision", "float32")
+    model = get_model(model_settings["architecture_name"], tensor_info,
+                      **model_kwargs)
+    params = Checkpointer(model_dir).load_model(model.init(jax.random.key(0)))
+
+    # --- sigma calibration from the model's own error growth -------------
+    # deterministic skill curve (PHYSICAL units) -> scaled units via the
+    # training scaler's std; random-walk error model:
+    #   var(L) = var_ic + L * var_step
+    # var_ic from the first leadtime, var_step from the mean increment of
+    # squared RMSE over the first half of the curve (before saturation).
+    det = SkillDataset.load(model_dir / "model_skills"
+                            / "deterministic_global_skill.npz")
+    feats = list(det.feature_order)
+    std = np.asarray(scaler.std, np.float64)         # [F] physical units
+    rmse_scaled = np.asarray(det["RMSE"], np.float64) / std[None, :]
+    var = rmse_scaled ** 2                            # [L, F]
+    Lfit = max(2, var.shape[0] // 2)
+    var_step = np.clip(np.diff(var[:Lfit], axis=0).mean(axis=0), 1e-8, None)
+    var_ic = np.clip(var[0] - var_step, 1e-8, None)
+    ic_sigma = np.sqrt(var_ic).astype(np.float32)
+    step_sigma = np.sqrt(var_step).astype(np.float32)
+    print(f"calibrated sigmas (scaled units): ic {dict(zip(feats, np.round(ic_sigma, 4)))}, "
+          f"step {dict(zip(feats, np.round(step_sigma, 4)))}", flush=True)
+
+    samp = build_sampling(model_settings["sampling"],
+                          dict(model_settings["sampling_kwargs"]))
+    basis = perturbation_basis(samp, n_modes=args.n_modes,
+                               length=args.mode_length, seed=0)
+
+    # --- member rollouts -------------------------------------------------
+    ens_dir = model_dir / "model_predictions" / "perturbed_ensemble"
+    members = []
+    for m in range(args.n_members):
+        fc = AutoregressivePredictions(
+            model, params,
+            data_dynamic=test_dyn, data_bc=test_bc, data_static=data_static,
+            scaler=scaler, scaler_bc=scaler_bc,
+            input_k=ar_settings["input_k"], output_k=ar_settings["output_k"],
+            forecast_cycle=ar_settings["forecast_cycle"],
+            ar_iterations=args.ar_iterations_prediction,
+            batch_size=training_settings["training_batch_size"],
+            zarr_fpath=ens_dir / f"member{m}.zarr",
+            perturbation={"basis": basis, "ic_sigma": ic_sigma,
+                          "step_sigma": step_sigma, "seed": 9000 + m})
+        members.append(fc)
+        print(f"member {m} rolled ({time.time() - t0:.0f}s)", flush=True)
+    ensemble = build_ensemble_store(members, ens_dir / "ensemble.zarr")
+
+    # --- verification ----------------------------------------------------
+    area_w = np.asarray(AreaWeights(samp))
+    pgs = global_summary(probabilistic(ensemble, test_dyn), area_w)
+    pgs.save(model_dir / "model_skills"
+             / "perturbed_ensemble_probabilistic_global_skill.npz")
+    # ensemble-mean deterministic skill (the EPS control comparison)
+    from deepsphere_weather_tpu.prob import ensemble_median
+
+    median = ensemble_median(ensemble, ens_dir / "median.zarr")
+    gs_med = global_summary(deterministic(median, test_dyn), area_w)
+
+    L = min(det["MAE"].shape[0], pgs["CRPS"].shape[0])
+    mid, late = L // 2, L - 1
+    ranks = _rank_histograms(ensemble, test_dyn, [mid, late])
+
+    result = {
+        "config": f"perturbed-analysis ensemble ({args.n_members} members, "
+                  f"{args.n_modes} spatial modes len {args.mode_length}) "
+                  f"from the single deterministic {model_dir.name}; sigmas "
+                  "calibrated from its own deterministic error growth "
+                  "(random-walk fit), AR"
+                  f"{args.ar_iterations_prediction} member rollouts",
+        "wall_s": round(time.time() - t0, 1),
+        "calibration": {
+            "ic_sigma_scaled": {f: round(float(s), 5)
+                                for f, s in zip(feats, ic_sigma)},
+            "step_sigma_scaled": {f: round(float(s), 5)
+                                  for f, s in zip(feats, step_sigma)},
+        },
+        "crps_by_leadtime": {
+            f: [round(float(x), 4) for x in pgs["CRPS"][:L, i]]
+            for i, f in enumerate(feats)},
+        "deterministic_mae_by_leadtime": {
+            f: [round(float(x), 4) for x in det["MAE"][:L, i]]
+            for i, f in enumerate(feats)},
+        "crps_over_deterministic_mae": {
+            f: [round(float(pgs["CRPS"][lt, i] / det["MAE"][lt, i]), 3)
+                for lt in range(L)]
+            for i, f in enumerate(feats)},
+        "spread_skill_ratio_by_leadtime": {
+            f: [round(float(x), 3)
+                for x in pgs["spread_skill_ratio"][:L, i]]
+            for i, f in enumerate(feats)},
+        "ensemble_median_rmse_by_leadtime": {
+            f: [round(float(x), 4) for x in gs_med["RMSE"][:L, i]]
+            for i, f in enumerate(feats)},
+        "single_model_rmse_by_leadtime": {
+            f: [round(float(x), 4) for x in det["RMSE"][:L, i]]
+            for i, f in enumerate(feats)},
+        "rank_histogram": {f"leadtime_{k}": v for k, v in ranks.items()},
+        "exp_dir": str(model_dir),
+    }
+    out_path = (ROOT / "docs" / "benchmarks"
+                / f"healpix{sub}_perturbed_ensemble_protocol.json")
+    out_path.write_text(json.dumps(result, indent=1) + "\n")
+    print(f"wrote {out_path}")
+    print(json.dumps({k: v for k, v in result.items()
+                      if "by_leadtime" not in k and k != "rank_histogram"},
+                     indent=1))
+
+
+if __name__ == "__main__":
+    main()

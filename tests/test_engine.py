@@ -681,6 +681,52 @@ class TestPrediction:
             del os.environ["DSW_VERIF_RAM_BYTES"]
         assert not f_fb.in_memory
 
+    def test_perturbed_ensemble_rollout(self, toy_setup, tmp_path):
+        """IC + stochastic perturbations (VERDICT r4 #8): members from the
+        SAME params diverge, spread grows with leadtime, zero-sigma
+        perturbation reproduces the unperturbed forecast exactly."""
+        from deepsphere_weather_tpu.data.toy import perturbation_basis
+        from deepsphere_weather_tpu.sphere import build_sampling
+
+        s = toy_setup
+        samp = build_sampling("healpix", {"subdivisions": 4, "nest": True})
+        basis = perturbation_basis(samp, n_modes=16, seed=0)
+        assert basis.shape[0] == samp.n_nodes
+        # unit pointwise variance: coeff~N(0,1) -> field std ~ 1 per node
+        rng = np.random.default_rng(1)
+        fields = basis @ rng.standard_normal((16, 4000))
+        np.testing.assert_allclose(fields.std(axis=1), 1.0, atol=0.08)
+
+        frts = s["dyn"].time[[50, 60]]
+        kw = dict(
+            data_dynamic=s["dyn"], data_bc=s["bc"], data_static=s["static"],
+            scaler=s["scaler"], input_k=[-3, -2, -1], output_k=[0],
+            forecast_cycle=1, ar_iterations=6,
+            forecast_reference_times=frts, batch_size=2)
+        base = AutoregressivePredictions(
+            s["model"], s["params"], zarr_fpath=tmp_path / "b.zarr", **kw)
+        sig = np.asarray([0.2, 0.2], np.float32)
+        members = [AutoregressivePredictions(
+            s["model"], s["params"], zarr_fpath=tmp_path / f"m{m}.zarr",
+            perturbation={"basis": basis, "ic_sigma": sig,
+                          "step_sigma": sig, "seed": 100 + m}, **kw)
+            for m in range(3)]
+        stack = np.stack([m.variables["t850"][...] for m in members])
+        spread = stack.std(axis=0).mean(axis=(0, 2))     # per leadtime
+        assert spread[0] > 0
+        assert spread[-1] > spread[0]          # error growth accumulates
+        # different seeds -> different members
+        assert np.abs(stack[0] - stack[1]).max() > 0
+        # zero sigmas -> bit-identical to the unperturbed rollout
+        zero = AutoregressivePredictions(
+            s["model"], s["params"], zarr_fpath=tmp_path / "z.zarr",
+            perturbation={"basis": basis,
+                          "ic_sigma": np.zeros(2, np.float32),
+                          "step_sigma": np.zeros(2, np.float32),
+                          "seed": 7}, **kw)
+        np.testing.assert_array_equal(zero.variables["t850"][...],
+                                      base.variables["t850"][...])
+
 
 class TestPredictionReviewRegressions:
     """Regressions from the engine code review."""
