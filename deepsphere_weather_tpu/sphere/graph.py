@@ -78,6 +78,17 @@ def knn_adjacency(coords: np.ndarray, k: int) -> sparse.csr_matrix:
     sigma = mean knn distance, symmetrized by averaging. The normalized
     Laplacian spectrum is later rescaled to [-1, 1], which absorbs the exact
     kernel-width convention.
+
+    Caveat measured on reduced-Gaussian octahedral grids (O24 toy
+    protocol): near the poles the along-ring spacing is ~6x tighter than
+    the meridional spacing, and the knn operator there deviates
+    systematically from the Laplace-Beltrami operator (fitting Lf against
+    the analytic spherical Laplacian of sin^2(lat) leaves a polar-ring
+    residual ~70x the mid-latitude one, while the cotangent operator is
+    exact to fp precision). Through 20 AR feedback steps that polar
+    operator error accumulated into a -11 K t850 bias drift. For such
+    anisotropic samplings use graph_type='mesh'/'voronoi'
+    (compute_cotan_laplacian) instead of the knn graph.
     """
     n = coords.shape[0]
     k_eff = min(k, n - 1)

@@ -67,6 +67,14 @@ TARGETS = {
         "sampling": "gauss",
         "sampling_kwargs": {"nlat": 48, "nlon": "ecmwf-octahedral"},
         "conv_type": "graph",
+        # symmetric cotangent Laplace-Beltrami, not the knn graph: on the
+        # anisotropic octahedral polar rings the knn operator deviates
+        # systematically from the true spherical Laplacian (round-4 run:
+        # accumulating polar bias drift, -11 K t850 at +120 h, ratio 0.86
+        # vs ~0.65 for the quasi-uniform siblings); the cotan operator is
+        # exact on the analytic probe (sphere/graph.py::knn_adjacency
+        # caveat note)
+        "graph_type": "mesh",
         "pool_method": "Interp",
     },
 }
@@ -112,6 +120,7 @@ def main():
         "sampling": spec["sampling"],
         "sampling_kwargs": dict(spec["sampling_kwargs"]),
         "conv_type": spec["conv_type"],
+        "graph_type": spec.get("graph_type", "knn"),
         "pool_method": spec["pool_method"],
         "knn": 20,
         "increment_learning": False,     # reference protocol

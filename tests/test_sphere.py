@@ -170,3 +170,38 @@ class TestConservativeRemap:
         fp = pool @ f
         np.testing.assert_allclose((a_dst * fp).sum() / a_dst.sum(),
                                    (a_src * f).sum() / a_src.sum(), atol=1e-9)
+
+
+class TestAnisotropicGridOperators:
+    """Regression for the round-4 gauss polar bias drift (VERDICT r4 #4):
+    on the anisotropic octahedral polar rings the knn graph operator
+    deviates systematically from the Laplace-Beltrami operator, while the
+    cotangent (mesh) operator stays consistent — the reason the gauss
+    protocol runs with graph_type='mesh'."""
+
+    def test_cotan_beats_knn_at_octahedral_poles(self):
+        from deepsphere_weather_tpu.sphere.graph import (
+            compute_cotan_laplacian, knn_adjacency, normalized_laplacian,
+            prepare_laplacian)
+
+        samp = build_sampling("gauss",
+                              {"nlat": 48, "nlon": "ecmwf-octahedral"})
+        lat = samp.lat
+        f = np.sin(np.deg2rad(lat)) ** 2
+        exact = 2.0 - 6.0 * np.sin(np.deg2rad(lat)) ** 2   # spherical lap
+        ring0 = lat == lat.max()
+
+        def polar_residual(L):
+            g = np.asarray(L @ f)
+            A = np.stack([exact, np.ones_like(exact)], axis=1)
+            c, *_ = np.linalg.lstsq(A, g, rcond=None)
+            resid = g - A @ c
+            return abs(resid[ring0].mean()) / (np.abs(g).mean() + 1e-30)
+
+        knn_res = polar_residual(
+            prepare_laplacian(normalized_laplacian(
+                knn_adjacency(samp.coords_3d, 20))))
+        cot_res = polar_residual(
+            prepare_laplacian(compute_cotan_laplacian(samp.coords_3d)))
+        assert cot_res < knn_res / 10
+        assert cot_res < 1e-3
