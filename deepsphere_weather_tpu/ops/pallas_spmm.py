@@ -39,6 +39,10 @@ __all__ = ["BlockSparseOperator", "bcsr_from_scipy",
            "bcsr_super_from_scipy"]
 
 _BS = 128  # MXU-native block size
+# DSW_SPMM_BATCHED_WAIT=1 collapses the scheduled kernel's per-transfer
+# DMA wait loop into ONE byte-counting semaphore wait (A/B knob; flip to
+# default after silicon validation via scripts/validate_tpu_kernels.py)
+_BATCHED_WAIT = os.environ.get("DSW_SPMM_BATCHED_WAIT", "0") == "1"
 # DSW_SPMM_MM_CHUNK splits the super-row deep matmul along mt (probe
 # knob; 0 = single matmul — measured best, see docs/benchmarks/README.md)
 _MM_CHUNK = int(os.environ.get("DSW_SPMM_MM_CHUNK", "0"))
@@ -568,15 +572,24 @@ def _spmm_kernel_super_sched(sched_ref, a_ref, x_hbm, o_ref,
         # descriptor serves every wait on the shared byte-counting sem
         w0 = sched_ref[s, 0]
         total = w0 % _SCHED_RADIX + w0 // _SCHED_RADIX
+        if _BATCHED_WAIT:
+            # ONE semaphore wait for the whole schedule: the shared DMA
+            # sem counts bytes, every transfer is [bs, mt], so waiting
+            # total * bs * mt * itemsize bytes is exactly equivalent to
+            # the per-transfer wait loop — minus `total`-1 scalar-core
+            # wait ops on the issue-bound DMA side (the round-4 analysis
+            # batched-waits lever, docs/benchmarks/README.md)
+            esize = jnp.dtype(xbuf0.dtype).itemsize
+            pltpu.semaphore_wait(cur_sem.at[0], total * bs * mt * esize)
+        else:
+            def wait_body(j, carry):
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(0, bs), pl.ds(0, mt)],
+                    cur_buf.at[pl.ds(0, bs)],
+                    cur_sem.at[0]).wait()
+                return carry
 
-        def wait_body(j, carry):
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(0, bs), pl.ds(0, mt)],
-                cur_buf.at[pl.ds(0, bs)],
-                cur_sem.at[0]).wait()
-            return carry
-
-        lax.fori_loop(0, total, wait_body, 0)
+            lax.fori_loop(0, total, wait_body, 0)
 
     if a_ref.dtype == xbuf0.dtype:
         cast = None
