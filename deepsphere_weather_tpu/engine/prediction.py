@@ -350,7 +350,11 @@ def AutoregressivePredictions(
         from ..data.loader import AutoregressiveDataset
 
         need = len(frts) * L * V * F * 4
-        budget = int(float(os.environ.get("DSW_VERIF_RAM_BYTES", 8e9)))
+        # default 16 GB: the HEALPix-64 flagship protocol's buffer is
+        # ~10.8 GB (1312 frts x 21 leads x 49152 nodes x 2 vars fp32) and
+        # the whole point of the buffer is killing that scale's rechunk
+        # tax; the free-RAM/2 cap below still protects small hosts
+        budget = int(float(os.environ.get("DSW_VERIF_RAM_BYTES", 16e9)))
         free = AutoregressiveDataset._available_memory_bytes()
         if free is not None:
             budget = min(budget, free // 2)
