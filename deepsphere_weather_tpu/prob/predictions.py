@@ -121,6 +121,10 @@ def AutoregressiveSWAGPredictions(
 
             member_kwargs["norm_state"] = bn_update(model, params_m,
                                                     **bn_update_data)
+        # RAM-backed member datasets (budget-guarded): the ensemble
+        # store assembly below then stacks from memory instead of
+        # re-reading every member store
+        member_kwargs.setdefault("keep_in_memory", True)
         fc = AutoregressivePredictions(
             model, params_m,
             zarr_fpath=out_dir / f"member_{m:02d}.zarr",

@@ -165,6 +165,7 @@ def main():
             ar_iterations=args.ar_iterations_prediction,
             batch_size=training_settings["training_batch_size"],
             zarr_fpath=ens_dir / f"member{m}.zarr",
+            keep_in_memory=True,
             perturbation={"basis": basis, "ic_sigma": ic_sigma,
                           "step_sigma": step_sigma, "seed": 9000 + m})
         members.append(fc)
