@@ -377,6 +377,15 @@ def AutoregressiveTraining(
         cur_lr = float(np.asarray(_hp["learning_rate"]).reshape(-1)[0])
     plateau_decays = 0
     rescues = 0
+    # reset-immune loss floor for explosion detection and checkpoint
+    # hygiene: early_stopping.best is CLEARED at every AR-growth reset,
+    # and the round-5 gauss run showed the failure mode — the first
+    # post-growth validation of an already-exploding run (loss ~1e31,
+    # still finite) was recorded as the stage's "best", disarming the
+    # explosion guard and letting poisoned params into the checkpoint,
+    # which the eventual NaN rescue then restored. best_ever survives
+    # stage resets, so explosion trips at the first post-blow-up scoring.
+    best_ever = np.inf
     for epoch in range(epochs):
         if stop:
             break
@@ -454,9 +463,8 @@ def AutoregressiveTraining(
                 # intervals (long epochs on big datasets otherwise leave
                 # hours between the per-epoch checkpoints)
                 healthy = np.isfinite(total) and (
-                    early_stopping.best is None
-                    or not np.isfinite(early_stopping.best)
-                    or total <= 100 * max(early_stopping.best, 1e-8))
+                    not np.isfinite(best_ever)
+                    or total <= 100 * max(best_ever, 1e-8))
                 if (ckpt is not None and healthy
                         and (update // scoring_interval) % 10 == 0):
                     # `healthy` keeps a deteriorating run from overwriting
@@ -547,10 +555,11 @@ def AutoregressiveTraining(
                 # non-finite loss poisons params and every later metric;
                 # restore the last checkpoint and halve the lr (when the
                 # optimizer is lr-injectable), at most 3 times.
+                if np.isfinite(val_loss):
+                    best_ever = min(best_ever, float(val_loss))
                 exploded = (
-                    early_stopping.best is not None
-                    and np.isfinite(early_stopping.best)
-                    and val_loss > 1e4 * max(early_stopping.best, 1e-8))
+                    np.isfinite(best_ever)
+                    and val_loss > 1e4 * max(best_ever, 1e-8))
                 if exploded or not (np.isfinite(val_loss)
                                     and np.isfinite(total)):
                     can_rescue = (
