@@ -91,6 +91,13 @@ def main():
     ap.add_argument("--ar_iterations_prediction", type=int, default=20)
     ap.add_argument("--work_dir", default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--kernel_size_conv", type=int, default=None,
+                    help="override the Chebyshev order (config default 3); "
+                         "sampling-specific tuning knob, reference config "
+                         "key modules/utils_config.py:46")
+    ap.add_argument("--result_key", default=None,
+                    help="key to write in sampling_protocols.json "
+                         "(default: the --target name)")
     args = ap.parse_args()
 
     spec = TARGETS[args.target]
@@ -125,6 +132,8 @@ def main():
         "knn": 20,
         "increment_learning": False,     # reference protocol
     })
+    if args.kernel_size_conv is not None:
+        cfg["model_settings"]["kernel_size_conv"] = args.kernel_size_conv
     cfg["training_settings"].update({
         "epochs": args.epochs,
         "learning_rate": args.lr,
@@ -182,7 +191,9 @@ def main():
                   f"({samp.n_nodes} nodes) conv={spec['conv_type']} "
                   f"pool={spec['pool_method']} bf16, AR growth 1->6 RNN "
                   f"lr {args.lr} clip 1.0, batch {args.batch}, "
-                  f"{args.years} toy-years",
+                  f"{args.years} toy-years"
+                  + (f", K={args.kernel_size_conv}"
+                     if args.kernel_size_conv is not None else ""),
         "wall_s_total": round(time.time() - t0, 1),
         "wall_s_data_gen": round(t_data, 1),
         "wall_s_train_predict_verify": round(t_train, 1),
@@ -200,9 +211,10 @@ def main():
     }
     out = ROOT / "docs" / "benchmarks" / "sampling_protocols.json"
     existing = json.loads(out.read_text()) if out.exists() else {}
-    existing[args.target] = entry
+    key = args.result_key or args.target
+    existing[key] = entry
     out.write_text(json.dumps(existing, indent=1) + "\n")
-    print(f"wrote {out} [{args.target}]")
+    print(f"wrote {out} [{key}]")
     print(json.dumps({k: v for k, v in entry.items()
                       if "rmse_by" not in k}, indent=1))
 
