@@ -90,7 +90,6 @@ def main():
     from deepsphere_weather_tpu.engine import AutoregressivePredictions
     from deepsphere_weather_tpu.engine.loss import AreaWeights
     from deepsphere_weather_tpu.models import get_model
-    from deepsphere_weather_tpu.prob import build_ensemble_store
     from deepsphere_weather_tpu.sphere import build_sampling
     from deepsphere_weather_tpu.utils import Checkpointer
     from deepsphere_weather_tpu.verif import (deterministic, global_summary,
@@ -153,9 +152,19 @@ def main():
                                length=args.mode_length, seed=0)
 
     # --- member rollouts -------------------------------------------------
+    # Members already on disk (a previous interrupted run) are loaded, not
+    # re-rolled — the per-member zarr is the resume point.
+    from deepsphere_weather_tpu.engine.prediction import ForecastDataset
+
     ens_dir = model_dir / "model_predictions" / "perturbed_ensemble"
     members = []
     for m in range(args.n_members):
+        mp = ens_dir / f"member{m}.zarr"
+        if (Path(mp) / ".zattrs").exists():
+            members.append(ForecastDataset.open(mp))
+            print(f"member {m} loaded from store ({time.time() - t0:.0f}s)",
+                  flush=True)
+            continue
         fc = AutoregressivePredictions(
             model, params,
             data_dynamic=test_dyn, data_bc=test_bc, data_static=data_static,
@@ -164,24 +173,68 @@ def main():
             forecast_cycle=ar_settings["forecast_cycle"],
             ar_iterations=args.ar_iterations_prediction,
             batch_size=training_settings["training_batch_size"],
-            zarr_fpath=ens_dir / f"member{m}.zarr",
+            zarr_fpath=mp,
             keep_in_memory=True,
             perturbation={"basis": basis, "ic_sigma": ic_sigma,
                           "step_sigma": step_sigma, "seed": 9000 + m})
         members.append(fc)
         print(f"member {m} rolled ({time.time() - t0:.0f}s)", flush=True)
-    ensemble = build_ensemble_store(members, ens_dir / "ensemble.zarr")
+
+    # Assemble the ensemble in an uncompressed memory:// group: the
+    # store-backed assembly (zlib, ~11 GB at 10 members) plus the
+    # tiny-chunk zlib median store put >50 single-core minutes of pure
+    # compression on the verification path of the first attempt.
+    from deepsphere_weather_tpu.data.zarrstore import create_group
+    from deepsphere_weather_tpu.prob.predictions import (
+        EnsembleForecastDataset)
+
+    f0 = members[0]
+    M, n_frt, L_fc, V = (len(members), f0.n_frt, f0.n_leadtime,
+                         len(f0.lat))
+    eg = create_group("memory://perturbed_ensemble",
+                      attrs={"feature_order": list(f0.feature_order),
+                             "n_member": M}, overwrite=True)
+    for name in f0.feature_order:
+        arr = eg.create_array(name, shape=(M, n_frt, L_fc, V),
+                              chunks=(1, n_frt, L_fc, V), dtype=np.float32,
+                              compressor=None)
+        for m, fc in enumerate(members):
+            arr[m] = np.asarray(fc.variables[name][...])[None]
+    for cname in ("forecast_reference_time", "leadtime", "lat", "lon"):
+        src = f0.group[cname]
+        a = eg.create_array(cname, shape=src.shape, chunks=src.shape,
+                            dtype=src.dtype, compressor=None,
+                            attrs=src.attrs)
+        a[...] = src[...]
+    ensemble = EnsembleForecastDataset(eg)
+    print(f"ensemble assembled in memory ({time.time() - t0:.0f}s)",
+          flush=True)
 
     # --- verification ----------------------------------------------------
     area_w = np.asarray(AreaWeights(samp))
     pgs = global_summary(probabilistic(ensemble, test_dyn), area_w)
     pgs.save(model_dir / "model_skills"
              / "perturbed_ensemble_probabilistic_global_skill.npz")
-    # ensemble-mean deterministic skill (the EPS control comparison)
-    from deepsphere_weather_tpu.prob import ensemble_median
-
-    median = ensemble_median(ensemble, ens_dir / "median.zarr")
+    print(f"probabilistic verify done ({time.time() - t0:.0f}s)", flush=True)
+    # ensemble-median deterministic skill (the EPS control comparison),
+    # computed in memory for the same reason as the assembly above
+    mg = create_group("memory://perturbed_median",
+                      attrs={"feature_order": list(f0.feature_order)})
+    for name in f0.feature_order:
+        med = np.median(np.asarray(eg[name][...]), axis=0).astype(np.float32)
+        arr = mg.create_array(name, shape=med.shape,
+                              chunks=med.shape, dtype=np.float32,
+                              compressor=None)
+        arr[...] = med
+    for cname in ("forecast_reference_time", "leadtime", "lat", "lon"):
+        src = f0.group[cname]
+        a = mg.create_array(cname, shape=src.shape, chunks=src.shape,
+                            dtype=src.dtype, compressor=None,
+                            attrs=src.attrs)
+        a[...] = src[...]
+    median = ForecastDataset(mg)
     gs_med = global_summary(deterministic(median, test_dyn), area_w)
+    print(f"median verify done ({time.time() - t0:.0f}s)", flush=True)
 
     L = min(det["MAE"].shape[0], pgs["CRPS"].shape[0])
     mid, late = L // 2, L - 1
