@@ -309,10 +309,20 @@ def AutoregressiveTraining(
     if device_cache and train_ds.has_mirror and (
             val_ds is None or val_ds.has_mirror):
         import os
-        budget = int(os.environ.get("DSW_DEVICE_CACHE_BYTES", 4 << 30))
+        # default 8 GB: half of a v5e's 16 GB HBM for the data cache
+        # leaves the other half for params/opt/activations (the HEALPix-64
+        # AR6 batch-16 remat protocol fits). The old 4 GB default silently
+        # demoted the round-5 HEALPix-64 protocol (4.4 GB train+val
+        # mirrors) to the streaming loader at ~10 samples/s vs ~50 cached
+        # — same failure mode as round-2's DSW_PRELOAD_BYTES incident.
+        budget = int(os.environ.get("DSW_DEVICE_CACHE_BYTES", 8 << 30))
         nbytes = train_ds.mirror_nbytes() + (
             val_ds.mirror_nbytes() if val_ds is not None else 0)
         use_cache = device_cache is True or nbytes <= budget
+        if not use_cache and verbose:
+            print(f"device_cache='auto': mirrors ({nbytes / 1e9:.1f} GB) "
+                  f"exceed DSW_DEVICE_CACHE_BYTES ({budget / 1e9:.1f} GB) "
+                  "— using the streaming loader", flush=True)
     elif device_cache is True:
         import warnings
         warnings.warn(
