@@ -51,6 +51,14 @@ def main():
     ap.add_argument("--n_modes", type=int, default=48)
     ap.add_argument("--mode_length", type=float, default=0.4)
     ap.add_argument("--work_dir", default=None)
+    ap.add_argument("--inflate_from_pilot", action="store_true",
+                    help="calibrate a per-variable step-noise inflation "
+                         "factor from a small pilot ensemble on VALIDATION "
+                         "reference times (compensates the trained "
+                         "dynamics' contraction of injected noise; the "
+                         "test period is never consulted)")
+    ap.add_argument("--pilot_members", type=int, default=5)
+    ap.add_argument("--pilot_frts", type=int, default=40)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke runs while the TPU "
                          "is busy; the axon plugin ignores JAX_PLATFORMS)")
@@ -151,12 +159,85 @@ def main():
     basis = perturbation_basis(samp, n_modes=args.n_modes,
                                length=args.mode_length, seed=0)
 
+    # --- optional pilot-calibrated step-noise inflation ------------------
+    # The trained dynamics CONTRACT injected perturbations toward the
+    # conditional mean (the first protocol run measured spread/skill 0.94
+    # at +6 h decaying to ~0.44 at +120 h), so uninflated step noise
+    # cannot hold long-lead spread. A small pilot ensemble on VALIDATION
+    # reference times measures that contraction, and a per-variable
+    # inflation factor is solved so the modeled spread recursion matches
+    # the random-walk target — operational-EPS inflation calibrated
+    # without ever consulting the test period.
+    inflation = {f: 1.0 for f in feats}
+    contraction = {}
+    if args.inflate_from_pilot:
+        val_dyn, val_bc = split["val"], split["val_bc"]
+        hist = -min(ar_settings["input_k"])
+        frt_pool = val_dyn.time[hist + 1: hist + 1 + args.pilot_frts]
+        pilots = []
+        for m in range(args.pilot_members):
+            fc = AutoregressivePredictions(
+                model, params,
+                data_dynamic=val_dyn, data_bc=val_bc,
+                data_static=data_static,
+                scaler=scaler, scaler_bc=scaler_bc,
+                input_k=ar_settings["input_k"],
+                output_k=ar_settings["output_k"],
+                forecast_cycle=ar_settings["forecast_cycle"],
+                ar_iterations=args.ar_iterations_prediction,
+                forecast_reference_times=frt_pool,
+                batch_size=training_settings["training_batch_size"],
+                zarr_fpath=f"memory://pilot{m}", compressor=None,
+                keep_in_memory=True,
+                perturbation={"basis": basis, "ic_sigma": ic_sigma,
+                              "step_sigma": step_sigma, "seed": 7000 + m})
+            pilots.append(fc)
+        print(f"pilot ensemble rolled ({time.time() - t0:.0f}s)",
+              flush=True)
+        L_p = pilots[0].n_leadtime
+        for i, f in enumerate(feats):
+            stack = np.stack([np.asarray(p.variables[f][...])
+                              for p in pilots])          # [M, frt, L, V]
+            v_real = (stack.var(axis=0, ddof=1).mean(axis=(0, 2))
+                      / std[i] ** 2)                     # [L], scaled
+            s2 = float(var_step[i])
+            # contraction g^2 from the pilot's own spread recursion
+            # v_{L+1} = g^2 v_L + s^2
+            num = np.clip(v_real[1:] - s2, 1e-12, None)
+            g2 = float(np.clip(np.median(num / np.clip(v_real[:-1],
+                                                       1e-12, None)),
+                               0.0, 1.0))
+            # target: random-walk growth var_ic + (L+1)*var_step, capped
+            # at the deterministic error variance (spread cannot usefully
+            # exceed skill)
+            L_fit = min(L_p, var.shape[0])
+            tgt = np.minimum(var_ic[i] + np.arange(1, L_fit + 1) * s2,
+                             var[:L_fit, i])
+            best_a2, best_err = 1.0, np.inf
+            for a in np.arange(1.0, 20.01, 0.05):
+                vhat, vh = [], float(var_ic[i])
+                for _ in range(L_fit):
+                    vh = g2 * vh + (a ** 2) * s2
+                    vhat.append(vh)
+                err = float(((np.asarray(vhat) - tgt) ** 2).sum())
+                if err < best_err:
+                    best_a2, best_err = a ** 2, err
+            inflation[f] = float(np.sqrt(best_a2))
+            contraction[f] = round(g2, 4)
+        step_sigma = step_sigma * np.asarray(
+            [inflation[f] for f in feats], np.float32)
+        print(f"pilot contraction g^2 {contraction}, step-noise inflation "
+              f"{ {f: round(v, 2) for f, v in inflation.items()} }",
+              flush=True)
+
     # --- member rollouts -------------------------------------------------
     # Members already on disk (a previous interrupted run) are loaded, not
     # re-rolled — the per-member zarr is the resume point.
     from deepsphere_weather_tpu.engine.prediction import ForecastDataset
 
-    ens_dir = model_dir / "model_predictions" / "perturbed_ensemble"
+    suffix = "_inflated" if args.inflate_from_pilot else ""
+    ens_dir = (model_dir / "model_predictions"
+               / f"perturbed_ensemble{suffix}")
     members = []
     for m in range(args.n_members):
         mp = ens_dir / f"member{m}.zarr"
@@ -246,13 +327,21 @@ def main():
                   f"from the single deterministic {model_dir.name}; sigmas "
                   "calibrated from its own deterministic error growth "
                   "(random-walk fit), AR"
-                  f"{args.ar_iterations_prediction} member rollouts",
+                  f"{args.ar_iterations_prediction} member rollouts"
+                  + ("; step noise inflated per variable from a "
+                     f"{args.pilot_members}-member/{args.pilot_frts}-frt "
+                     "pilot on VALIDATION reference times (contraction-"
+                     "compensating, test period never consulted)"
+                     if args.inflate_from_pilot else ""),
         "wall_s": round(time.time() - t0, 1),
         "calibration": {
             "ic_sigma_scaled": {f: round(float(s), 5)
                                 for f, s in zip(feats, ic_sigma)},
             "step_sigma_scaled": {f: round(float(s), 5)
                                   for f, s in zip(feats, step_sigma)},
+            "step_inflation": {f: round(float(v), 3)
+                               for f, v in inflation.items()},
+            "pilot_contraction_g2": contraction,
         },
         "crps_by_leadtime": {
             f: [round(float(x), 4) for x in pgs["CRPS"][:L, i]]
@@ -278,7 +367,7 @@ def main():
         "exp_dir": str(model_dir),
     }
     out_path = (ROOT / "docs" / "benchmarks"
-                / f"healpix{sub}_perturbed_ensemble_protocol.json")
+                / f"healpix{sub}_perturbed_ensemble_protocol{suffix}.json")
     out_path.write_text(json.dumps(result, indent=1) + "\n")
     print(f"wrote {out_path}")
     print(json.dumps({k: v for k, v in result.items()
